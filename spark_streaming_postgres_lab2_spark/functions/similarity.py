@@ -1,0 +1,273 @@
+"""Similarity search + near-duplicate detection at scale.
+
+- Exact cosine top-k: brute force against a *broadcast* query set --
+  the baseline; one pass over the corpus, no shuffle except the
+  final per-query top-k.
+- IVF-style ANN: coarse clusters (centroid per label or k-means-lite),
+  probe the nearest ``nprobe`` clusters, search only those partitions.
+  At 100 TB this turns a full scan into a pruned partition scan.
+- MinHash + LSH banding for Jaccard near-dup: shingle -> signature ->
+  band keys -> bucket self-join -> exact-Jaccard verification on
+  candidates only.  All hashing is xxhash64 (JVM codegen, seeded,
+  deterministic).
+- SimHash: 64-bit bit-vote fingerprint; hamming-distance candidates.
+
+No Python in any hot path: arrays + higher-order functions throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingles, tokens
+
+
+# --- dense-vector primitives -------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float arrays (zip_with +
+    aggregate; accumulates left-to-right in DOUBLE, matching the DuckDB
+    oracle's evaluation order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set, score every
+    corpus vector once, keep k per query with a deterministic
+    tiebreak.  Returns (query_id, vec_id, cosine_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.col("__cos"), 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+# --- IVF-style approximate nearest neighbour --------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse centroids: element-wise mean per cluster.  Implemented as
+    explode -> (cluster, position) avg -> re-assemble; shuffles once on
+    (cluster, pos)."""
+    exploded = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    return (
+        exploded.groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("avg_val"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("__pairs")
+        )
+        .select(
+            "cluster",
+            F.transform(F.col("__pairs"), lambda s: s["avg_val"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """ANN: route each query to its ``nprobe`` nearest centroids, then
+    exact-score only vectors in those clusters.  The cluster equi-join
+    replaces the cross join -- the scale path."""
+    cents = ivf_centroids(corpus, cluster_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__crank", F.row_number().over(probe_w))
+        .filter(F.col("__crank") <= nprobe)
+        .select("query_id", "__qvec", "cluster")
+    )
+    scored = (
+        corpus.withColumnRenamed(cluster_col, "cluster")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(F.col("__cos"), 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+# --- MinHash + LSH near-dup --------------------------------------------------
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingle
+    xxhash64(shingle, i)."""
+    sh = shingles(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(sig_col: Column, num_bands: int = 8, rows_per_band: int = 4) -> Column:
+    """Band the signature: array of (band_idx, xxhash64(band rows))."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at(sig_col, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct token sets."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db)).cast("double")
+    union = F.size(F.array_union(da, db))
+    return inter / union
+
+
+def minhash_near_dupes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline.
+
+    shingle -> signature -> explode band keys -> self-join on
+    (band, band_hash) with id< id -> distinct candidate pairs ->
+    exact-Jaccard verify -> threshold filter.
+
+    Scale: the only shuffles are the band-bucket join (keyed on a
+    64-bit hash, uniformly distributed) and the candidate distinct;
+    no O(n^2) stage exists anywhere.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("__toks"),
+        minhash_signature(text_col, num_hashes).alias("__sig"),
+    )
+    banded = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__bk"),
+    ).select("doc_id", "__toks", F.col("__bk.band").alias("band"), F.col("__bk.band_hash").alias("band_hash"))
+
+    left = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("band_hash"),
+        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2"),
+    )
+    candidates = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", "__toks_1", "__toks_2")
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via explode + bit-vote aggregation.
+
+    Token hashes are exploded and each of the 64 bit positions is
+    summed (+1/-1 votes) in a single grouped aggregation (one shuffle
+    on doc_id); the fingerprint is reassembled from vote signs."""
+    tok_hashes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__tok"),
+    ).withColumn("__h", F.xxhash64("__tok"))
+
+    def bitmask(b: int) -> Column:
+        # 1 << 63 overflows a signed long literal; shiftleft wraps in the JVM
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    vote_cols = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(bitmask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = tok_hashes.groupBy("doc_id").agg(*vote_cols)
+
+    fingerprint = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, bitmask(b)).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

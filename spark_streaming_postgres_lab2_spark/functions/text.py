@@ -1,0 +1,126 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Column expressions (JVM-side, whole-
+stage codegen): tokenization, stopword ratios, punctuation stats,
+n-gram shingling, fingerprinting, and a heuristic language ID.  No
+Python UDFs -- at 100 TB these run as a single codegen'd projection
+per document partition, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic
+# language ID.  Deliberately small: the point is the operator shape
+# (array intersection scoring), not lexical completeness.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "dans"],
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space split -- deterministic and
+    oracle-matchable; use ``regex_tokens`` for robust splitting)."""
+    return F.split(F.col(col) if isinstance(col, str) else col, " ")
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish tokenizer: words, numbers, or single non-space symbols."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords of ``lang`` (array filter --
+    evaluated per-row JVM-side, no shuffle)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda x: x.isin(words)))
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features per document."""
+    n_tok = token_count(text_col)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_computed", F.length(F.col(text_col)))
+        .withColumn("punct_chars", punct_count(text_col))
+        .withColumn("stop_hits", stopword_hits(text_col, "en"))
+        .withColumn(
+            "stop_ratio",
+            F.round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (F.col("n_chars_computed") - (F.col("n_tokens") - 1)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ),
+        )
+    )
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit score per language."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_guess(col: Column | str, min_hits: int = 2) -> Column:
+    """Argmax language over stopword scores, deterministic tie-break by
+    language-key order; 'unknown' when the best score is below
+    ``min_hits``."""
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.when(best < min_hits, F.lit("unknown"))
+    for lang in STOPWORDS:  # first language reaching the max wins
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased text for fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint over normalized text (exact-dup detection)."""
+    return F.md5(normalized_text(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (input to MinHash).
+    Uses slice-over-sequence -- pure Column ops, no UDF."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def rolling_hash_fingerprint(col: Column | str, n: int = 3) -> Column:
+    """Document fingerprint: min of shingle hashes (one 64-bit value --
+    a 1-hash MinHash; cheap near-dup blocking key)."""
+    return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))

@@ -1,0 +1,632 @@
+"""Core query inventory: the reference's analytics surface (SURVEY §2
+A4-A8, P5, T2, F1-F9, schema migration) mapped onto the driver fixture
+tables, plus TPC-H-style join/aggregation queries that exercise the
+same operators at scale.
+
+Every query is declarative DataFrame/SQL -- Catalyst handles pushdown,
+partial aggregation, and join strategy.  Small dimensions (part,
+customer, query vectors) are explicitly broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import dedup_exact
+from ..operators.validate import build_error_column, events_table_rules, validate
+from ..schema.registry import SchemaRegistry
+from ..sources.tables import load_tables
+from . import QuerySpec
+
+# The first-match-wins rule chain as SQL, identical in order and tags to
+# operators/validate.events_table_rules (parity: reference
+# spark_streaming_to_postgres.py:99-144).
+_ERROR_CASE_SQL = """
+    CASE
+      WHEN event_id IS NULL THEN 'null_event_id'
+      WHEN event_type IS NULL THEN 'null_event_type'
+      WHEN event_type NOT IN ('view','click','purchase','signup','error')
+        THEN 'invalid_event_type'
+      WHEN event_type = 'purchase' AND user_id IS NULL THEN 'missing_user_for_purchase'
+      WHEN value < 0.0 THEN 'negative_value'
+      WHEN value > 10000.0 THEN 'extreme_value'
+    END
+"""
+
+
+# --- A4: hourly event summary ------------------------------------------------
+
+
+def q_hourly_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_hourly_event_summary (reference postgres_setup.sql:101-110):
+    hour bucket x event_type with count / distinct users / revenue."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       count(*) AS event_count,
+       count(DISTINCT user_id) AS unique_users,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- A5: per-user activity rollup -------------------------------------------
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_user_sessions semantics (postgres_setup.sql:113-125) on the
+    events fixture: conditional counts + min/max event time per user."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("view_count"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchase_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.unix_micros(F.min("ts")).alias("first_event_us"),
+            F.unix_micros(F.max("ts")).alias("last_event_us"),
+        )
+    )
+
+
+ORACLE_USER_ACTIVITY = """
+SELECT user_id,
+       count(*) AS event_count,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+       round(sum(value), 2) AS total_value,
+       epoch_us(min(ts)) AS first_event_us,
+       epoch_us(max(ts)) AS last_event_us
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- A6 + J1: category performance via broadcast dimension join -------------
+
+
+def q_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_category_performance (postgres_setup.sql:128-137) +
+    the dimension-enrichment join the reference precomputes at datagen
+    time (J1, data_generator.py:73-78): lineitem x broadcast(part)
+    grouped by part type."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("return_count"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail_price"),
+        )
+    )
+
+
+ORACLE_CATEGORY_PERF = """
+SELECT p_type,
+       count(*) AS line_count,
+       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS return_count,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(avg(p_retailprice), 2) AS avg_retail_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+# --- A7: data-quality hourly rollup over the trailing 24 h ------------------
+
+
+def q_quality_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v_data_quality_summary semantics (postgres_setup.sql:140-151):
+    trailing-24h filter (anchored to max(ts), not wall clock, for
+    determinism) + hourly validity rollup from the validation chain."""
+    t = load_tables(spark, sf_dir, ["events"])
+    events = validate(t["events"], events_table_rules())
+    anchor = events.agg(F.max("ts").alias("__max_ts"))
+    return (
+        events.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ts") >= F.col("__max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .groupBy(F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"))
+        .agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.count(F.when(F.col("is_valid"), 1)).alias("valid_rows"),
+            F.count(F.when(~F.col("is_valid"), 1)).alias("invalid_rows"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+ORACLE_QUALITY_HOURLY = f"""
+WITH v AS (
+  SELECT *, {_ERROR_CASE_SQL} AS validation_errors FROM events
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       count(*) AS total_rows,
+       count(CASE WHEN validation_errors IS NULL THEN 1 END) AS valid_rows,
+       count(CASE WHEN validation_errors IS NOT NULL THEN 1 END) AS invalid_rows,
+       round(avg(value), 2) AS avg_value
+FROM v
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+GROUP BY 1
+"""
+
+
+# --- A8: ad-hoc distribution + scalar-count union ---------------------------
+
+
+def q_event_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README ad-hoc analytics (README.md:368-383): per-type counts,
+    rounded revenue, value extremes."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+ORACLE_EVENT_DIST = """
+SELECT event_type,
+       count(*) AS event_count,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 2) AS avg_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_table_counts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README verification query (docs/user_guide.md:248-250): UNION ALL
+    of two labelled scalar counts (valid vs dead-letter split)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    events = validate(t["events"], events_table_rules())
+    valid = events.filter(F.col("is_valid")).agg(F.count(F.lit(1)).alias("row_count")).withColumn(
+        "table_name", F.lit("valid_events")
+    )
+    dlq = events.filter(~F.col("is_valid")).agg(F.count(F.lit(1)).alias("row_count")).withColumn(
+        "table_name", F.lit("dead_letter_events")
+    )
+    return valid.unionByName(dlq).select("table_name", "row_count")
+
+
+ORACLE_TABLE_COUNTS = f"""
+WITH v AS (SELECT {_ERROR_CASE_SQL} AS e FROM events)
+SELECT 'valid_events' AS table_name, count(CASE WHEN e IS NULL THEN 1 END) AS row_count FROM v
+UNION ALL
+SELECT 'dead_letter_events' AS table_name, count(CASE WHEN e IS NOT NULL THEN 1 END) AS row_count FROM v
+"""
+
+
+# --- P5/P6: validation rule chain -------------------------------------------
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins rule-chain tags (reference M:99-144) rolled up
+    by tag."""
+    t = load_tables(spark, sf_dir, ["events"])
+    tagged = t["events"].withColumn(
+        "validation_errors", build_error_column(events_table_rules())
+    )
+    return (
+        tagged.groupBy(F.coalesce(F.col("validation_errors"), F.lit("ok")).alias("error_tag"))
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_VALIDATION = f"""
+SELECT coalesce({_ERROR_CASE_SQL}, 'ok') AS error_tag,
+       count(*) AS row_count,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --- F1-F9: full enrichment chain, row level --------------------------------
+
+
+def q_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level enrichment parity (reference M:151-233): validation
+    tag, time parts (year/month/day/hour/dayofweek, Spark Sunday=1),
+    monetary total for purchase events."""
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].withColumn(
+        "validation_errors", build_error_column(events_table_rules())
+    )
+    return e.select(
+        "event_id",
+        F.col("event_type"),
+        F.col("validation_errors"),
+        F.col("validation_errors").isNull().alias("is_valid"),
+        F.year("ts").alias("event_year"),
+        F.month("ts").alias("event_month"),
+        F.dayofmonth("ts").alias("event_day"),
+        F.hour("ts").alias("event_hour"),
+        F.dayofweek("ts").alias("event_dayofweek"),
+        F.round(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0), 2
+        ).alias("monetary_value"),
+    )
+
+
+ORACLE_ENRICHED = f"""
+SELECT event_id,
+       event_type,
+       {_ERROR_CASE_SQL} AS validation_errors,
+       ({_ERROR_CASE_SQL}) IS NULL AS is_valid,
+       CAST(year(ts) AS INTEGER) AS event_year,
+       CAST(month(ts) AS INTEGER) AS event_month,
+       CAST(day(ts) AS INTEGER) AS event_day,
+       CAST(hour(ts) AS INTEGER) AS event_hour,
+       CAST(dayofweek(ts) + 1 AS INTEGER) AS event_dayofweek,
+       round(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END, 2) AS monetary_value
+FROM events
+"""
+
+
+# --- T2: exact dedup ---------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-style exact dedup (reference M:324-329, made live):
+    duplicate the stream, dropDuplicates on the key, aggregate.  The
+    dedup is a hash shuffle on event_id with map-side partial dedup."""
+    t = load_tables(spark, sf_dir, ["events"])
+    doubled = t["events"].unionByName(t["events"])
+    deduped = dedup_exact(doubled, ["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("deduped_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+ORACLE_DEDUP = """
+SELECT event_type,
+       count(*) AS deduped_rows,
+       round(sum(value), 2) AS total_value
+FROM (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM events UNION ALL SELECT * FROM events
+  )
+)
+GROUP BY event_type
+"""
+
+
+# --- F5/T5: late-arrival flagging -------------------------------------------
+
+
+def q_late_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_late_arrival flag-and-count (reference M:206-210, 258),
+    anchored to max(ts) - 7 days instead of wall-clock now for
+    determinism."""
+    t = load_tables(spark, sf_dir, ["events"])
+    anchor = t["events"].agg(F.max("ts").alias("__max_ts"))
+    return (
+        t["events"]
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "is_late_arrival",
+            F.col("ts") < F.col("__max_ts") - F.expr("INTERVAL 7 DAYS"),
+        )
+        .groupBy("is_late_arrival")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+
+
+ORACLE_LATE = """
+SELECT ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAYS AS is_late_arrival,
+       count(*) AS row_count
+FROM events
+GROUP BY 1
+"""
+
+
+# --- Schema registry migration ----------------------------------------------
+
+
+def q_schema_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry migrate() parity (reference registry.py:190-247): a
+    v1-shaped projection of events auto-fills v2's added fields with
+    type-based defaults and reorders to target field order."""
+    t = load_tables(spark, sf_dir, ["events"])
+    reg = SchemaRegistry()
+    reg.register(
+        "ev1",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("event_type", T.StringType(), False),
+            ]
+        ),
+    )
+    reg.register(
+        "ev2",
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("value", T.DoubleType(), False),
+                T.StructField("props", T.StringType(), True),
+            ]
+        ),
+    )
+    v1_df = t["events"].select("event_id", "ts", "event_type")
+    migrated = reg.migrate(v1_df, "ev1", "ev2")
+    return migrated.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "user_id",
+        "value",
+        "props",
+    )
+
+
+ORACLE_MIGRATION = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       event_type,
+       CAST(NULL AS BIGINT) AS user_id,
+       CAST(0.0 AS DOUBLE) AS value,
+       CAST(NULL AS VARCHAR) AS props
+FROM events
+"""
+
+
+# --- Sessionization (window functions; SURVEY §2.4 A5 streaming flavor) -----
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's gap
+    from the previous event exceeds 30 minutes (lag window + flag-sum).
+    Batch analog of streaming session_window; the reference precomputes
+    sessions at datagen time with the same 30-min bucket rule
+    (data_generator.py:81-88)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("new_session").cast("bigint").alias("session_count"),
+    )
+
+
+ORACLE_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS event_count,
+       CAST(sum(new_session) AS BIGINT) AS session_count
+FROM flagged
+GROUP BY user_id
+"""
+
+
+# --- TPC-H-style scale queries ----------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: scan-heavy grouped aggregation with
+    full map-side partial agg; the shape of A4/A6 at 100 TB."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 2) AS avg_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join, filter, grouped revenue, top-10 with
+    a deterministic tiebreak.  customer is broadcast (small dim);
+    orders x lineitem shuffle on the join key."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 5-way star join (region/nation broadcast) with
+    grouped revenue per nation."""
+    t = load_tables(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"])
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+ORACLE_REGIONAL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: left-semi join (EXISTS) from orders into
+    lineitem with a correlated condition, then grouped counts."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"]
+    return (
+        t["orders"]
+        .join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("hourly_event_summary", q_hourly_event_summary, ORACLE_HOURLY,
+                  "A4: hour x type rollup with distinct users"),
+        QuerySpec("user_activity", q_user_activity, ORACLE_USER_ACTIVITY,
+                  "A5: per-user conditional counts + first/last event"),
+        QuerySpec("category_performance", q_category_performance, ORACLE_CATEGORY_PERF,
+                  "A6+J1: broadcast dim join + grouped revenue"),
+        QuerySpec("quality_hourly", q_quality_hourly, ORACLE_QUALITY_HOURLY,
+                  "A7: trailing-24h hourly validity rollup"),
+        QuerySpec("event_distribution", q_event_distribution, ORACLE_EVENT_DIST,
+                  "A8: per-type distribution"),
+        QuerySpec("table_counts_union", q_table_counts_union, ORACLE_TABLE_COUNTS,
+                  "A8: UNION ALL of labelled scalar counts"),
+        QuerySpec("validation_summary", q_validation_summary, ORACLE_VALIDATION,
+                  "P5: first-match-wins rule-chain tag rollup"),
+        QuerySpec("enriched_events", q_enriched_events, ORACLE_ENRICHED,
+                  "F1-F9: row-level enrichment parity"),
+        QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP,
+                  "T2: exact dedup by key after stream duplication"),
+        QuerySpec("late_arrivals", q_late_arrivals, ORACLE_LATE,
+                  "F5/T5: late-arrival flag + count"),
+        QuerySpec("schema_migration", q_schema_migration, ORACLE_MIGRATION,
+                  "R: registry migrate with type-based defaults"),
+        QuerySpec("sessionization", q_sessionization, ORACLE_SESSIONS,
+                  "gap-based sessionization via window functions"),
+        QuerySpec("tpch_q1", q_tpch_q1, ORACLE_TPCH_Q1,
+                  "TPC-H Q1 pricing summary"),
+        QuerySpec("top_customers", q_top_customers, ORACLE_TOP_CUSTOMERS,
+                  "TPC-H Q3-shaped top-k revenue"),
+        QuerySpec("regional_revenue", q_regional_revenue, ORACLE_REGIONAL,
+                  "TPC-H Q5-shaped star join"),
+        QuerySpec("order_priority", q_order_priority, ORACLE_ORDER_PRIORITY,
+                  "TPC-H Q4-shaped semi join"),
+    ]

@@ -1,0 +1,361 @@
+"""Extension inventory: LLM-training-data-pipeline operators
+(BASELINE.json north star): JSON props extraction, text analysis,
+dedup families (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + IVF), multimodal plumbing.
+
+Oracle-checked where ANSI-SQL-expressible in DuckDB; the hash-based
+operators (MinHash/SimHash, xxhash64-seeded) and the Arrow-batched
+multimodal features have no SQL equivalent and carry rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.multimodal import decode_features, synthesize_media
+from ..functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    jaccard_tokens,
+    minhash_near_dupes,
+    norm,
+    simhash64,
+)
+from ..sources.tables import load_tables
+from . import QuerySpec
+
+
+# --- JSON props extraction (events.props is JSON-in-string) -----------------
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props column: weighted aggregates by
+    event_type (SURVEY §7 extension: from_json/get_json_object)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        t["events"]
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum(F.col("value") * F.col("k")), 2).alias("weighted_value"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("high_k_count"),
+        )
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(sum(value * CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS weighted_value,
+       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS high_k_count
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (whitespace tokenizer)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.size(F.array_distinct(TX.tokens("text"))).alias("n_unique_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_computed,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + punctuation + length features,
+    rolled up by source."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    feats = TX.quality_features(t["documents"])
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        F.sum("punct_chars").cast("bigint").alias("total_punct"),
+        F.count(F.when(F.col("stop_ratio") > 0.05, 1)).alias("stopword_rich_docs"),
+    )
+
+
+_EN_STOP_SQL = "('the','a','of','and','to','in','is','that','it','for')"
+
+ORACLE_DOC_QUALITY = f"""
+WITH feats AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_chars,
+         round(CAST(len(list_filter(string_split(text, ' '), x -> x IN {_EN_STOP_SQL})) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS stop_ratio
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 2) AS avg_tokens,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       CAST(sum(punct_chars) AS BIGINT) AS total_punct,
+       count(CASE WHEN stop_ratio > 0.05 THEN 1 END) AS stopword_rich_docs
+FROM feats
+GROUP BY source
+"""
+
+
+def q_doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax) rolled up by guess
+    and the corpus's labelled lang."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .withColumn("lang_guess", TX.language_guess("text"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    quoted = ",".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({quoted})))"
+
+
+def _oracle_language() -> str:
+    s = {lang: _lang_score_sql(words) for lang, words in TX.STOPWORDS.items()}
+    greatest = f"greatest({s['en']}, {s['de']}, {s['es']}, {s['fr']})"
+    case = f"""CASE
+      WHEN {greatest} < 2 THEN 'unknown'
+      WHEN {s['en']} = {greatest} THEN 'en'
+      WHEN {s['de']} = {greatest} THEN 'de'
+      WHEN {s['es']} = {greatest} THEN 'es'
+      WHEN {s['fr']} = {greatest} THEN 'fr'
+      ELSE 'unknown' END"""
+    return f"""
+SELECT lang, {case} AS lang_guess, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup detection via md5 fingerprint of normalized text."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .withColumn("fp", TX.fingerprint_md5("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("distinct_fingerprints"),
+        )
+    )
+
+
+ORACLE_FINGERPRINTS = r"""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS distinct_fingerprints
+FROM documents
+GROUP BY source
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (token-set) Jaccard near-dup over a bounded candidate
+    window (doc_id offsets 1..5 -- an equi-join on doc_id+offset, so
+    the pair count stays linear in corpus size)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", TX.tokens("text").alias("__toks"))
+    left = docs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1")
+    ).withColumn("__off", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    right = docs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2")
+    )
+    pairs = left.join(
+        right, F.col("doc_id_2") == F.col("doc_id_1") + F.col("__off")
+    )
+    return (
+        pairs.withColumn(
+            "jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4)
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+SELECT d1.doc_id AS doc_id_1,
+       d2.doc_id AS doc_id_2,
+       round(CAST(len(list_intersect(list_distinct(string_split(d1.text, ' ')),
+                                     list_distinct(string_split(d2.text, ' ')))) AS DOUBLE)
+             / len(list_distinct(list_concat(list_distinct(string_split(d1.text, ' ')),
+                                             list_distinct(string_split(d2.text, ' '))))), 4) AS jaccard
+FROM documents d1
+JOIN documents d2 ON d2.doc_id BETWEEN d1.doc_id + 1 AND d1.doc_id + 5
+WHERE round(CAST(len(list_intersect(list_distinct(string_split(d1.text, ' ')),
+                                    list_distinct(string_split(d2.text, ' ')))) AS DOUBLE)
+            / len(list_distinct(list_concat(list_distinct(string_split(d1.text, ' ')),
+                                            list_distinct(string_split(d2.text, ' '))))), 4) >= 0.2
+"""
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
+    xxhash64-seeded -- deterministic but not SQL-expressible (rows-only
+    check)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return minhash_near_dupes(t["documents"], threshold=0.3).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only check)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash64(t["documents"]).orderBy("doc_id")
+
+
+# --- similarity search -------------------------------------------------------
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-math sanity surface: per-label vector counts + avg L2 norm."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return (
+        t["embeddings"]
+        .withColumn("__norm", norm(F.col("embedding")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_NORMS = """
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (broadcast
+    query set, one corpus pass, per-query window top-k)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id,
+         c.vec_id AS vec_id,
+         list_aggregate(list_transform(list_zip(c.embedding, q.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))) AS cos_exact
+  FROM embeddings c
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, vec_id,
+       round(cos_exact, 4) AS cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_exact DESC, vec_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (probe 2 nearest label-centroids).
+    The scale path: equi-join on cluster id instead of a cross join.
+    Rows-only check; recall vs brute force is asserted in tests."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table (synthesized from documents) metadata
+    rollup: type x byte stats."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_media(t["documents"])
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.max(F.octet_length("content")).cast("long").alias("max_payload_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       count(*) AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_payload_bytes
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pseudo-decode over binary payloads via mapInPandas
+    (rows-only check; the codec itself is stubbed, the Spark plumbing is
+    real)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_media(t["documents"])
+    return decode_features(media).select(
+        "media_id", "media_type", "n_bytes", "checksum", "feature_mean"
+    )
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("props_json", q_props_json, ORACLE_PROPS_JSON,
+                  "JSON-in-string extraction + weighted agg"),
+        QuerySpec("doc_token_stats", q_doc_token_stats, ORACLE_TOKEN_STATS,
+                  "token counting per document"),
+        QuerySpec("doc_quality", q_doc_quality, ORACLE_DOC_QUALITY,
+                  "quality scoring: stopword/punct/length features"),
+        QuerySpec("doc_language", q_doc_language, _oracle_language(),
+                  "heuristic stopword-argmax language ID"),
+        QuerySpec("doc_fingerprints", q_doc_fingerprints, ORACLE_FINGERPRINTS,
+                  "md5 fingerprint exact-dup detection"),
+        QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD,
+                  "token-set Jaccard near-dup over bounded candidates"),
+        QuerySpec("minhash_near_dup", q_minhash_near_dup, None,
+                  "MinHash+LSH banded near-dup (rows-only)"),
+        QuerySpec("simhash", q_simhash, None,
+                  "64-bit SimHash fingerprints (rows-only)"),
+        QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
+                  "array math: per-label norms"),
+        QuerySpec("similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK,
+                  "brute-force cosine top-k"),
+        QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None,
+                  "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
+                  "binary media metadata rollup"),
+        QuerySpec("multimodal_features", q_multimodal_features, None,
+                  "Arrow-batched pseudo-decode (rows-only)"),
+    ]

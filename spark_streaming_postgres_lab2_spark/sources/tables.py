@@ -1,0 +1,56 @@
+"""Batch parquet loaders for the driver-supplied test tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings -- one parquet file per table
+under ``{sf_dir}/``.  Loading is a metadata-only operation; Catalyst
+prunes columns and pushes filters into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table.  The events table carries TIMESTAMP(NANOS)
+    parquet timestamps, which Spark 4 refuses by default
+    (PARQUET_TYPE_ILLEGAL); read nanos as long and truncate to
+    microsecond timestamps (same truncation DuckDB applies)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the requested tables and pin the session timezone to UTC so
+    timestamp semantics agree with the UTC-naive DuckDB oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLE_NAMES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view for the SQL entry points."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
+given sf, compare row count, column names, and an order-insensitive
+value hash.  Usage: python tools/parity_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(rows, colnames) -> list[tuple]:
+    """Order-insensitive canonical form: sort columns by name, stringify
+    values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def cell(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return str(v)
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from spark_streaming_postgres_lab2_spark.session import build_session
+
+    spark = build_session()
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:24s} spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name:24s} rows-only: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            drows = rel.fetchall()
+            dcols = rel.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:24s} duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sc, dc = canon(srows, scols), canon(drows, dcols)
+            if sc != dc:
+                diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name:24s} {'; '.join(problems)}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name:24s} {len(srows)} rows  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
