@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is forced through the noop sink (full computation, no
+driver collect overhead).  A warmup query absorbs JVM/codegen start-up
+so per-query numbers reflect steady-state executor time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference analytics surface
+    "hourly_event_summary",
+    "user_activity",
+    "category_performance",
+    "quality_hourly",
+    "event_distribution",
+    "validation_summary",
+    "enriched_events",
+    "dedup_exact",
+    "sessionization",
+    # TPC-H-style scale queries
+    "tpch_q1",
+    "top_customers",
+    "regional_revenue",
+    "order_priority",
+    # LLM-pipeline extensions
+    "props_json",
+    "doc_quality",
+    "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash",
+    "similarity_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from spark_streaming_postgres_lab2_spark import queries as inventory
+    from spark_streaming_postgres_lab2_spark.session import build_session
+
+    spark = build_session()
+    qs = inventory.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -149,17 +149,45 @@ def ivf_topk(
 
 # --- MinHash + LSH near-dup --------------------------------------------------
 
+# Fixed affine re-hash constants (universal hashing): one expensive
+# xxhash64 pass per shingle, then num_hashes cheap (a*h + b) re-hashes.
+# Deterministic across runs/sessions.
+import random as _random
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature as array<bigint>: for seed i, min over shingle
-    xxhash64(shingle, i)."""
-    sh = shingles(text_col, shingle_n)
+_rng = _random.Random(42)
+_MINHASH_A = [(_rng.getrandbits(63) | 1) for _ in range(128)]  # odd multipliers
+_MINHASH_B = [_rng.getrandbits(63) for _ in range(128)]
+
+
+def shingle_hashes(text_col: Column | str, shingle_n: int = 3) -> Column:
+    """One xxhash64 per shingle -- the single string-hashing pass."""
+    return F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+
+def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<bigint>: min over affine re-hashes of
+    the precomputed shingle hashes (multiplication wraps in the JVM --
+    standard universal-hash MinHash)."""
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(
+                    hash_col,
+                    lambda h: h * F.lit(_MINHASH_A[i]).cast("long")
+                    + F.lit(_MINHASH_B[i]).cast("long"),
+                )
+            )
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(text_col: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature straight from text.  NOTE: inside a single
+    projection Catalyst may recompute the shingle pass per hash --
+    prefer materializing ``shingle_hashes`` in its own column first
+    (as minhash_near_dupes does)."""
+    return minhash_signature_from_hashes(shingle_hashes(text_col, shingle_n), num_hashes)
 
 
 def lsh_band_keys(sig_col: Column, num_bands: int = 8, rows_per_band: int = 4) -> Column:
@@ -204,33 +232,50 @@ def minhash_near_dupes(
     no O(n^2) stage exists anywhere.
     """
     rows_per_band = num_hashes // num_bands
+    # Materialize the single shingle-hash pass, then the signature --
+    # two narrow projections, no recomputation of the string hashing.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__toks"),
-        minhash_signature(text_col, num_hashes).alias("__sig"),
+        shingle_hashes(text_col).alias("__sh"),
     )
-    banded = base.select(
+    sigs = base.select(
         "doc_id",
-        "__toks",
-        F.explode(lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__bk"),
-    ).select("doc_id", "__toks", F.col("__bk.band").alias("band"), F.col("__bk.band_hash").alias("band_hash"))
-
-    left = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1"),
+        minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
     )
-    right = banded.select(
-        F.col("band"), F.col("band_hash"),
-        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2"),
+    # Band WITHOUT payload columns: only (doc_id, band, band_hash) goes
+    # through the bucket shuffle.
+    banded = sigs.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__bk"),
+    ).select(
+        "doc_id",
+        F.col("__bk.band").alias("band"),
+        F.col("__bk.band_hash").alias("band_hash"),
     )
     candidates = (
-        left.join(right, ["band", "band_hash"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2", "__toks_1", "__toks_2")
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "band_hash"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_1"),
+            F.col("r.doc_id").alias("doc_id_2"),
+        )
         .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
+    # Exact-Jaccard verification only on the (small) candidate set:
+    # join token arrays back by id.
+    toks = base.select("doc_id", "__toks")
     return (
-        candidates.withColumn("jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4))
+        candidates.join(
+            toks.select(F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1")),
+            "doc_id_1",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2")),
+            "doc_id_2",
+        )
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )

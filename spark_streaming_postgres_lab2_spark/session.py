@@ -27,6 +27,9 @@ def build_session(cfg: SparkConfig | None = None) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", cfg.session_timezone)
+        # Reference semantics are Spark 3.5 (permissive); ANSI also breaks
+        # wrapping-multiply hash mixing (MinHash universal hashing).
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", str(cfg.arrow_enabled).lower())
         .config("spark.ui.enabled", str(cfg.ui_enabled).lower())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

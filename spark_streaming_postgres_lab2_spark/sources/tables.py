@@ -43,6 +43,9 @@ def load_tables(
     """Load the requested tables and pin the session timezone to UTC so
     timestamp semantics agree with the UTC-naive DuckDB oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark-3.5-style permissive arithmetic (reference parity; MinHash
+    # relies on wrapping long multiplication).
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLE_NAMES)}
 
 

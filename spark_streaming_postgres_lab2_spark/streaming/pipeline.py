@@ -1,0 +1,81 @@
+"""Stream assembly: source -> validate -> enrich -> dedup -> sinks.
+
+Parity target: reference main flow (M:320-332, 506-515) with one
+deliberate fix: the reference builds a watermark+dropDuplicates frame
+and then *doesn't stream it* (dead code, M:324-329 vs :507), relying
+on the Postgres PK instead.  Here the dedup path is LIVE: the started
+query streams the deduplicated frame, and the parquet sink's
+per-epoch overwrite keeps replays idempotent without a PK backstop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..config import StreamingConfig
+from ..operators.enrich import transform_and_enrich
+from ..operators.validate import validate
+from ..operators.dedup import streaming_dedup
+from ..schema.registry import get_registry
+from ..sources.csv_stream import csv_stream
+from .sinks import BatchRouter, SinkConfig
+
+
+@dataclass
+class StreamingPipeline:
+    spark: SparkSession
+    config: StreamingConfig
+    router: BatchRouter
+
+    def transformed_stream(self, dedup: bool = True) -> DataFrame:
+        """The full logical plan: explicit-schema CSV stream ->
+        validation rule chain -> enrichment -> watermarked dedup."""
+        schema = get_registry().get_schema()
+        raw = csv_stream(
+            self.spark,
+            self.config.input_path,
+            schema,
+            self.config.max_files_per_trigger,
+        )
+        validated = validate(raw)
+        enriched = transform_and_enrich(
+            validated, late_threshold=f"{self.config.late_arrival_threshold_minutes} minutes"
+        )
+        if dedup:
+            enriched = streaming_dedup(
+                enriched,
+                event_time_col="event_time",
+                watermark_delay=self.config.watermark_delay,
+                keys=["event_id"],
+            )
+        return enriched
+
+    def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:
+        writer = (
+            self.transformed_stream(dedup)
+            .writeStream.foreachBatch(self.router)
+            .outputMode("append")
+            .option("checkpointLocation", self.config.checkpoint_path)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.config.trigger_seconds} seconds")
+        return writer.start()
+
+
+def build_pipeline(
+    spark: SparkSession, config: StreamingConfig | None = None
+) -> StreamingPipeline:
+    config = config or StreamingConfig()
+    router = BatchRouter(
+        SinkConfig(
+            events_path=f"{config.output_path}/ecommerce_events",
+            dead_letter_path=f"{config.output_path}/dead_letter_events",
+            metrics_path=f"{config.output_path}/data_quality_metrics",
+        )
+    )
+    return StreamingPipeline(spark, config, router)

@@ -1,0 +1,96 @@
+"""foreachBatch sink router: valid events / dead letter / quality
+metrics, with idempotent parquet writes and retry-wrapped IO.
+
+Parity target: reference ``write_to_postgres`` (M:363-441) + the three
+JDBC appends (S3-S5).  Differences by design:
+
+- parquet-first: each target table is a directory; JDBC stays
+  available via sources/jdbc.py behind the same interface;
+- exactly-once: the reference leans on the Postgres primary key to
+  absorb replayed micro-batches (SURVEY §2.6 note); with parquet there
+  is no PK, so writes go to ``.../batch_id=N`` subdirectories in
+  overwrite mode -- a replayed epoch overwrites its own output
+  (idempotent), never duplicates it;
+- metrics in ONE aggregation pass (operators/quality.py) instead of
+  ~10 actions per batch;
+- the database retry policy is actually wired around the writes
+  (the reference defines C1-C3 but never uses them, SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.enrich import DEAD_LETTER_COLUMNS, ENRICHED_EVENT_COLUMNS
+from ..operators.quality import calculate_quality_metrics, metrics_row_df
+from ..utils.monitoring import BatchMetrics, BatchTracker, PipelineMonitor
+from ..utils.retry import RetryPolicy, database_retry_policy
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class SinkConfig:
+    events_path: str
+    dead_letter_path: str
+    metrics_path: str
+    partition_batch_subdirs: bool = True
+
+
+@dataclass
+class BatchRouter:
+    """The foreachBatch callback: metrics -> alerts -> three writes."""
+
+    sink: SinkConfig
+    monitor: PipelineMonitor = field(default_factory=PipelineMonitor)
+    retry: RetryPolicy = field(default_factory=database_retry_policy)
+    write_fn: Callable[[DataFrame, str, int], None] | None = None
+
+    def _write(self, df: DataFrame, path: str, batch_id: int) -> None:
+        if self.write_fn is not None:
+            self.write_fn(df, path, batch_id)
+        elif self.sink.partition_batch_subdirs:
+            df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+        else:
+            df.write.mode("append").parquet(path)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with BatchTracker(batch_id) as tracker:
+            batch_df = batch_df.localCheckpoint(eager=True)  # one lineage for N consumers
+            q = calculate_quality_metrics(batch_df, batch_id)
+
+            valid = batch_df.filter(F.col("is_valid")).select(
+                *[c for c in ENRICHED_EVENT_COLUMNS if c in batch_df.columns]
+            )
+            dead = batch_df.filter(~F.col("is_valid")).select(
+                *[c for c in DEAD_LETTER_COLUMNS if c in batch_df.columns]
+            )
+            self.retry.execute(self._write, valid, self.sink.events_path, batch_id)
+            if q.invalid_rows:
+                self.retry.execute(self._write, dead, self.sink.dead_letter_path, batch_id)
+            metrics_df = metrics_row_df(batch_df.sparkSession, q)
+            self.retry.execute(self._write, metrics_df, self.sink.metrics_path, batch_id)
+
+        alerts = self.monitor.record(
+            BatchMetrics(
+                batch_id=batch_id,
+                total_rows=q.total_rows,
+                valid_rows=q.valid_rows,
+                invalid_rows=q.invalid_rows,
+                processing_seconds=tracker.elapsed,
+                late_arrival_count=q.late_arrival_count,
+                error_distribution=q.error_distribution,
+            )
+        )
+        for alert in alerts:
+            log.log(
+                logging.ERROR if alert.level == "ERROR" else logging.WARNING,
+                "batch %s alert [%s]: %s", batch_id, alert.kind, alert.message,
+            )

@@ -1,0 +1,149 @@
+"""Text operators + similarity/dedup families over real fixture data."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_streaming_postgres_lab2_spark.functions import text as TX
+from spark_streaming_postgres_lab2_spark.functions.similarity import (
+    cosine,
+    cosine_topk,
+    hamming64,
+    ivf_topk,
+    minhash_near_dupes,
+    simhash64,
+)
+from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([Row(text="the quick brown fox")])
+    row = df.select(
+        TX.token_count("text").alias("n"),
+        TX.stopword_hits("text").alias("stop"),
+    ).first()
+    assert row["n"] == 4 and row["stop"] == 1
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d")])
+    row = df.select(TX.shingles("text", 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.createDataFrame([Row(text="a b")])
+    assert short.select(TX.shingles("text", 3).alias("s")).first()["s"] == ["a b"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello   World", b="hello world "), Row(a="x", b="y")]
+    )
+    rows = df.select(
+        (TX.fingerprint_md5("a") == TX.fingerprint_md5("b")).alias("same")
+    ).collect()
+    assert rows[0]["same"] is True and rows[1]["same"] is False
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat is in the house and it is warm"),
+            Row(text="der hund ist nicht mit der katze und das ist gut"),
+            Row(text="zzz qqq www"),
+        ]
+    )
+    got = [r[0] for r in df.select(TX.language_guess("text")).collect()]
+    assert got == ["en", "de", "unknown"]
+
+
+def test_cosine_matches_python(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    expect = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert abs(got - expect) < 1e-12
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["query_id"] == 0 and r["vec_id"] != 0 for r in rows)
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """The driver's embeddings are random (no ANN structure), so IVF is
+    exercised on planted clusters: 3 tight clusters around orthogonal
+    axes.  nprobe=1 must recover the query's own cluster exactly."""
+    import random
+
+    rng = random.Random(0)
+    rows = []
+    for cid, axis in [(0, 0), (1, 20), (2, 40)]:
+        for i in range(30):
+            vec = [rng.uniform(-0.05, 0.05) for _ in range(64)]
+            vec[axis] = 1.0  # dominant direction per cluster
+            rows.append((cid * 30 + i, vec, cid))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 30, 60]))
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, nprobe=1).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in exact_sets:
+        assert approx_sets[q] == exact_sets[q]  # full recall within cluster
+        # all results stay inside the query's own cluster
+        assert all(v // 30 == q // 30 for v in approx_sets[q])
+
+
+def test_minhash_finds_planted_dups(spark):
+    docs = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again today"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again tonight"),
+        Row(doc_id=3, text="completely different content about databases and query engines here"),
+    ]
+    out = minhash_near_dupes(spark.createDataFrame(docs), threshold=0.5).collect()
+    pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} for p in pairs)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        Row(doc_id=3, text="one two three four five six seven eight nine ten"),
+    ]
+    sh = simhash64(spark.createDataFrame(docs))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    dists = {
+        (r["i"], r["j"]): r["d"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+        )
+        .collect()
+    }
+    assert dists[(1, 2)] < dists[(1, 3)]
+    assert dists[(1, 2)] < dists[(2, 3)]
+
+
+def test_quality_features_shapes(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].limit(20)
+    out = TX.quality_features(docs)
+    row = out.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["stop_ratio"] <= 1.0

@@ -1,0 +1,109 @@
+"""Validation rule-chain semantics (reference
+tests/test_transformations.py tier-1 mirror: first-match-wins ordering,
+tag equality, valid/invalid routing)."""
+
+from __future__ import annotations
+
+from spark_streaming_postgres_lab2_spark.operators.validate import (
+    ecommerce_rules,
+    split_valid_invalid,
+    validate,
+)
+
+from conftest import EVENT_V2_DDL
+
+
+def make_event(**overrides):
+    base = dict(
+        event_id="e1",
+        user_id=1,
+        session_id="s",
+        event_type="view",
+        product_id=10,
+        category="books",
+        price=0.0,
+        quantity=0,
+        user_segment="new",
+        search_query="",
+        event_time="2024-01-01T00:00:00",
+        source_system="web",
+    )
+    base.update(overrides)
+    return tuple(base.values())
+
+
+def tag_of(spark, **overrides):
+    df = spark.createDataFrame([make_event(**overrides)], schema=EVENT_V2_DDL)
+    row = validate(df).select("validation_errors", "is_valid").first()
+    return row["validation_errors"], row["is_valid"]
+
+
+def test_clean_event_is_valid(spark):
+    tag, ok = tag_of(spark)
+    assert tag is None and ok
+
+
+def test_null_event_id(spark):
+    tag, ok = tag_of(spark, event_id=None)
+    assert tag == "null_event_id" and not ok
+
+
+def test_invalid_event_type(spark):
+    tag, _ = tag_of(spark, event_type="INVALID_TYPE")
+    assert tag == "invalid_event_type"
+
+
+def test_purchase_without_user(spark):
+    tag, _ = tag_of(spark, event_type="purchase", user_id=None, price=10.0)
+    assert tag == "missing_user_id_for_user_action"
+
+
+def test_negative_price(spark):
+    tag, _ = tag_of(spark, price=-5.0)
+    assert tag == "negative_price"
+
+
+def test_extreme_price(spark):
+    tag, _ = tag_of(spark, event_type="purchase", price=99999.99)
+    assert tag == "extreme_price"
+
+
+def test_purchase_with_zero_price(spark):
+    tag, _ = tag_of(spark, event_type="purchase", price=0.0)
+    assert tag == "purchase_with_nonpositive_price"
+
+
+def test_price_on_non_purchase(spark):
+    tag, _ = tag_of(spark, event_type="view", price=10.0)
+    assert tag == "price_on_non_purchase_event"
+
+
+def test_first_match_wins_order(spark):
+    # null event_id AND negative price: the earlier rule's tag wins
+    tag, _ = tag_of(spark, event_id=None, price=-5.0)
+    assert tag == "null_event_id"
+
+
+def test_rule_order_is_stable():
+    tags = [r.tag for r in ecommerce_rules()]
+    assert tags == [
+        "null_event_id",
+        "null_product_id",
+        "null_event_type",
+        "invalid_event_type",
+        "missing_user_id_for_user_action",
+        "negative_price",
+        "extreme_price",
+        "purchase_with_nonpositive_price",
+        "price_on_non_purchase_event",
+    ]
+
+
+def test_split_valid_invalid(spark):
+    df = spark.createDataFrame(
+        [make_event(), make_event(event_id=None), make_event(price=-1.0)],
+        schema=EVENT_V2_DDL,
+    )
+    valid, invalid = split_valid_invalid(validate(df))
+    assert valid.count() == 1
+    assert invalid.count() == 2
