@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash",
     "similarity_topk",
+    "embedding_near_dup",
+    "embedding_lsh_near_dup",
     "ann_ivf_topk",
     "multimodal_features",
 ]

@@ -281,6 +281,62 @@ def minhash_near_dupes(
     )
 
 
+# --- embedding-cosine near-dup ----------------------------------------------
+
+_HYPERPLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(16)
+]
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(x) for x in plane])
+
+
+def random_hyperplane_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+    """LSH bucket key for cosine similarity: sign bits of ``n_planes``
+    fixed random projections packed into one long.  Vectors with high
+    cosine land in the same bucket with high probability."""
+    bits = []
+    for i in range(n_planes):
+        d = dot(vec_col, _plane_lit(_HYPERPLANES[i]))
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key.cast("long")
+
+
+def embedding_near_dupes_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: random-hyperplane bucket ->
+    within-bucket self-join -> exact cosine verify.  One shuffle on the
+    bucket key; candidate count is linear for hash-uniform buckets."""
+    keyed = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        random_hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    left = keyed.select(
+        "bucket", F.col("vid").alias("vec_id_1"), F.col("vec").alias("__v1")
+    )
+    right = keyed.select(
+        "bucket", F.col("vid").alias("vec_id_2"), F.col("vec").alias("__v2")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cosine_sim")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

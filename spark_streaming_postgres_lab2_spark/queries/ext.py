@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..functions.multimodal import decode_features, synthesize_media
 from ..functions.similarity import (
+    cosine,
     cosine_topk,
+    embedding_near_dupes_lsh,
     ivf_topk,
     jaccard_tokens,
     minhash_near_dupes,
@@ -283,6 +285,51 @@ QUALIFY rank <= 10
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a bounded candidate window
+    (vec_id offsets 1..25 -- equi-join on vec_id+offset, linear pair
+    count; the LSH variant below is the unbounded scale path)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    left = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("__v1")
+    ).withColumn("__off", F.explode(F.sequence(F.lit(1), F.lit(25))))
+    right = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("__v2")
+    )
+    return (
+        left.join(right, F.col("vec_id_2") == F.col("vec_id_1") + F.col("__off"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
+        .filter(F.col("cosine_sim") >= 0.25)
+        .select("vec_id_1", "vec_id_2", "cosine_sim")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))) AS cos_exact
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id BETWEEN a.vec_id + 1 AND a.vec_id + 25
+)
+SELECT vec_id_1, vec_id_2, round(cos_exact, 4) AS cosine_sim
+FROM pairs
+WHERE round(cos_exact, 4) >= 0.25
+"""
+
+
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH embedding near-dup (the unbounded scale
+    path: bucket shuffle instead of pairwise compare; rows-only)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return embedding_near_dupes_lsh(t["embeddings"], threshold=0.4).orderBy(
+        "vec_id_1", "vec_id_2"
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (probe 2 nearest label-centroids).
     The scale path: equi-join on cluster id instead of a cross join.
@@ -352,6 +399,10 @@ def specs() -> list[QuerySpec]:
                   "array math: per-label norms"),
         QuerySpec("similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK,
                   "brute-force cosine top-k"),
+        QuerySpec("embedding_near_dup", q_embedding_near_dup, ORACLE_EMBEDDING_NEAR_DUP,
+                  "embedding-cosine near-dup, bounded candidates"),
+        QuerySpec("embedding_lsh_near_dup", q_embedding_lsh_near_dup, None,
+                  "random-hyperplane LSH near-dup (rows-only)"),
         QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None,
                   "IVF-bucketed approximate top-k (rows-only)"),
         QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,

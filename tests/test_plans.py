@@ -1,0 +1,62 @@
+"""Plan-quality regression tests: the physical plans Catalyst picks
+for the headline queries must stay the plans we want at 100 TB --
+pushdown at the scan, pruned read schemas, broadcast dims, map-side
+partial aggregation, no accidental sort-merge joins or cross joins on
+the big side."""
+
+from __future__ import annotations
+
+from spark_streaming_postgres_lab2_spark.plans import checks
+from spark_streaming_postgres_lab2_spark.queries.core import (
+    q_category_performance,
+    q_hourly_event_summary,
+    q_regional_revenue,
+    q_top_customers,
+    q_tpch_q1,
+)
+from spark_streaming_postgres_lab2_spark.queries.ext import (
+    q_minhash_near_dup,
+    q_similarity_topk,
+)
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
+    df = q_tpch_q1(spark, sf_dir)
+    assert checks.has_pushed_filters(df)  # shipdate filter reaches the scan
+    cols = checks.read_schema_columns(df)
+    assert "l_orderkey" not in cols  # unused columns pruned
+    assert "l_quantity" in cols
+    assert checks.has_partial_aggregation(df)
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    # part/customer/nation/region are small dims: they must broadcast,
+    # never sort-merge (a sort-merge here would shuffle the fact table
+    # once per dim at scale)
+    assert checks.broadcast_join_count(q_category_performance(spark, sf_dir)) >= 1
+    assert checks.sort_merge_join_count(q_category_performance(spark, sf_dir)) == 0
+    assert checks.broadcast_join_count(q_top_customers(spark, sf_dir)) >= 2
+    assert checks.sort_merge_join_count(q_top_customers(spark, sf_dir)) == 0
+    assert checks.broadcast_join_count(q_regional_revenue(spark, sf_dir)) >= 3
+    assert checks.sort_merge_join_count(q_regional_revenue(spark, sf_dir)) == 0
+
+
+def test_aggregations_have_mapside_combine(spark, sf_dir):
+    assert checks.has_partial_aggregation(q_hourly_event_summary(spark, sf_dir))
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    # hourly summary never touches the (wide) props JSON column
+    cols = checks.read_schema_columns(q_hourly_event_summary(spark, sf_dir))
+    assert "props" not in cols
+
+
+def test_similarity_topk_has_no_sort_merge(spark, sf_dir):
+    df = q_similarity_topk(spark, sf_dir)
+    assert checks.sort_merge_join_count(df) == 0
+
+
+def test_minhash_band_join_no_cartesian(spark, sf_dir):
+    plan = checks.physical_plan(q_minhash_near_dup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,41 @@
+"""Print a plan-quality report for every inventory query: join
+strategies, shuffle counts, pushdown, pruned read schemas.
+Usage: python tools/plan_report.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from spark_streaming_postgres_lab2_spark.plans import checks
+    from spark_streaming_postgres_lab2_spark.session import build_session
+
+    spark = build_session()
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = checks.physical_plan(df)
+            print(
+                f"{name:24s} bhj={checks.broadcast_join_count(df)} "
+                f"smj={checks.sort_merge_join_count(df)} "
+                f"xchg={checks.shuffle_count(df)} "
+                f"codegen={checks.wholestage_codegen_spans(df)} "
+                f"pushed={'Y' if 'PushedFilters: [' in plan and 'PushedFilters: []' not in plan else '-'}"
+            )
+            if only:
+                print(plan)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} ERROR {e}")
+
+
+if __name__ == "__main__":
+    main()
