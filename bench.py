@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "top_customers",
     "regional_revenue",
     "order_priority",
+    "event_pivot",
+    "rollup_revenue",
+    "top_parts_per_brand",
     # LLM-pipeline extensions
     "props_json",
     "doc_quality",

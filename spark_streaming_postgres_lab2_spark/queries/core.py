@@ -595,6 +595,104 @@ GROUP BY o_orderpriority
 """
 
 
+# --- Pivot / rollup / per-group top-k (wider OLAP surface) ------------------
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: hour-of-day x event_type value matrix (absent cells NULL,
+    matching SQL conditional-aggregation semantics)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+FROM events
+GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the region/nation hierarchy, via the
+    Spark SQL API (temp views + spark.sql -- same Catalyst plan as the
+    DataFrame flavor)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        """
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top-3 revenue parts per brand via a ranking
+    window (partition prune -> shuffle once on p_brand)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank")
+    )
+
+
+ORACLE_TOP_PARTS = """
+WITH per_part AS (
+  SELECT p_brand, p_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue,
+       CAST(row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rank
+FROM per_part
+QUALIFY rank <= 3
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("hourly_event_summary", q_hourly_event_summary, ORACLE_HOURLY,
@@ -629,4 +727,10 @@ def specs() -> list[QuerySpec]:
                   "TPC-H Q5-shaped star join"),
         QuerySpec("order_priority", q_order_priority, ORACLE_ORDER_PRIORITY,
                   "TPC-H Q4-shaped semi join"),
+        QuerySpec("event_pivot", q_event_pivot, ORACLE_EVENT_PIVOT,
+                  "pivot: hour x event_type value matrix"),
+        QuerySpec("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP,
+                  "ROLLUP grouping sets via spark.sql"),
+        QuerySpec("top_parts_per_brand", q_top_parts_per_brand, ORACLE_TOP_PARTS,
+                  "per-group top-k via ranking window"),
     ]
