@@ -104,6 +104,50 @@ def ivf_centroids(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast the k
+    centroids, one pass over the corpus, per-vector argmax window)."""
+    w = Window.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("cluster").asc())
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("__ccos", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "__ccos", "centroid")
+    )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd iterations for IVF coarse quantization:
+    init = first k vectors by id, then assign/recompute ``iters``
+    times.  Each iteration is one broadcast pass + one (cluster, pos)
+    shuffle -- the standard distributed k-means shape.  Returns the
+    corpus with a ``cluster`` column."""
+    w = Window.orderBy(id_col)
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .withColumn("cluster", F.row_number().over(w) - 1)
+        .select("cluster", F.col(vec_col).alias("centroid"))
+    )
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+    for _ in range(iters - 1):
+        cents = ivf_centroids(assigned, "cluster", vec_col)
+        assigned = kmeans_assign(assigned.drop("cluster"), cents, id_col, vec_col)
+    return assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

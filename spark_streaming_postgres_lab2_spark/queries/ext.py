@@ -21,6 +21,7 @@ from ..functions.similarity import (
     embedding_near_dupes_lsh,
     ivf_topk,
     jaccard_tokens,
+    kmeans_lite,
     minhash_near_dupes,
     norm,
     simhash64,
@@ -33,10 +34,11 @@ from . import QuerySpec
 
 
 def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object over the props column: weighted aggregates by
-    event_type (SURVEY §7 extension: from_json/get_json_object)."""
+    """Typed JSON extraction over the props column (from_json with an
+    explicit schema -- SURVEY §7 extension; get_json_object is the
+    untyped twin): weighted aggregates by event_type."""
     t = load_tables(spark, sf_dir, ["events"])
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.from_json(F.col("props"), "k int").getField("k")
     return (
         t["events"]
         .withColumn("k", k)
@@ -68,14 +70,16 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        F.size(TX.regex_tokens("text")).alias("n_regex_tokens"),
         F.length("text").alias("n_chars_computed"),
         F.size(F.array_distinct(TX.tokens("text"))).alias("n_unique_tokens"),
     )
 
 
-ORACLE_TOKEN_STATS = """
+ORACLE_TOKEN_STATS = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_regex_tokens,
        CAST(length(text) AS INTEGER) AS n_chars_computed,
        CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens
 FROM documents
@@ -215,6 +219,17 @@ WHERE round(CAST(len(list_intersect(list_distinct(string_split(d1.text, ' ')),
 """
 
 
+def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (min shingle hash -- a 1-hash
+    MinHash blocking key).  xxhash64-based, rows-only check."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", TX.rolling_hash_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-Jaccard verified.
     xxhash64-seeded -- deterministic but not SQL-expressible (rows-only
@@ -331,12 +346,20 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (probe 2 nearest label-centroids).
+    """IVF-bucketed approximate top-k: k-means-lite coarse clusters,
+    probe the 2 nearest centroids, exact-score only those partitions.
     The scale path: equi-join on cluster id instead of a cross join.
     Rows-only check; recall vs brute force is asserted in tests."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2)
+    clustered = kmeans_lite(emb, k=8, iters=2)
+    return ivf_topk(
+        clustered,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+        cluster_col="cluster",
+    )
 
 
 # --- multimodal --------------------------------------------------------------
@@ -389,6 +412,8 @@ def specs() -> list[QuerySpec]:
                   "heuristic stopword-argmax language ID"),
         QuerySpec("doc_fingerprints", q_doc_fingerprints, ORACLE_FINGERPRINTS,
                   "md5 fingerprint exact-dup detection"),
+        QuerySpec("doc_rolling_fingerprint", q_doc_rolling_fingerprint, None,
+                  "rolling-hash blocking fingerprint (rows-only)"),
         QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD,
                   "token-set Jaccard near-dup over bounded candidates"),
         QuerySpec("minhash_near_dup", q_minhash_near_dup, None,

@@ -75,6 +75,29 @@ def test_cosine_topk_self_similarity(spark, sf_dir):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_kmeans_lite_recovers_planted_clusters(spark):
+    import random
+
+    rng = random.Random(1)
+    rows = []
+    for cid, axis in [(0, 0), (1, 20), (2, 40)]:
+        for i in range(20):
+            vec = [rng.uniform(-0.05, 0.05) for _ in range(64)]
+            vec[axis] = 1.0
+            rows.append((cid * 20 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from spark_streaming_postgres_lab2_spark.functions.similarity import kmeans_lite
+
+    assigned = kmeans_lite(emb, k=3, iters=3).collect()
+    by_planted: dict[int, set] = {}
+    for r in assigned:
+        by_planted.setdefault(r["vec_id"] // 20, set()).add(r["cluster"])
+    # each planted cluster maps to exactly one k-means cluster
+    assert all(len(s) == 1 for s in by_planted.values())
+    # and the three map to three distinct clusters
+    assert len(set.union(*by_planted.values())) == 3
+
+
 def test_ivf_recall_on_clustered_data(spark):
     """The driver's embeddings are random (no ANN structure), so IVF is
     exercised on planted clusters: 3 tight clusters around orthogonal
