@@ -53,6 +53,44 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_streaming_pipeline(spark, n_events: int = 20_000) -> tuple[float, float]:
+    """Time the full streaming pipeline (validate -> enrich -> dedup ->
+    3-table sink) over ``n_events`` generated CSV events, availableNow.
+    Returns (seconds, events_per_second) -- directly comparable to the
+    reference's max sustainable ~10,000 events/min (BASELINE.md)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timezone
+
+    from spark_streaming_postgres_lab2_spark.config import StreamingConfig
+    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
+    from spark_streaming_postgres_lab2_spark.streaming.pipeline import build_pipeline
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        gen = EventGenerator(
+            seed=13, anomaly_rate=0.02, now=datetime(2024, 3, 15, 12, 0, 0, tzinfo=timezone.utc)
+        )
+        files = 4
+        per_file = n_events // files
+        for i in range(files):
+            gen.write_csv(gen.generate_batch(per_file), f"{root}/in", f"b{i:03d}.csv")
+        cfg = StreamingConfig(
+            input_path=f"{root}/in",
+            checkpoint_path=f"{root}/ckpt",
+            output_path=f"{root}/out",
+            max_files_per_trigger=files,
+        )
+        pipe = build_pipeline(spark, cfg)
+        t0 = time.time()
+        q = pipe.start(trigger_once=True)
+        q.awaitTermination(300)
+        elapsed = time.time() - t0
+        return round(elapsed, 3), round(n_events / elapsed, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -73,6 +111,9 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    stream_sec, stream_eps = bench_streaming_pipeline(spark)
+    timings["streaming_pipeline_20k_events"] = stream_sec
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -81,6 +122,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_events_per_sec": stream_eps,
                 "sf": sf,
             }
         )

@@ -143,9 +143,12 @@ def kmeans_lite(
     )
     assigned = kmeans_assign(corpus, cents, id_col, vec_col)
     for _ in range(iters - 1):
+        # iterative lineage must be cut per round, or every downstream
+        # reference re-executes the whole Lloyd chain
+        assigned = assigned.localCheckpoint(eager=False)
         cents = ivf_centroids(assigned, "cluster", vec_col)
         assigned = kmeans_assign(assigned.drop("cluster"), cents, id_col, vec_col)
-    return assigned
+    return assigned.localCheckpoint(eager=False)
 
 
 def ivf_topk(
