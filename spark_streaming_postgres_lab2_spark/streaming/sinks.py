@@ -42,6 +42,18 @@ class SinkConfig:
     partition_batch_subdirs: bool = True
 
 
+def write_partitioned_events(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Batch-layout twin of the sink: events partitioned by date parts,
+    so time-ranged analytics (A4/A7) prune whole directories instead of
+    scanning history -- the Spark-side replacement for the reference's
+    (event_time, event_type) B-tree indexes (postgres_setup.sql:43-52)."""
+    (
+        df.write.mode(mode)
+        .partitionBy("event_year", "event_month", "event_day")
+        .parquet(path)
+    )
+
+
 @dataclass
 class BatchRouter:
     """The foreachBatch callback: metrics -> alerts -> three writes."""
