@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): the Spark validation chain agrees
+with a pure-Python spec mirror on arbitrary events (the reference's
+tier-1 'executable spec' pattern, upgraded from hand-picked cases to
+randomized ones), plus invariants for migration, backoff, and the
+generator."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_streaming_postgres_lab2_spark.operators.validate import (
+    MAX_PRICE,
+    MIN_PRICE,
+    USER_REQUIRED_EVENT_TYPES,
+    VALID_EVENT_TYPES,
+    validate,
+)
+from spark_streaming_postgres_lab2_spark.schema.registry import SchemaRegistry
+from spark_streaming_postgres_lab2_spark.utils.retry import retry_with_backoff
+
+from conftest import EVENT_V2_DDL
+
+
+def python_spec_tag(ev: dict) -> str | None:
+    """Pure-Python mirror of the first-match-wins rule chain
+    (operators/validate.ecommerce_rules) -- the executable spec."""
+    if ev["event_id"] is None:
+        return "null_event_id"
+    if ev["product_id"] is None:
+        return "null_product_id"
+    if ev["event_type"] is None:
+        return "null_event_type"
+    if ev["event_type"] not in VALID_EVENT_TYPES:
+        return "invalid_event_type"
+    if ev["event_type"] in USER_REQUIRED_EVENT_TYPES and ev["user_id"] is None:
+        return "missing_user_id_for_user_action"
+    if ev["price"] is not None and ev["price"] < MIN_PRICE:
+        return "negative_price"
+    if ev["price"] is not None and ev["price"] > MAX_PRICE:
+        return "extreme_price"
+    if ev["event_type"] == "purchase" and ev["price"] is not None and ev["price"] <= 0:
+        return "purchase_with_nonpositive_price"
+    if (
+        ev["event_type"] not in ("purchase", "add_to_cart")
+        and ev["price"] is not None
+        and ev["price"] > 0
+    ):
+        return "price_on_non_purchase_event"
+    return None
+
+
+event_strategy = st.fixed_dictionaries(
+    {
+        "event_id": st.one_of(st.none(), st.text(min_size=1, max_size=12)),
+        "user_id": st.one_of(st.none(), st.integers(1, 1000)),
+        "event_type": st.one_of(
+            st.none(),
+            st.sampled_from(VALID_EVENT_TYPES + ["INVALID_TYPE", "bogus"]),
+        ),
+        "product_id": st.one_of(st.none(), st.integers(1, 500)),
+        "price": st.one_of(
+            st.none(),
+            st.floats(-100.0, 20000.0, allow_nan=False, allow_infinity=False),
+        ),
+    }
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(event_strategy, min_size=1, max_size=30))
+def test_spark_chain_matches_python_spec(spark, events):
+    rows = [
+        (
+            ev["event_id"], ev["user_id"], "s", ev["event_type"], ev["product_id"],
+            "books", ev["price"], 1, "new", "", "2024-01-01T00:00:00", "web",
+        )
+        for ev in events
+    ]
+    df = spark.createDataFrame(rows, schema=EVENT_V2_DDL)
+    got = [r["validation_errors"] for r in validate(df).collect()]
+    expected = [python_spec_tag(ev) for ev in events]
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(0, 6),
+    st.floats(0.01, 10.0, allow_nan=False),
+    st.floats(1.0, 4.0, allow_nan=False),
+    st.floats(0.5, 100.0, allow_nan=False),
+)
+def test_backoff_schedule_invariants(max_retries, initial, factor, cap):
+    delays: list[float] = []
+
+    @retry_with_backoff(
+        max_retries=max_retries, initial_delay=initial, backoff_factor=factor,
+        max_delay=cap, sleep=delays.append,
+    )
+    def always_fails():
+        raise ValueError("x")
+
+    try:
+        always_fails()
+    except ValueError:
+        pass
+    assert len(delays) == max_retries
+    assert all(d <= cap + 1e-9 for d in delays)
+    # monotone non-decreasing until the cap bites
+    for a, b in zip(delays, delays[1:]):
+        assert b >= a - 1e-9 or a >= cap - 1e-9
+
+
+def test_migration_always_yields_target_schema(spark):
+    # any subset-projection of v2 that still contains v1's required
+    # fields migrates to exactly the v2 column order
+    reg = SchemaRegistry()
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("e", 1, "s", "view", 2, "books", 0.0, 1, "new", "", "t", "web")],
+        schema=EVENT_V2_DDL,
+    )
+    v1_cols = [f.name for f in reg.get_schema("v1").fields]
+    df = base.select(*v1_cols)
+    out = reg.auto_migrate(df)
+    assert out.columns == [f.name for f in reg.get_schema("v2").fields]
+    assert out.count() == 1
