@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "sessionization",
     # TPC-H-style scale queries
     "tpch_q1",
+    "tpch_q6",
+    "purchase_attribution",
     "top_customers",
     "regional_revenue",
     "order_priority",

@@ -1,0 +1,95 @@
+"""As-of (most-recent-prior) joins.
+
+Spark has no native as-of join; two compositions cover the semantics
+(guide: 'As-of / range join' pattern):
+
+- ``asof_join_window``: same-frame case -> event-time window with
+  ``last(..., ignorenulls)`` carrying the most recent marked value
+  forward.  Pure Column ops: one shuffle on the key, scales like any
+  window (oracle-expressible -- see queries/core.q_purchase_attribution).
+- ``asof_join_pandas``: general two-table case -> ``cogroup`` both
+  sides by key and run ``pandas.merge_asof`` per group (Arrow-batched
+  two-sided co-partition; each key group must fit in memory, the
+  standard per-key-state contract).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_window(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    mark_col,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Same-frame as-of: for every row, the most recent prior
+    ``value_col`` among rows where ``mark_col`` holds (e.g. 'last view
+    before this purchase by the same user')."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(F.when(mark_col, F.col(value_col)), ignorenulls=True).over(w)
+    return df.withColumn(out_col, carried)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: List[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Two-table as-of join: for each left row, the latest right row
+    with ``right_ts <= left_ts`` in the same ``key`` group (optionally
+    within ``tolerance_us`` microseconds).  Implemented as a cogrouped
+    ``applyInPandas`` running ``pandas.merge_asof`` per key -- both
+    sides shuffle once on ``key`` and merge Arrow-batched."""
+    l_cols = list(left.columns)
+    extra = [c for c in right_values if c not in l_cols]
+    out_cols = l_cols + extra
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in list(left.schema.fields)
+        + [f for f in right.schema.fields if f.name in extra]
+    )
+
+    def merge_group(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
+        if lf.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        lf = lf.sort_values(left_ts)
+        if rf.empty:
+            for c in extra:
+                lf[c] = None
+            return lf[out_cols]
+        rf = rf.sort_values(right_ts)[[right_ts] + right_values]
+        if right_ts != left_ts:
+            rf = rf.rename(columns={right_ts: left_ts})
+        kwargs = {}
+        if tolerance_us is not None:
+            # tolerance dtype must match the 'on' column: Timedelta for
+            # datetimes, plain int for integer timestamps
+            if pd.api.types.is_datetime64_any_dtype(lf[left_ts]):
+                kwargs["tolerance"] = pd.Timedelta(microseconds=tolerance_us)
+            else:
+                kwargs["tolerance"] = int(tolerance_us)
+        merged = pd.merge_asof(lf, rf, on=left_ts, direction="backward", **kwargs)
+        return merged[out_cols]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge_group, schema=out_schema)
+    )

@@ -595,6 +595,79 @@ GROUP BY o_orderpriority
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: pure scan + conjunctive pushdown
+    filter + single global agg -- the minimal full-scan shape."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, same-frame flavor (operators/asof.asof_join_window):
+    attribute each purchase to the user's most recent prior view.
+    Rolled up per user: purchases, attributed purchases, attribution
+    lag stats."""
+    from ..operators.asof import asof_join_window
+
+    t = load_tables(spark, sf_dir, ["events"])
+    attributed = asof_join_window(
+        t["events"],
+        key="user_id",
+        ts_col="ts",
+        value_col="ts",
+        mark_col=F.col("event_type") == "view",
+        out_col="last_view_ts",
+    ).filter(F.col("event_type") == "purchase")
+    return attributed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.count("last_view_ts").alias("attributed_purchases"),
+        F.round(
+            F.avg(
+                (F.unix_micros("ts") - F.unix_micros("last_view_ts")) / 1_000_000.0
+            ),
+            2,
+        ).alias("avg_lag_seconds"),
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH attributed AS (
+  SELECT user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM events
+)
+SELECT user_id,
+       count(*) AS purchases,
+       count(last_view_ts) AS attributed_purchases,
+       round(avg((epoch_us(ts) - epoch_us(last_view_ts)) / 1000000.0), 2) AS avg_lag_seconds
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 # --- Pivot / rollup / per-group top-k (wider OLAP surface) ------------------
 
 
@@ -727,6 +800,10 @@ def specs() -> list[QuerySpec]:
                   "TPC-H Q5-shaped star join"),
         QuerySpec("order_priority", q_order_priority, ORACLE_ORDER_PRIORITY,
                   "TPC-H Q4-shaped semi join"),
+        QuerySpec("tpch_q6", q_tpch_q6, ORACLE_TPCH_Q6,
+                  "TPC-H Q6 scan + conjunctive pushdown + global agg"),
+        QuerySpec("purchase_attribution", q_purchase_attribution, ORACLE_ATTRIBUTION,
+                  "as-of join (window flavor): last view before purchase"),
         QuerySpec("event_pivot", q_event_pivot, ORACLE_EVENT_PIVOT,
                   "pivot: hour x event_type value matrix"),
         QuerySpec("rollup_revenue", q_rollup_revenue, ORACLE_ROLLUP,

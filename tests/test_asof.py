@@ -1,0 +1,72 @@
+"""As-of join operators: window flavor vs a hand-computed expectation,
+cogroup/merge_asof flavor vs the window flavor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_postgres_lab2_spark.operators.asof import (
+    asof_join_pandas,
+    asof_join_window,
+)
+
+
+def test_asof_window_last_prior_view(spark):
+    rows = [
+        (1, 100, "view"),
+        (1, 200, "view"),
+        (1, 250, "purchase"),   # last prior view at 200
+        (1, 300, "purchase"),   # still 200 (the 250 purchase is not a view)
+        (2, 50, "purchase"),    # no prior view -> NULL
+        (2, 80, "view"),
+        (2, 90, "purchase"),    # 80
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = asof_join_window(
+        df, "user_id", "ts", "ts", F.col("event_type") == "view", "last_view"
+    ).filter(F.col("event_type") == "purchase")
+    got = {(r["user_id"], r["ts"]): r["last_view"] for r in out.collect()}
+    assert got == {(1, 250): 200, (1, 300): 200, (2, 50): None, (2, 90): 80}
+
+
+def test_asof_pandas_two_tables(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 205, 11.0), (2, 150, 20.0)],
+        "sym long, ts long, trade_px double",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 9.9), (1, 200, 10.9), (2, 300, 21.0)],
+        "sym long, ts long, quote_px double",
+    )
+    out = asof_join_pandas(
+        trades, quotes, key="sym", left_ts="ts", right_ts="ts",
+        right_values=["quote_px"],
+    )
+    got = {(r["sym"], r["ts"]): r["quote_px"] for r in out.collect()}
+    # trade@100 -> quote@90; trade@205 -> quote@200; sym2 trade@150 -> none yet
+    assert got == {(1, 100): 9.9, (1, 205): 10.9, (2, 150): None}
+
+
+def test_asof_pandas_matches_window_on_events(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id", F.unix_micros("ts").alias("ts"), "event_type"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    ).drop("ts").withColumnRenamed("view_ts", "vts").withColumn("vts2", F.col("vts"))
+    # window flavor
+    win = asof_join_window(
+        events, "user_id", "ts", "ts", F.col("event_type") == "view", "last_view"
+    ).filter(F.col("event_type") == "purchase")
+    # cogroup flavor: join purchases against the view sub-table
+    purchases = events.filter(F.col("event_type") == "purchase")
+    cg = asof_join_pandas(
+        purchases,
+        views.select("user_id", F.col("vts").alias("ts2"), F.col("vts2").alias("view_ts")).withColumnRenamed("ts2", "ts"),
+        key="user_id", left_ts="ts", right_ts="ts", right_values=["view_ts"],
+    )
+    a = {(r["user_id"], r["ts"]): r["last_view"] for r in win.collect()}
+    b = {(r["user_id"], r["ts"]): r["view_ts"] for r in cg.collect()}
+    assert a == b
