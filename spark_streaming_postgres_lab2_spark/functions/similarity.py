@@ -281,11 +281,13 @@ def minhash_near_dupes(
     rows_per_band = num_hashes // num_bands
     # Materialize the single shingle-hash pass, then the signature --
     # two narrow projections, no recomputation of the string hashing.
+    # localCheckpoint cuts the lineage so the banding branch and the
+    # verification branch don't each re-tokenize/re-hash the corpus.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__toks"),
         shingle_hashes(text_col).alias("__sh"),
-    )
+    ).localCheckpoint(eager=False)
     sigs = base.select(
         "doc_id",
         minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
