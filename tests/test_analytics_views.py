@@ -1,0 +1,70 @@
+"""Direct tests for the reference's four analytics views over
+engine-schema frames (postgres_setup.sql:101-151 parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_streaming_postgres_lab2_spark.operators.analytics import (
+    category_performance,
+    data_quality_summary,
+    hourly_event_summary,
+    user_sessions,
+)
+
+
+def enriched_frame(spark):
+    rows = [
+        # user, session, segment, type, category, price, total, event_time
+        (1, "s1", "new", "view", "books", 0.0, 0.0, "2024-03-15 10:05:00"),
+        (1, "s1", "new", "purchase", "books", 10.0, 20.0, "2024-03-15 10:15:00"),
+        (2, "s2", "premium", "purchase", "electronics", 100.0, 100.0, "2024-03-15 11:00:00"),
+        (None, "g1", "anonymous", "view", "books", 0.0, 0.0, "2024-03-15 11:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id int, session_id string, user_segment string, event_type string, "
+        "category string, price double, total_amount double, event_time_s string",
+    )
+    return df.withColumn("event_time", F.to_timestamp("event_time_s")).drop("event_time_s")
+
+
+def test_hourly_summary(spark):
+    out = hourly_event_summary(enriched_frame(spark)).collect()
+    by_key = {(r["event_hour"].hour, r["event_type"]): r for r in out}
+    assert by_key[(10, "purchase")]["total_revenue"] == 20.0
+    assert by_key[(11, "view")]["unique_users"] == 0  # NULL user not counted
+    assert by_key[(10, "view")]["event_count"] == 1
+
+
+def test_user_sessions(spark):
+    out = {r["session_id"]: r for r in user_sessions(enriched_frame(spark)).collect()}
+    s1 = out["s1"]
+    assert (s1["event_count"], s1["view_count"], s1["purchase_count"]) == (2, 1, 1)
+    assert s1["total_spent"] == 20.0
+    assert s1["session_start"] < s1["session_end"]
+
+
+def test_category_performance_ordering(spark):
+    rows = category_performance(enriched_frame(spark)).collect()
+    assert rows[0]["category"] == "electronics"  # highest revenue first
+    assert rows[0]["purchase_count"] == 1
+
+
+def test_data_quality_summary_24h_filter(spark):
+    metrics = spark.createDataFrame(
+        [
+            (1, 100, 95, 5, 0.95, 2, "2024-03-15 10:00:00"),
+            (2, 100, 90, 10, 0.90, 1, "2024-03-15 10:30:00"),
+            (3, 100, 99, 1, 0.99, 0, "2024-03-10 00:00:00"),  # older than 24h
+        ],
+        "batch_id long, total_rows long, valid_rows long, invalid_rows long, "
+        "validity_rate double, late_arrival_count long, recorded_at_s string",
+    ).withColumn("recorded_at", F.to_timestamp("recorded_at_s")).drop("recorded_at_s")
+    now = F.to_timestamp(F.lit("2024-03-15 12:00:00"))
+    out = data_quality_summary(metrics, now=now).collect()
+    assert len(out) == 1  # one hour bucket survives the 24h filter
+    row = out[0]
+    assert row["total_rows"] == 200
+    assert row["invalid_rows"] == 15
+    assert abs(row["avg_validity_rate"] - 0.925) < 1e-9
