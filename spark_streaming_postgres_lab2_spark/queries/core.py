@@ -730,6 +730,30 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: every (event_type, year) subtotal combination
+    in one pass (4 grouping sets materialized from a single scan)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .cube("event_type", F.year("ts").alias("event_year"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT event_type,
+       CAST(year(ts) AS INTEGER) AS event_year,
+       count(*) AS event_count,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE(event_type, year(ts))
+"""
+
+
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k: top-3 revenue parts per brand via a ranking
     window (partition prune -> shuffle once on p_brand)."""
@@ -810,4 +834,6 @@ def specs() -> list[QuerySpec]:
                   "ROLLUP grouping sets via spark.sql"),
         QuerySpec("top_parts_per_brand", q_top_parts_per_brand, ORACLE_TOP_PARTS,
                   "per-group top-k via ranking window"),
+        QuerySpec("cube_events", q_cube_events, ORACLE_CUBE,
+                  "CUBE grouping sets over (type, year)"),
     ]
