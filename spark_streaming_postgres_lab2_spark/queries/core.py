@@ -20,6 +20,30 @@ from ..schema.registry import SchemaRegistry
 from ..sources.tables import load_tables
 from . import QuerySpec
 
+# Money sums over big facts: per-row double arithmetic is bit-identical
+# across engines, but SUM accumulation order is not -- at 1e7+ magnitudes
+# the ~1e-8 difference crosses rounding boundaries (and DuckDB's parallel
+# aggregation makes its own order run-dependent).  Even DECIMAL casts
+# differ: the engines disagree on double->decimal conversion near the
+# last digit and on decimal tie-breaking.  The only fully deterministic
+# recipe is explicit fixed-point: floor(x*10000 + 0.5) is the same
+# double math and the same integer on both engines, the BIGINT sum is
+# exact and order-free, and /10000.0 reproduces identical doubles.
+
+
+def money_sum(expr) -> "F.Column":  # noqa: F821
+    return (F.sum(F.floor(expr * 10000 + F.lit(0.5)).cast("long")) / F.lit(10000.0)).cast(
+        "double"
+    )
+
+
+def sql_money_sum(expr: str, alias: str) -> str:
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0"
+        f" AS {alias}"
+    )
+
+
 # The first-match-wins rule chain as SQL, identical in order and tags to
 # operators/validate.events_table_rules (parity: reference
 # spark_streaming_to_postgres.py:99-144).
@@ -118,19 +142,19 @@ def q_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("line_count"),
             F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("return_count"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            ),
             F.round(F.avg("p_retailprice"), 2).alias("avg_retail_price"),
         )
     )
 
 
-ORACLE_CATEGORY_PERF = """
+ORACLE_CATEGORY_PERF = f"""
 SELECT p_type,
        count(*) AS line_count,
        count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS return_count,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "total_revenue")},
        round(avg(p_retailprice), 2) AS avg_retail_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
@@ -470,9 +494,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -481,12 +505,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TPCH_Q1 = """
+ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       {sql_money_sum("l_extendedprice", "sum_base_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+       {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
        round(avg(l_quantity), 2) AS avg_qty,
        round(avg(l_extendedprice), 2) AS avg_price,
        round(avg(l_discount), 4) AS avg_disc,
@@ -509,7 +533,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("line_count"),
@@ -519,9 +543,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_CUSTOMERS = """
+ORACLE_TOP_CUSTOMERS = f"""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
        count(*) AS line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -545,7 +569,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("line_count"),
@@ -553,9 +577,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_REGIONAL = """
+ORACLE_REGIONAL = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
        count(*) AS line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -606,13 +630,13 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("line_count"),
     )
 
 
-ORACLE_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+ORACLE_TPCH_Q6 = f"""
+SELECT {sql_money_sum("l_extendedprice * l_discount", "revenue")},
        count(*) AS line_count
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -668,6 +692,114 @@ GROUP BY user_id
 """
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17/Q2 shape): orders priced
+    above their priority class's average.  Catalyst rewrites the
+    correlation into an aggregate + join -- exercised via spark.sql."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS above_avg_orders,
+               round(avg(o_totalprice), 2) AS avg_above_price
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_orderpriority = o.o_orderpriority
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderpriority,
+       count(*) AS above_avg_orders,
+       round(avg(o_totalprice), 2) AS avg_above_price
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_orderpriority = o.o_orderpriority
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: customer-nation x supplier-nation trade volume
+    (two independent dimension lineages off the same fact rows)."""
+    t = load_tables(spark, sf_dir, ["nation", "customer", "supplier", "orders", "lineitem"])
+    cust_nation = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+ORACLE_NATION_PAIRS = f"""
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "volume")},
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name < sn.n_name
+GROUP BY 1, 2
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders since 2000,
+    per market segment (TPC-H Q22 shape)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("idle_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+ORACLE_NO_ORDERS = """
+SELECT c_mktsegment,
+       count(*) AS idle_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY c_mktsegment
+"""
+
+
 # --- Pivot / rollup / per-group top-k (wider OLAP surface) ------------------
 
 
@@ -703,9 +835,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["region", "nation", "customer", "orders", "lineitem"])
     return spark.sql(
-        """
+        f"""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
                count(*) AS line_count
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -717,9 +849,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ROLLUP = """
+ORACLE_ROLLUP = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
        count(*) AS line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -763,7 +895,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -776,10 +908,10 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_PARTS = """
+ORACLE_TOP_PARTS = f"""
 WITH per_part AS (
   SELECT p_brand, p_partkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")}
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY p_brand, p_partkey
 )
@@ -836,4 +968,10 @@ def specs() -> list[QuerySpec]:
                   "per-group top-k via ranking window"),
         QuerySpec("cube_events", q_cube_events, ORACLE_CUBE,
                   "CUBE grouping sets over (type, year)"),
+        QuerySpec("above_avg_orders", q_above_avg_orders, ORACLE_ABOVE_AVG,
+                  "correlated scalar subquery (rewritten to join)"),
+        QuerySpec("nation_pairs", q_nation_pairs, ORACLE_NATION_PAIRS,
+                  "TPC-H Q7-shaped dual-dimension volume"),
+        QuerySpec("customers_without_orders", q_customers_without_orders, ORACLE_NO_ORDERS,
+                  "anti join (NOT EXISTS) per segment"),
     ]

@@ -13,6 +13,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..config import StreamingConfig
@@ -45,12 +46,21 @@ class StreamingPipeline:
             validated, late_threshold=f"{self.config.late_arrival_threshold_minutes} minutes"
         )
         if dedup:
+            # Watermark on a processing-time-capped copy of event_time:
+            # a single future-timestamped (invalid) event would otherwise
+            # advance the watermark past "now" and silently drop every
+            # subsequent valid row from the dedup state.  Capping keeps
+            # watermark progress tied to real arrival time while late
+            # rows still watermark by their own event time.
+            enriched = enriched.withColumn(
+                "__wm_ts", F.least(F.col("event_time"), F.col("processed_at"))
+            )
             enriched = streaming_dedup(
                 enriched,
-                event_time_col="event_time",
+                event_time_col="__wm_ts",
                 watermark_delay=self.config.watermark_delay,
                 keys=["event_id"],
-            )
+            ).drop("__wm_ts")
         return enriched
 
     def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:

@@ -44,19 +44,11 @@ def test_live_trigger_with_concurrent_generator(spark, tmp_path):
     producer.start()
     producer.join()
 
-    deadline = time.time() + 60
-    total = 0
-    while time.time() < deadline:
-        try:
-            ev = spark.read.parquet(f"{tmp_path}/out/ecommerce_events").count()
-            dl = spark.read.parquet(f"{tmp_path}/out/dead_letter_events").count()
-            total = ev + dl
-        except Exception:
-            total = 0
-        if total >= 200:
-            break
-        time.sleep(2)
+    query.processAllAvailable()  # drain everything the producer wrote
     query.stop()
+    ev = spark.read.parquet(f"{tmp_path}/out/ecommerce_events").count()
+    dl = spark.read.parquet(f"{tmp_path}/out/dead_letter_events").count()
+    total = ev + dl
 
     assert total == 200  # all four files' events landed exactly once
     events = spark.read.parquet(f"{tmp_path}/out/ecommerce_events")
