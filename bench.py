@@ -40,12 +40,17 @@ BENCH_QUERIES = [
     "event_pivot",
     "rollup_revenue",
     "top_parts_per_brand",
+    "cube_events",
+    "above_avg_orders",
+    "nation_pairs",
+    "customers_without_orders",
     # LLM-pipeline extensions
     "props_json",
     "doc_quality",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
     "minhash_near_dup",
+    "near_dup_clusters",
     "simhash",
     "similarity_topk",
     "embedding_near_dup",

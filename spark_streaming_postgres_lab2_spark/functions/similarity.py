@@ -386,6 +386,81 @@ def embedding_near_dupes_lsh(
     )
 
 
+# --- near-dup clustering (connected components) ------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation: every vertex repeatedly adopts the smallest component
+    id among itself and its neighbours until fixpoint.
+
+    The standard post-pass for near-dup pairs: each component is one
+    duplicate cluster; keep min(doc_id) as the canonical document.
+    Each iteration is one join + one groupBy (both keyed on vertex id)
+    with lineage cut per round; iterations needed = graph diameter
+    (small for dup clusters).  Returns (doc_id, component)."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbour_min = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters and pick the canonical
+    (minimum-id) representative per cluster.  Returns every document
+    with its cluster id and a keep flag -- the final stage of a
+    corpus-dedup pipeline."""
+    comps = connected_components(pairs)
+    return (
+        docs.join(comps, docs[id_col] == comps["doc_id"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce(F.col("component"), docs[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -240,6 +240,26 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-dedup pipeline: MinHash-LSH pairs -> connected
+    components -> canonical representative per cluster.  Summary row
+    per cluster size (rows-only: hash-seeded)."""
+    from ..functions.similarity import dedup_clusters
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = minhash_near_dupes(t["documents"], threshold=0.5)
+    clustered = dedup_clusters(t["documents"], pairs)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (rows-only check)."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -418,6 +438,8 @@ def specs() -> list[QuerySpec]:
                   "token-set Jaccard near-dup over bounded candidates"),
         QuerySpec("minhash_near_dup", q_minhash_near_dup, None,
                   "MinHash+LSH banded near-dup (rows-only)"),
+        QuerySpec("near_dup_clusters", q_near_dup_clusters, None,
+                  "LSH pairs -> connected components -> cluster sizes"),
         QuerySpec("simhash", q_simhash, None,
                   "64-bit SimHash fingerprints (rows-only)"),
         QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,

@@ -170,3 +170,23 @@ def test_quality_features_shapes(spark, sf_dir):
     row = out.first()
     assert row["n_tokens"] > 0
     assert 0.0 <= row["stop_ratio"] <= 1.0
+
+
+def test_connected_components_clusters(spark):
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two chains (1-2-3), (10-11) and a singleton edgeless doc 99
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_id_1 long, doc_id_2 long"
+    )
+    comps = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in dedup_clusters(docs, edges).collect()}
+    assert out[99] == (99, True)          # edgeless doc is its own cluster
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
