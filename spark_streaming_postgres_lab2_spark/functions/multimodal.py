@@ -110,6 +110,37 @@ def decode_real(media: DataFrame, codec: str = "pil") -> DataFrame:
     )
 
 
+def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' stand-in: deterministic byte-level down/up-sampling of
+    the payload to ``target_bytes`` (stride sampling, zero padding).
+    A real implementation would decode -> PIL.resize -> re-encode inside
+    the same mapInPandas body; the Spark-side contract (binary in,
+    binary out, metadata updated) is identical."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(b: bytes | None) -> bytes:
+                if not b:
+                    return b"\x00" * target_bytes
+                if len(b) >= target_bytes:
+                    stride = len(b) / target_bytes
+                    return bytes(b[int(i * stride)] for i in range(target_bytes))
+                return b + b"\x00" * (target_bytes - len(b))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": pdf["content"].map(shrink),
+                    "n_bytes": target_bytes,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize, schema="media_id long, media_type string, content binary, n_bytes long"
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' over the opaque payload: take one byte every
     ``every_n_bytes`` as a stand-in for video frame extraction --

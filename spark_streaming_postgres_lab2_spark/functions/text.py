@@ -97,6 +97,43 @@ def language_guess(col: Column | str, min_hits: int = 2) -> Column:
     return expr.otherwise(F.lit("unknown"))
 
 
+# Tiny char-trigram profiles per language (top distinctive trigrams) --
+# the n-gram flavor of language ID: score = profile-trigram hits in the
+# document's trigram set.  Complements the stopword argmax above.
+CHAR_TRIGRAM_PROFILES = {
+    "en": ["the", "and", "ing", "ion", "ent", " th", "he ", "of "],
+    "de": ["der", "die", "und", "ein", "sch", "cht", "en ", "ich"],
+    "es": ["que", "los", "ión", "nte", "de ", "la ", "el ", "ado"],
+    "fr": ["les", "ent", "de ", "la ", "ion", "que", "des", "ais"],
+}
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct character trigrams of the lowercased text."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1))),
+            lambda i: c.substr(i, F.lit(3)),
+        )
+    )
+
+
+def language_guess_ngram(col: Column | str, min_hits: int = 2) -> Column:
+    """Argmax language over char-trigram profile hits (n-gram heuristic
+    language ID)."""
+    grams = char_trigrams(col)
+    scores = {
+        lang: F.size(F.filter(grams, lambda g: g.isin(profile)))
+        for lang, profile in CHAR_TRIGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best < min_hits, F.lit("unknown"))
+    for lang in CHAR_TRIGRAM_PROFILES:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
 def normalized_text(col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased text for fingerprinting."""
     c = F.col(col) if isinstance(col, str) else col

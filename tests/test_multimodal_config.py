@@ -68,3 +68,16 @@ def test_jdbc_url_shape():
     cfg = EngineConfig()
     assert cfg.database.jdbc_url.startswith("jdbc:postgresql://")
     assert cfg.database.jdbc_properties()["batchsize"] == "5000"
+
+
+def test_resize_stub_shapes(spark, media):
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import resize_stub
+
+    out = resize_stub(media, target_bytes=128).collect()
+    assert len(out) == 50
+    assert all(len(r["content"]) == 128 and r["n_bytes"] == 128 for r in out)
+    # deterministic
+    again = resize_stub(media, target_bytes=128).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in out} == {
+        r["media_id"]: bytes(r["content"]) for r in again
+    }

@@ -190,3 +190,15 @@ def test_connected_components_clusters(spark):
     assert out[99] == (99, True)          # edgeless doc is its own cluster
     assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
+
+
+def test_language_guess_ngram(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the thing and the motion of the sailing ship"),
+            Row(text="der anfang und die geschichte einer nacht"),
+            Row(text="zz qq ww"),
+        ]
+    )
+    got = [r[0] for r in df.select(TX.language_guess_ngram("text")).collect()]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "unknown"
