@@ -394,16 +394,49 @@ def connected_components(
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
     max_iters: int = 10,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Connected components over an undirected edge list via min-label
-    propagation: every vertex repeatedly adopts the smallest component
-    id among itself and its neighbours until fixpoint.
+    """Connected components over an undirected edge list.
 
-    The standard post-pass for near-dup pairs: each component is one
-    duplicate cluster; keep min(doc_id) as the canonical document.
-    Each iteration is one join + one groupBy (both keyed on vertex id)
-    with lineage cut per round; iterations needed = graph diameter
-    (small for dup clusters).  Returns (doc_id, component)."""
+    Scale-aware hybrid: LSH verification typically reduces a corpus to
+    far fewer candidate edges than documents, so when the edge list
+    fits comfortably on the driver (< ``driver_threshold``) a single
+    collect + union-find is exact and avoids per-iteration jobs.  Above
+    the threshold it falls back to distributed min-label propagation
+    (one join + one groupBy per round, lineage cut per round, rounds =
+    graph diameter).  Returns (doc_id, component) with component =
+    min(doc_id) of the cluster."""
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        pairs = edges.select(src, dst).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        vertices = {v for r in pairs for v in (r[0], r[1])}
+        rows = [(v, find(v)) for v in vertices]
+        return edges.sparkSession.createDataFrame(rows, "doc_id long, component long")
+    return _connected_components_distributed(edges, src, dst, max_iters)
+
+
+def _connected_components_distributed(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Distributed min-label propagation (the >driver_threshold path)."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

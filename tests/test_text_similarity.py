@@ -202,3 +202,20 @@ def test_language_guess_ngram(spark):
     )
     got = [r[0] for r in df.select(TX.language_guess_ngram("text")).collect()]
     assert got[0] == "en" and got[1] == "de" and got[2] == "unknown"
+
+
+def test_connected_components_both_paths_agree(spark):
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (3, 4), (4, 5), (20, 21)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    driver = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
