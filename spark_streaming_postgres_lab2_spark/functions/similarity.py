@@ -393,8 +393,8 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
-    max_iters: int = 10,
-    driver_threshold: int = 1_000_000,
+    max_iters: int = 30,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -406,37 +406,48 @@ def connected_components(
     (one join + one groupBy per round, lineage cut per round, rounds =
     graph diameter).  Returns (doc_id, component) with component =
     min(doc_id) of the cluster."""
-    n_edges = edges.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        pairs = edges.select(src, dst).collect()
-        parent: dict = {}
+    clean = edges.select(src, dst).dropna()
+    # one job decides the path AND feeds the driver algorithm (no
+    # second pass over the expensive upstream pair pipeline)
+    pairs = [(r[0], r[1]) for r in clean.limit(driver_threshold + 1).collect()]
+    if len(pairs) > driver_threshold:
+        return _connected_components_distributed(clean, src, dst, max_iters)
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
+    parent: dict = {}
 
-        for r in pairs:
-            a, b = find(r[0]), find(r[1])
-            if a != b:
-                lo, hi = (a, b) if a < b else (b, a)
-                parent[hi] = lo
-        vertices = {v for r in pairs for v in (r[0], r[1])}
-        rows = [(v, find(v)) for v in vertices]
-        return edges.sparkSession.createDataFrame(rows, "doc_id long, component long")
-    return _connected_components_distributed(edges, src, dst, max_iters)
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a0, b0 in pairs:
+        a, b = find(a0), find(b0)
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    vertices = {v for p in pairs for v in p}
+    rows = [(v, find(v)) for v in vertices]
+    from pyspark.sql import types as _T
+
+    id_type = edges.schema[src].dataType  # preserve caller's id type
+    schema = _T.StructType(
+        [_T.StructField("doc_id", id_type), _T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
 
 
 def _connected_components_distributed(
     edges: DataFrame,
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
-    max_iters: int = 10,
+    max_iters: int = 30,
 ) -> DataFrame:
-    """Distributed min-label propagation (the >driver_threshold path)."""
+    """Distributed min-label propagation (the >driver_threshold path).
+    Converges in graph-diameter rounds; warns if max_iters was hit with
+    labels still moving (components would be silently split)."""
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -445,6 +456,7 @@ def _connected_components_distributed(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbour_min = (
             sym.join(labels, sym["b"] == labels["doc_id"])
@@ -470,7 +482,15 @@ def _connected_components_distributed(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components hit max_iters=%d before convergence; "
+            "components with diameter > max_iters are split", max_iters,
+        )
     return labels
 
 

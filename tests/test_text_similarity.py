@@ -219,3 +219,29 @@ def test_connected_components_both_paths_agree(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert driver == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_string_ids_and_nulls(spark):
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), (None, "z"), ("x", None)],
+        "doc_id_1 string, doc_id_2 string",
+    )
+    comps = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {"a": "a", "b": "a", "c": "a"}  # null edges dropped
+
+
+def test_connected_components_long_chain_converges(spark):
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], "doc_id_1 long, doc_id_2 long"
+    )
+    # distributed path (threshold 0) on a 15-node chain: must fully merge
+    comps = {r["doc_id"]: r["component"] for r in connected_components(chain, driver_threshold=0).collect()}
+    assert set(comps.values()) == {0}
