@@ -58,6 +58,12 @@ def asof_join_pandas(
     ``applyInPandas`` running ``pandas.merge_asof`` per key -- both
     sides shuffle once on ``key`` and merge Arrow-batched."""
     l_cols = list(left.columns)
+    overlap = [c for c in right_values if c in l_cols]
+    if overlap:
+        raise ValueError(
+            f"right_values {overlap} collide with left columns; rename the "
+            "right-side columns before the as-of join"
+        )
     extra = [c for c in right_values if c not in l_cols]
     out_cols = l_cols + extra
     out_schema = ", ".join(
@@ -69,11 +75,21 @@ def asof_join_pandas(
     def merge_group(lf: pd.DataFrame, rf: pd.DataFrame) -> pd.DataFrame:
         if lf.empty:
             return pd.DataFrame({c: [] for c in out_cols})
-        lf = lf.sort_values(left_ts)
+        # merge_asof raises on null merge keys: route null-ts left rows
+        # around the merge (null-filled), drop null-ts right rows (they
+        # can never match)
+        lf_null = lf[lf[left_ts].isna()].copy()
+        lf = lf[lf[left_ts].notna()].sort_values(left_ts)
+        rf = rf[rf[right_ts].notna()]
+        for c in extra:
+            lf_null[c] = None
+        if lf.empty:
+            return lf_null[out_cols]
         if rf.empty:
+            lf = lf.copy()
             for c in extra:
                 lf[c] = None
-            return lf[out_cols]
+            return pd.concat([lf[out_cols], lf_null[out_cols]])
         rf = rf.sort_values(right_ts)[[right_ts] + right_values]
         if right_ts != left_ts:
             rf = rf.rename(columns={right_ts: left_ts})
@@ -86,6 +102,8 @@ def asof_join_pandas(
             else:
                 kwargs["tolerance"] = int(tolerance_us)
         merged = pd.merge_asof(lf, rf, on=left_ts, direction="backward", **kwargs)
+        if len(lf_null):
+            merged = pd.concat([merged[out_cols], lf_null[out_cols]])
         return merged[out_cols]
 
     return (

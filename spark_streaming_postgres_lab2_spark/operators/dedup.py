@@ -48,11 +48,18 @@ def streaming_dedup(
     watermark_delay: str = "10 minutes",
     keys: list[str] | None = None,
 ) -> DataFrame:
-    """Watermark-bounded streaming dedup (state is evicted past the
-    watermark, so state size is bounded by delay x arrival rate, not by
-    total stream history)."""
+    """Watermark-bounded streaming dedup.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): with plain
+    ``dropDuplicates(keys)`` the watermark does NOT evict state unless
+    the event-time column is part of the keys, so state would grow with
+    total stream history.  The WithinWatermark variant evicts each key
+    once the watermark passes its event time -- state is bounded by
+    delay x arrival rate."""
     keys = keys or ["event_id"]
-    return df.withWatermark(event_time_col, watermark_delay).dropDuplicates(keys)
+    return df.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def dedup_counts(df: DataFrame, key: str = "event_id") -> DataFrame:

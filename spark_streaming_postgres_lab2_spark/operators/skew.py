@@ -38,8 +38,24 @@ def salted_join(
     small); the big side computes one deterministic salt per row.  The
     join key becomes (key, salt) -- same result set, ``salt_n``-way
     finer shuffle granularity on hot keys.
+
+    Restricted to join types where the exploded small side cannot leak
+    duplicates: inner/left/left_semi/left_anti (a right/full outer join
+    would emit every unmatched small-side row ``salt_n`` times).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} join types; {how!r} would "
+            "duplicate unmatched small-side rows salt_n times"
+        )
     unique = big_unique_col or big.columns[0]
+    if unique == key:
+        raise ValueError(
+            "big_unique_col must differ from the join key: salting by the key "
+            "itself gives every row of a hot key the same salt (no mitigation)"
+        )
     big_salted = big.withColumn("__salt", deterministic_salt(unique, salt_n))
     small_salted = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

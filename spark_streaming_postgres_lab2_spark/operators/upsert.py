@@ -21,8 +21,14 @@ def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
 def upsert_parquet(
     spark, path: str, updates: DataFrame, keys: list[str], staging_suffix: str = "__staging"
 ) -> None:
-    """Upsert into a parquet directory with a write-then-swap so readers
-    never observe a half-written table."""
+    """Upsert into a parquet directory via write-then-swap.
+
+    Limitations (by design of plain parquet dirs): the two-rename swap
+    is local-filesystem only and leaves a brief window where a
+    concurrent reader sees no table (and a crash inside the window
+    strands data at ``path__old``).  Readers never see a *half-written*
+    table, but true atomic MERGE needs a table format with a commit
+    protocol (Delta/Iceberg) or the staged-JDBC upsert path."""
     import shutil
 
     target = spark.read.parquet(path)

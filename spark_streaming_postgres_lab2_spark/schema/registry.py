@@ -140,17 +140,21 @@ class SchemaRegistry:
         return out.select(*[f.name for f in target.fields])
 
     def detect_version(self, df: DataFrame) -> str | None:
-        """Explicit ``schema_version`` column wins; else newest-to-oldest
-        'all required columns present' heuristic."""
+        """Explicit ``schema_version`` column wins.  Otherwise pick the
+        OLDEST version whose field set covers the frame's columns (the
+        smallest superset): since versions are nested supersets with the
+        same required core, a newest-first scan would claim every v1/v2
+        frame as v3.  Falls back to the reference's newest-first
+        'required fields present' heuristic (registry.py:284-321) when
+        no version fully covers the columns."""
         if "schema_version" in df.columns:
             row = df.select("schema_version").first()
             if row is not None and row[0] in self._versions:
                 return str(row[0])
         cols = set(df.columns)
-        for version in reversed(self._order):
+        for version in self._order:  # oldest first: smallest superset wins
             required = set(self.required_fields(version))
             all_fields = {f.name for f in self.get_schema(version).fields}
-            # all required present, and no columns beyond this version's fields
             if required <= cols and cols <= all_fields:
                 return version
         for version in reversed(self._order):

@@ -46,21 +46,29 @@ class StreamingPipeline:
             validated, late_threshold=f"{self.config.late_arrival_threshold_minutes} minutes"
         )
         if dedup:
-            # Watermark on a processing-time-capped copy of event_time:
-            # a single future-timestamped (invalid) event would otherwise
-            # advance the watermark past "now" and silently drop every
-            # subsequent valid row from the dedup state.  Capping keeps
-            # watermark progress tied to real arrival time while late
-            # rows still watermark by their own event time.
-            enriched = enriched.withColumn(
-                "__wm_ts", F.least(F.col("event_time"), F.col("processed_at"))
-            )
-            enriched = streaming_dedup(
-                enriched,
-                event_time_col="__wm_ts",
+            # Dedup state is watermarked on PROCESSING time, not event
+            # time: the dedup guarantee is "drop redeliveries arriving
+            # within the watermark horizon", which is a property of
+            # arrival, not of the data's own timeline.  Watermarking on
+            # event_time is poisonable -- one future-timestamped anomaly
+            # (or replaying backdated data) advances the watermark past
+            # the rest of the stream and silently drops every subsequent
+            # valid row.  processed_at always moves with the wall clock,
+            # so state is evicted exactly `watermark_delay` after
+            # arrival and no data pathology can starve the pipeline.
+            #
+            # Dedup applies to the VALID branch only (reference intent,
+            # M:322-332): an invalid record must not consume the dedup
+            # state for its event_id and drop a later corrected resend.
+            valid = enriched.filter(F.col("is_valid"))
+            invalid = enriched.filter(~F.col("is_valid"))
+            deduped_valid = streaming_dedup(
+                valid,
+                event_time_col="processed_at",
                 watermark_delay=self.config.watermark_delay,
                 keys=["event_id"],
-            ).drop("__wm_ts")
+            )
+            enriched = deduped_valid.unionByName(invalid)
         return enriched
 
     def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:

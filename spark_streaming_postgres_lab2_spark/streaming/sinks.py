@@ -67,8 +67,17 @@ class BatchRouter:
         if self.write_fn is not None:
             self.write_fn(df, path, batch_id)
         elif self.sink.partition_batch_subdirs:
-            df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+            # 'epoch' (not 'batch_id') so the dir key never shadows the
+            # metrics table's batch_id data column on read
+            df.write.mode("overwrite").parquet(f"{path}/epoch={batch_id}")
         else:
+            # NOTE: append mode is NOT exactly-once -- a retried or
+            # replayed epoch appends its rows again.  The default
+            # per-epoch overwrite layout is the idempotent path.
+            log.warning(
+                "append-mode sink writes are not idempotent under retry/replay; "
+                "prefer partition_batch_subdirs=True"
+            )
             df.write.mode("append").parquet(path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

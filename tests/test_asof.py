@@ -70,3 +70,20 @@ def test_asof_pandas_matches_window_on_events(spark, sf_dir):
     a = {(r["user_id"], r["ts"]): r["last_view"] for r in win.collect()}
     b = {(r["user_id"], r["ts"]): r["view_ts"] for r in cg.collect()}
     assert a == b
+
+
+def test_asof_pandas_null_ts_rows_survive(spark):
+    import pytest
+
+    trades = spark.createDataFrame(
+        [(1, 100, 10.0), (1, None, 11.0)], "sym long, ts long, px double"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 90, 9.9), (1, None, 8.8)], "sym long, ts long, quote_px double"
+    )
+    out = asof_join_pandas(trades, quotes, "sym", "ts", "ts", ["quote_px"]).collect()
+    got = {r["ts"]: r["quote_px"] for r in out}
+    assert got == {100: 9.9, None: None}  # null-ts left row kept, null-ts quote ignored
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_pandas(trades, quotes, "sym", "ts", "ts", ["px"])

@@ -83,3 +83,10 @@ def test_validate_type_mismatch(spark):
 
 def test_singleton():
     assert get_registry() is get_registry()
+
+
+def test_detect_version_prefers_smallest_superset(spark):
+    reg = SchemaRegistry()
+    assert reg.detect_version(v1_df(spark)) == "v1"
+    v2 = reg.migrate(v1_df(spark), "v1", "v2")
+    assert reg.detect_version(v2) == "v2"

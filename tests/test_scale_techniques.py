@@ -107,3 +107,13 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         ).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+def test_salted_join_guards(spark, sf_dir):
+    import pytest
+
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    renamed = t["lineitem"].withColumnRenamed("l_partkey", "p_partkey")
+    with pytest.raises(ValueError, match="join types"):
+        salted_join(renamed, t["part"], "p_partkey", big_unique_col="l_orderkey", how="full")
+    with pytest.raises(ValueError, match="differ from the join key"):
+        salted_join(renamed, t["part"], "p_partkey", big_unique_col="p_partkey")

@@ -144,3 +144,38 @@ def test_streaming_dedup_drops_replayed_event_ids(spark, tmp_path):
     events = spark.read.parquet(f"{tmp_path}/out/ecommerce_events")
     assert events.count() == 50
     assert events.select("event_id").distinct().count() == 50
+
+
+def test_invalid_copy_does_not_consume_dedup_state(spark, tmp_path):
+    """A corrupted event followed by a corrected resend with the same
+    event_id: the invalid copy must not claim the dedup state and drop
+    the valid copy (dedup applies to the valid branch only)."""
+    import csv
+
+    cols = ["event_id", "user_id", "session_id", "event_type", "product_id",
+            "category", "price", "quantity", "user_segment", "search_query",
+            "event_time", "source_system"]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    with open(input_dir / "a.csv", "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(cols)
+        # invalid: negative price; then corrected resend, same event_id
+        w.writerow(["dup-1", 1, "s", "view", 10, "books", -5.0, 0, "new", "",
+                    "2024-03-15T12:00:00", "web"])
+        w.writerow(["dup-1", 1, "s", "view", 10, "books", 0.0, 0, "new", "",
+                    "2024-03-15T12:00:30", "web"])
+
+    cfg = StreamingConfig(
+        input_path=str(input_dir),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out"),
+        max_files_per_trigger=10,
+    )
+    pipe = build_pipeline(spark, cfg)
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(120)
+    events = spark.read.parquet(f"{tmp_path}/out/ecommerce_events")
+    dlq = spark.read.parquet(f"{tmp_path}/out/dead_letter_events")
+    assert events.count() == 1  # corrected copy landed
+    assert dlq.count() == 1     # corrupted copy dead-lettered
