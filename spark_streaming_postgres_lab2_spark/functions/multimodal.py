@@ -119,7 +119,9 @@ def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def shrink(b: bytes | None) -> bytes:
+            def shrink(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None  # missing media stays missing
                 if not b:
                     return b"\x00" * target_bytes
                 if len(b) >= target_bytes:
@@ -127,12 +129,13 @@ def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
                     return bytes(b[int(i * stride)] for i in range(target_bytes))
                 return b + b"\x00" * (target_bytes - len(b))
 
+            resized = pdf["content"].map(shrink)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "content": pdf["content"].map(shrink),
-                    "n_bytes": target_bytes,
+                    "content": resized,
+                    "n_bytes": resized.map(lambda b: len(b) if b is not None else None),
                 }
             )
 

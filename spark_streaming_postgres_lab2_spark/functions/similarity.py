@@ -278,6 +278,11 @@ def minhash_near_dupes(
     64-bit hash, uniformly distributed) and the candidate distinct;
     no O(n^2) stage exists anywhere.
     """
+    if num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by num_bands "
+            f"({num_bands}); otherwise signature hashes are silently unused"
+        )
     rows_per_band = num_hashes // num_bands
     # Materialize the single shingle-hash pass, then the signature --
     # two narrow projections, no recomputation of the string hashing.
@@ -332,8 +337,12 @@ def minhash_near_dupes(
 
 # --- embedding-cosine near-dup ----------------------------------------------
 
+# 256-dim planes, sliced to the vector's dimensionality at plan time
+# (zip_with would null-pad a dimension mismatch and silently collapse
+# every vector into one bucket -- see embedding_near_dupes_lsh guard).
+_HYPERPLANE_DIM = 256
 _HYPERPLANES = [
-    [_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(16)
+    [_rng.gauss(0.0, 1.0) for _ in range(_HYPERPLANE_DIM)] for _ in range(16)
 ]
 
 
@@ -344,10 +353,15 @@ def _plane_lit(plane: list[float]) -> Column:
 def random_hyperplane_bucket(vec_col: Column, n_planes: int = 8) -> Column:
     """LSH bucket key for cosine similarity: sign bits of ``n_planes``
     fixed random projections packed into one long.  Vectors with high
-    cosine land in the same bucket with high probability."""
+    cosine land in the same bucket with high probability.  Planes are
+    sliced to the vector's own length (dims above _HYPERPLANE_DIM are
+    rejected by embedding_near_dupes_lsh)."""
+    if n_planes > len(_HYPERPLANES):
+        raise ValueError(f"n_planes must be <= {len(_HYPERPLANES)}")
     bits = []
     for i in range(n_planes):
-        d = dot(vec_col, _plane_lit(_HYPERPLANES[i]))
+        plane = F.slice(_plane_lit(_HYPERPLANES[i]), 1, F.size(vec_col))
+        d = dot(vec_col, plane)
         bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     key = bits[0]
     for b in bits[1:]:
@@ -365,6 +379,12 @@ def embedding_near_dupes_lsh(
     """Embedding-cosine near-dup at scale: random-hyperplane bucket ->
     within-bucket self-join -> exact cosine verify.  One shuffle on the
     bucket key; candidate count is linear for hash-uniform buckets."""
+    first = emb.select(F.size(F.col(vec_col)).alias("__d")).first()
+    if first is not None and first["__d"] is not None and first["__d"] > _HYPERPLANE_DIM:
+        raise ValueError(
+            f"embedding dim {first['__d']} exceeds hyperplane dim "
+            f"{_HYPERPLANE_DIM}; extend _HYPERPLANES"
+        )
     keyed = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
@@ -381,8 +401,9 @@ def embedding_near_dupes_lsh(
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
         .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
         .filter(F.col("cosine_sim") >= threshold)
+        # pairs are already distinct: each vector has exactly one bucket,
+        # so no dedup shuffle is needed (unlike multi-band MinHash)
         .select("vec_id_1", "vec_id_2", "cosine_sim")
-        .dropDuplicates(["vec_id_1", "vec_id_2"])
     )
 
 
@@ -448,9 +469,14 @@ def _connected_components_distributed(
     """Distributed min-label propagation (the >driver_threshold path).
     Converges in graph-diameter rounds; warns if max_iters was hit with
     labels still moving (components would be silently split)."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # cut the (potentially expensive LSH) edge lineage ONCE: every
+    # propagation round joins against sym, and without this the whole
+    # upstream pair pipeline re-executes per round
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=False)
+    )
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -498,12 +524,15 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    pair_src: str = "doc_id_1",
+    pair_dst: str = "doc_id_2",
 ) -> DataFrame:
     """Collapse near-dup pairs into clusters and pick the canonical
     (minimum-id) representative per cluster.  Returns every document
     with its cluster id and a keep flag -- the final stage of a
-    corpus-dedup pipeline."""
-    comps = connected_components(pairs)
+    corpus-dedup pipeline.  ``pair_src``/``pair_dst`` name the pair
+    columns (e.g. vec_id_1/vec_id_2 for embedding near-dup output)."""
+    comps = connected_components(pairs, src=pair_src, dst=pair_dst)
     return (
         docs.join(comps, docs[id_col] == comps["doc_id"], "left")
         .select(

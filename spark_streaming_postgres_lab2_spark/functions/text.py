@@ -109,12 +109,17 @@ CHAR_TRIGRAM_PROFILES = {
 
 
 def char_trigrams(col: Column | str) -> Column:
-    """Distinct character trigrams of the lowercased text."""
+    """Distinct character trigrams of the lowercased text (empty array
+    for texts shorter than 3 chars -- no partial grams)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1))),
-            lambda i: c.substr(i, F.lit(3)),
+    return F.when(
+        F.length(c) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: c.substr(i, F.lit(3)),
+            )
         )
     )
 

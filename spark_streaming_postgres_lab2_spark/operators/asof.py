@@ -30,13 +30,18 @@ def asof_join_window(
     value_col: str,
     mark_col,
     out_col: str = "asof_value",
+    tiebreak_cols: List[str] | None = None,
 ) -> DataFrame:
     """Same-frame as-of: for every row, the most recent prior
     ``value_col`` among rows where ``mark_col`` holds (e.g. 'last view
-    before this purchase by the same user')."""
+    before this purchase by the same user').  Pass ``tiebreak_cols`` to
+    make the ordering total when timestamps can tie -- without it the
+    ROWS frame membership for tied timestamps is shuffle-order
+    dependent."""
+    order = [ts_col] + list(tiebreak_cols or [])
     w = (
         Window.partitionBy(key)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carried = F.last(F.when(mark_col, F.col(value_col)), ignorenulls=True).over(w)

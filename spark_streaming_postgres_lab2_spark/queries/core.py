@@ -332,7 +332,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup is a hash shuffle on event_id with map-side partial dedup."""
     t = load_tables(spark, sf_dir, ["events"])
     doubled = t["events"].unionByName(t["events"])
-    deduped = dedup_exact(doubled, ["event_id"])
+    # full-row distinct matches the oracle's SELECT DISTINCT * exactly;
+    # key-based dropDuplicates would keep an engine-chosen row if an
+    # event_id ever repeated with different payloads
+    deduped = dedup_exact(doubled)
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("deduped_rows"),
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -661,6 +664,7 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="ts",
         mark_col=F.col("event_type") == "view",
         out_col="last_view_ts",
+        tiebreak_cols=["event_id"],  # total order even under ts ties
     ).filter(F.col("event_type") == "purchase")
     return attributed.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("purchases"),
@@ -678,7 +682,7 @@ ORACLE_ATTRIBUTION = """
 WITH attributed AS (
   SELECT user_id, ts, event_type,
          last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
   FROM events
 )

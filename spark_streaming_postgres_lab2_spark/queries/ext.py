@@ -53,9 +53,9 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROPS_JSON = """
 SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       round(sum(value * CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS weighted_value,
-       count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS high_k_count
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(sum(value * TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS weighted_value,
+       count(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) > 50 THEN 1 END) AS high_k_count
 FROM events
 GROUP BY event_type
 """
