@@ -926,6 +926,87 @@ QUALIFY rank <= 3
 """
 
 
+def q_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): per-type value sums melted back into
+    (event_type, total_value) rows -- the inverse of q_event_pivot."""
+    t = load_tables(spark, sf_dir, ["events"])
+    wide = (
+        t["events"]
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return wide.selectExpr(
+        "hour_of_day",
+        "stack(3, 'view', view, 'click', click, 'purchase', purchase) "
+        "AS (event_type, total_value)",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+         round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase
+  FROM events GROUP BY 1
+)
+SELECT hour_of_day, 'view' AS event_type, view AS total_value FROM wide
+UNION ALL SELECT hour_of_day, 'click', click FROM wide
+UNION ALL SELECT hour_of_day, 'purchase', purchase FROM wide
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` semantics).  The
+    approximate twin (percentile_approx / HLL-style sketches) is the
+    streaming-side mapping and is not oracle-comparable."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return t["events"].groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance and correlation of
+    value with the JSON k property, per event_type."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return (
+        t["events"]
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            F.round(F.var_samp("value"), 4).alias("value_var"),
+            F.round(F.corr("value", "k"), 4).alias("value_k_corr"),
+        )
+    )
+
+
+ORACLE_VALUE_STATS = """
+SELECT event_type,
+       round(stddev_samp(value), 4) AS value_stddev,
+       round(var_samp(value), 4) AS value_var,
+       round(corr(value, TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS value_k_corr
+FROM events
+GROUP BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("hourly_event_summary", q_hourly_event_summary, ORACLE_HOURLY,
@@ -978,4 +1059,10 @@ def specs() -> list[QuerySpec]:
                   "TPC-H Q7-shaped dual-dimension volume"),
         QuerySpec("customers_without_orders", q_customers_without_orders, ORACLE_NO_ORDERS,
                   "anti join (NOT EXISTS) per segment"),
+        QuerySpec("event_unpivot", q_event_unpivot, ORACLE_UNPIVOT,
+                  "unpivot via stack (inverse of event_pivot)"),
+        QuerySpec("value_percentiles", q_value_percentiles, ORACLE_PERCENTILES,
+                  "exact interpolated percentiles per type"),
+        QuerySpec("value_stats", q_value_stats, ORACLE_VALUE_STATS,
+                  "stddev/variance/correlation aggregates"),
     ]
