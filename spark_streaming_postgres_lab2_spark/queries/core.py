@@ -1007,6 +1007,87 @@ GROUP BY event_type
 """
 
 
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event sequences: collect -> sort -> slice ->
+    transform -> join into a path string.  collect_list alone is
+    shuffle-order-nondeterministic; sorting the collected structs makes
+    the result total-ordered and oracle-comparable."""
+    t = load_tables(spark, sf_dir, ["events"])
+    collected = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__seq")
+        )
+    )
+    first10 = F.slice(F.col("__seq"), 1, 10)
+    return collected.select(
+        "user_id",
+        F.concat_ws("->", F.transform(first10, lambda s: s["event_type"])).alias(
+            "first_10_events"
+        ),
+        F.size("__seq").alias("total_events"),
+    )
+
+
+ORACLE_EVENT_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS total_events
+  FROM events
+)
+SELECT user_id,
+       string_agg(CASE WHEN rn <= 10 THEN event_type END, '->' ORDER BY rn) AS first_10_events,
+       CAST(any_value(total_events) AS INTEGER) AS total_events
+FROM ranked
+GROUP BY user_id
+"""
+
+
+def q_order_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: per order-month, ship latency stats
+    (datediff), month boundaries (trunc/last_day)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    joined = t["lineitem"].join(
+        t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        joined.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("__m"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(
+                F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 2
+            ).alias("avg_ship_days"),
+            F.max(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))).alias(
+                "max_ship_days"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("__m")).alias("order_month_us"),
+            F.unix_micros(F.to_timestamp(F.last_day(F.col("__m")))).alias(
+                "month_end_us"
+            ),
+            "line_count",
+            "avg_ship_days",
+            "max_ship_days",
+        )
+    )
+
+
+ORACLE_DATE_MATH = """
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS order_month_us,
+       epoch_us(CAST(last_day(date_trunc('month', o_orderdate)) AS TIMESTAMP)) AS month_end_us,
+       count(*) AS line_count,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 2) AS avg_ship_days,
+       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_ship_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("hourly_event_summary", q_hourly_event_summary, ORACLE_HOURLY,
@@ -1065,4 +1146,8 @@ def specs() -> list[QuerySpec]:
                   "exact interpolated percentiles per type"),
         QuerySpec("value_stats", q_value_stats, ORACLE_VALUE_STATS,
                   "stddev/variance/correlation aggregates"),
+        QuerySpec("user_event_paths", q_user_event_paths, ORACLE_EVENT_PATHS,
+                  "ordered sequence aggregation (collect/sort/slice)"),
+        QuerySpec("order_date_math", q_order_date_math, ORACLE_DATE_MATH,
+                  "date arithmetic: ship-latency stats per month"),
     ]
