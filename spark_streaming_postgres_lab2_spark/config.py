@@ -142,6 +142,12 @@ class SparkConfig:
     master: str = field(default_factory=lambda: _env("SPARK_MASTER", "local[*]"))
     app_name: str = field(default_factory=lambda: _env("SPARK_APP_NAME", "lab2_spark_engine"))
     shuffle_partitions: int = field(default_factory=lambda: _env_int("SPARK_SHUFFLE_PARTITIONS", 32))
+    # scan granularity: partitions this size must fit executor memory
+    # comfortably; at 100 TB this knob (with shuffle_partitions) decides
+    # spill behaviour
+    max_partition_bytes: int = field(
+        default_factory=lambda: _env_int("SPARK_MAX_PARTITION_BYTES", 128 * 1024 * 1024)
+    )
     adaptive_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_AQE", True))
     session_timezone: str = field(default_factory=lambda: _env("SPARK_SESSION_TZ", "UTC"))
     arrow_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_ARROW", True))
