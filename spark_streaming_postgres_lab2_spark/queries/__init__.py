@@ -31,9 +31,9 @@ class QuerySpec:
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import core, ext
+    from . import advanced, core, ext
 
-    return core.specs() + ext.specs()
+    return core.specs() + advanced.specs() + ext.specs()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,450 @@
+"""Advanced OLAP inventory: the TPC-H shapes the reference's SQL
+surface implies but never reaches (correlated-min Q2, market-share Q8,
+profit Q9, top-supplier Q15, large-order Q18), a full window-function
+suite, set operations, array higher-order functions, and the string
+scalar surface.
+
+These exercise Catalyst's subquery decorrelation, window exec, and
+set-op planning -- all declarative, zero UDFs.  Money totals use the
+fixed-point recipe from queries.core.money_sum so double accumulation
+order can never flip a cent between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..sources.tables import load_tables, register_views
+from . import QuerySpec
+from .core import money_sum, sql_money_sum
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: correlated-min subquery (min-cost supplier per part).
+# Catalyst decorrelates the scalar subquery into an aggregate + join;
+# unit_price is a per-row double division (bit-identical across
+# engines), and MIN over doubles is order-free, so the equality
+# predicate is deterministic.
+# ---------------------------------------------------------------------------
+
+_MIN_COST_SQL = """
+WITH up AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+  FROM lineitem
+)
+SELECT p_brand,
+       count(*) AS min_cost_lines,
+       count(DISTINCT l_suppkey) AS distinct_suppliers
+FROM up u
+JOIN part ON p_partkey = u.l_partkey
+WHERE unit_price = (
+  SELECT min(u2.unit_price) FROM up u2 WHERE u2.l_partkey = u.l_partkey
+)
+GROUP BY p_brand
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: lineitem rows priced at their
+    part's minimum unit price, rolled up per brand."""
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(_MIN_COST_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit per supplier-nation per order-year.
+# ---------------------------------------------------------------------------
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup: revenue minus a retail-price cost
+    proxy (the fixtures carry no partsupp/supplycost), for parts whose
+    name contains 'red', grouped by supplier nation x order year.
+    lineitem x orders shuffles on orderkey; supplier/nation/part are
+    broadcast dimensions."""
+    t = load_tables(spark, sf_dir, ["nation", "supplier", "part", "orders", "lineitem"])
+    red_parts = t["part"].filter(F.col("p_name").contains("red"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            money_sum(amount).alias("profit"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+ORACLE_NATION_PROFIT = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {sql_money_sum(
+           "l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1",
+           "profit",
+       )},
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier nation per order year.
+# Both numerator and denominator are exact fixed-point BIGINT sums, so
+# the ratio is the division of two identical doubles on both engines.
+# ---------------------------------------------------------------------------
+
+_SHARE_NATION = "NATION_7"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_7 suppliers' slice of total
+    discounted revenue per order year (conditional aggregation over one
+    fact pass)."""
+    t = load_tables(spark, sf_dir, ["nation", "supplier", "orders", "lineitem"])
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == _SHARE_NATION, cents).otherwise(0)).alias(
+                "__nation_cents"
+            ),
+            F.sum(cents).alias("__total_cents"),
+        )
+        .select(
+            "o_year",
+            (F.col("__nation_cents") / F.lit(10000.0)).alias("nation_volume"),
+            (F.col("__total_cents") / F.lit(10000.0)).alias("total_volume"),
+            F.round(
+                F.col("__nation_cents").cast("double") / F.col("__total_cents"), 6
+            ).alias("market_share"),
+        )
+    )
+
+
+_CENTS = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)"
+
+ORACLE_MARKET_SHARE = f"""
+WITH per_year AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(sum(CASE WHEN n_name = '{_SHARE_NATION}' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS nation_cents,
+         CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT o_year,
+       nation_cents / 10000.0 AS nation_volume,
+       total_cents / 10000.0 AS total_volume,
+       round(CAST(nation_cents AS DOUBLE) / total_cents, 6) AS market_share
+FROM per_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue (HAVING = MAX).
+# ---------------------------------------------------------------------------
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) whose 1996-Q1 shipped revenue
+    equals the global maximum (deterministic: revenue is an exact
+    fixed-point sum, so the MAX-equality can't be split by rounding)."""
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {sql_money_sum("l_extendedprice * (1 - l_discount)", "total_rev")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-quantity orders (HAVING over an exact sum).
+# l_quantity is integral-valued, so the double sum is exact and the
+# threshold comparison is engine-independent.
+# ---------------------------------------------------------------------------
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds 300,
+    with customer attribution."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+ORACLE_BIG_ORDERS = """
+SELECT c_name,
+       o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window-function suite: ranking, ntile, lead/lag, running totals,
+# percent_rank -- one shuffle on o_custkey feeds every window.
+# Monetary running totals accumulate BIGINT cents: window SUM order is
+# frame-defined, but DuckDB's segment-tree windows re-associate double
+# addition, so only integer accumulation is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+def q_order_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: sequence number, quartile, previous
+    and next order value, running spend, percentile position."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.lag(cents).over(w).alias("prev_cents"),
+        F.lead(cents).over(w).alias("next_cents"),
+        F.sum(cents).over(running).alias("running_cents"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+ORACLE_WINDOW_SUITE = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+       lag(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS prev_cents,
+       lead(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS next_cents,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT with distinct semantics.
+# ---------------------------------------------------------------------------
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segmentation via set algebra: purchasers vs viewers
+    (INTERSECT and both EXCEPT directions, distinct semantics)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+            "segment", F.lit(label)
+        )
+
+    return (
+        count_as(purch.intersect(views), "purchase_and_view")
+        .unionByName(count_as(views.subtract(purch), "view_only"))
+        .unionByName(count_as(purch.subtract(views), "purchase_only"))
+        .select("segment", "n_users")
+    )
+
+
+ORACLE_SET_OPS = """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+     v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL)
+SELECT 'purchase_and_view' AS segment, count(*) AS n_users FROM (SELECT * FROM p INTERSECT SELECT * FROM v)
+UNION ALL
+SELECT 'view_only', count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+UNION ALL
+SELECT 'purchase_only', count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions over document tokens (aggregate /
+# exists / filter) -- all codegen'd Column expressions, no UDFs.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-shape stats via array HOFs: mean token length
+    (aggregate), documents containing any >12-char token (exists),
+    average count of >8-char tokens (filter + size)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = TX.tokens("text")
+    tok_len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_tok_len = tok_len_sum.cast("double") / F.size(toks)
+    has_long = F.exists(toks, lambda x: F.length(x) > 12)
+    n_long8 = F.size(F.filter(toks, lambda x: F.length(x) > 8))
+    return (
+        t["documents"]
+        .select(
+            "source",
+            mean_tok_len.alias("__mean_tok_len"),
+            has_long.alias("__has_long"),
+            n_long8.alias("__n_long8"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__mean_tok_len"), 4).alias("avg_token_len"),
+            F.count(F.when(F.col("__has_long"), 1)).alias("docs_with_long_token"),
+            F.round(F.avg("__n_long8"), 4).alias("avg_long8_tokens"),
+        )
+    )
+
+
+ORACLE_DOC_HOF = """
+WITH feats AS (
+  SELECT source,
+         CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_tok_len,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 12)) > 0 AS has_long,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 8)) AS n_long8
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(mean_tok_len), 4) AS avg_token_len,
+       count(CASE WHEN has_long THEN 1 END) AS docs_with_long_token,
+       round(avg(n_long8), 4) AS avg_long8_tokens
+FROM feats
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# String scalar surface: case, substring, padding, replace, LIKE.
+# ---------------------------------------------------------------------------
+
+
+def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite over part: prefix dedup, length stats,
+    padded keys, pattern counts, normalized concatenation."""
+    t = load_tables(spark, sf_dir, ["part"])
+    return (
+        t["part"]
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct(F.upper(F.substring("p_type", 1, 8))).alias(
+                "distinct_type_prefixes"
+            ),
+            F.max(F.length("p_name")).alias("max_name_len"),
+            F.min(F.lpad(F.col("p_size").cast("string"), 3, "0")).alias(
+                "min_size_padded"
+            ),
+            F.count(F.when(F.col("p_name").like("%red%"), 1)).alias("red_parts"),
+            F.max(F.concat_ws("#", F.col("p_brand"), F.replace(F.col("p_name"), F.lit(" "), F.lit("_")))).alias(
+                "max_brand_key"
+            ),
+        )
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT p_brand,
+       count(*) AS n_parts,
+       count(DISTINCT upper(substring(p_type, 1, 8))) AS distinct_type_prefixes,
+       CAST(max(length(p_name)) AS INTEGER) AS max_name_len,
+       min(lpad(CAST(p_size AS VARCHAR), 3, '0')) AS min_size_padded,
+       count(CASE WHEN p_name LIKE '%red%' THEN 1 END) AS red_parts,
+       max(concat_ws('#', p_brand, replace(p_name, ' ', '_'))) AS max_brand_key
+FROM part
+GROUP BY p_brand
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
+                  "TPC-H Q2-shaped correlated-min subquery"),
+        QuerySpec("nation_profit", q_nation_profit, ORACLE_NATION_PROFIT,
+                  "TPC-H Q9-shaped profit per nation x year"),
+        QuerySpec("market_share", q_market_share, ORACLE_MARKET_SHARE,
+                  "TPC-H Q8-shaped conditional-ratio market share"),
+        QuerySpec("top_supplier", q_top_supplier, ORACLE_TOP_SUPPLIER,
+                  "TPC-H Q15-shaped HAVING = MAX scalar subquery"),
+        QuerySpec("big_orders", q_big_orders, ORACLE_BIG_ORDERS,
+                  "TPC-H Q18-shaped HAVING threshold + join-back"),
+        QuerySpec("order_window_suite", q_order_window_suite, ORACLE_WINDOW_SUITE,
+                  "window suite: rank/ntile/lag/lead/running/percent_rank"),
+        QuerySpec("user_set_ops", q_user_set_ops, ORACLE_SET_OPS,
+                  "INTERSECT/EXCEPT audience segmentation"),
+        QuerySpec("doc_hof_stats", q_doc_hof_stats, ORACLE_DOC_HOF,
+                  "array HOFs: aggregate/exists/filter over tokens"),
+        QuerySpec("part_string_funcs", q_part_string_funcs, ORACLE_STRING_FUNCS,
+                  "string scalar suite over part"),
+    ]
