@@ -293,15 +293,51 @@ def minhash_near_dupes(
         tokens(text_col).alias("__toks"),
         shingle_hashes(text_col).alias("__sh"),
     ).localCheckpoint(eager=False)
-    sigs = base.select(
-        "doc_id",
-        minhash_signature_from_hashes(F.col("__sh"), num_hashes).alias("__sig"),
+    # Signature via explode + grouped MIN aggregation instead of
+    # num_hashes interpreted array traversals per row: the affine
+    # re-hashes are codegen'd JVM arithmetic and the mins combine
+    # map-side, so the doc_id shuffle carries only num_hashes longs per
+    # doc.  Same plan lesson as SimHash (NOTES.md): per-element HOF
+    # allocation swamps the saved shuffle by >10x.  Values are
+    # identical to the array formulation (same wrapping multiply).
+    # Docs with no shingles (shorter than the shingle width) simply
+    # produce no LSH candidates -- the quadratic all-null band bucket
+    # the array formulation created for them is exactly the skew blob
+    # we must avoid at scale.
+    mins = (
+        base.select("doc_id", F.explode(F.col("__sh")).alias("__h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.col("__h") * F.lit(_MINHASH_A[i]).cast("long")
+                    + F.lit(_MINHASH_B[i]).cast("long")
+                ).alias(f"__m{i}")
+                for i in range(num_hashes)
+            ]
+        )
     )
     # Band WITHOUT payload columns: only (doc_id, band, band_hash) goes
-    # through the bucket shuffle.
-    banded = sigs.select(
+    # through the bucket shuffle.  band_hash = xxhash64 over the band's
+    # min columns (identical values to hashing the signature array).
+    banded = mins.select(
         "doc_id",
-        F.explode(lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)).alias("__bk"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"__m{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("__bk"),
     ).select(
         "doc_id",
         F.col("__bk.band").alias("band"),
