@@ -53,7 +53,14 @@ BENCH_QUERIES = [
     "user_set_ops",
     "doc_hof_stats",
     "part_string_funcs",
+    "hourly_gapfill",
+    "rolling_7d_revenue",
+    "latest_event_per_user",
+    "doc_regex_extract",
     # LLM-pipeline extensions
+    "simhash_near_dup",
+    "approx_distinct_users",
+    "stratified_sample",
     "props_json",
     "doc_quality",
     "doc_fingerprints",

@@ -614,3 +614,60 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dupes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup detection: band the 64-bit fingerprint into
+    ``num_bands`` equal slices, bucket-join on (band, slice value),
+    then verify candidates by exact Hamming distance.
+
+    Recall note: a clean band is guaranteed only when the Hamming
+    distance is below ``num_bands`` (pigeonhole); beyond that the
+    banding is probabilistic, which is the standard SimHash-LSH
+    trade-off.  Scale: one fingerprint shuffle + one bucket join --
+    never O(n^2).
+    """
+    bits = 64 // num_bands
+    mask = (1 << bits) - 1
+    fp = simhash64(docs, id_col, text_col).localCheckpoint(eager=False)
+    banded = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.val").alias("val"))
+    candidates = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_id_1"),
+            F.col("r.doc_id").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    fp1 = fp.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("__s1"))
+    fp2 = fp.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("__s2"))
+    return (
+        candidates.join(fp1, "doc_id_1")
+        .join(fp2, "doc_id_2")
+        .withColumn("hamming", hamming64(F.col("__s1"), F.col("__s2")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )

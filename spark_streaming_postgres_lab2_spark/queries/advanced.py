@@ -427,6 +427,170 @@ GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: generate the full hour spine (sequence +
+# explode), left-join the sparse aggregate, coalesce the holes.
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly error-event series: every hour between the
+    first and last error appears exactly once, empty hours as 0."""
+    t = load_tables(spark, sf_dir, ["events"])
+    errors = t["events"].filter(F.col("event_type") == "error")
+    bounds = errors.agg(
+        F.date_trunc("hour", F.min("ts")).alias("__h0"),
+        F.date_trunc("hour", F.max("ts")).alias("__h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("__h0"), F.col("__h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("__hour")
+    )
+    hourly = errors.groupBy(F.date_trunc("hour", F.col("ts")).alias("__hour")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.sum("value"), 2).alias("__v"),
+    )
+    return spine.join(hourly, "__hour", "left").select(
+        F.unix_micros("__hour").alias("hour_us"),
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_errors"),
+        F.coalesce(F.col("__v"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+ORACLE_GAPFILL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events WHERE event_type = 'error'
+),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(sum(value), 2) AS v
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT epoch_us(s.hour) AS hour_us,
+       coalesce(n, 0) AS n_errors,
+       coalesce(v, 0.0) AS total_value
+FROM spine s LEFT JOIN hourly h ON s.hour = h.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling range-interval window: 7-day trailing revenue over the daily
+# aggregate.  The window runs over the (small) per-day rollup, not the
+# fact table; cents accumulate as BIGINT because DuckDB's segment-tree
+# window re-associates double addition.
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 7-day trailing window (RANGE over a
+    day index, so missing days genuinely shrink the window)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        t["orders"]
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("__day"))
+        .agg(F.sum(cents).alias("__day_cents"))
+        .withColumn(
+            "__day_idx",
+            F.datediff(F.col("__day").cast("date"), F.lit("1995-01-01").cast("date")),
+        )
+    )
+    w = Window.orderBy("__day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        F.unix_micros(F.col("__day").cast("timestamp")).alias("day_us"),
+        (F.col("__day_cents") / F.lit(100.0)).alias("day_revenue"),
+        (F.sum("__day_cents").over(w) / F.lit(100.0)).alias("rolling_7d_revenue"),
+    )
+
+
+ORACLE_ROLLING_7D = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(day) AS day_us,
+       day_cents / 100.0 AS day_revenue,
+       CAST(sum(day_cents) OVER (
+         ORDER BY date_diff('day', DATE '1995-01-01', CAST(day AS DATE))
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS rolling_7d_revenue
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed arg-max: latest event per user via MAX over a struct.
+# Partial-aggregates map-side (one row per user per partition enters
+# the shuffle) -- strictly cheaper than the row_number window, which
+# shuffles every event.  The oracle uses the window formulation; they
+# agree because (ts, event_id) totally orders each user's events.
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent event per user (struct-max arg-max pattern)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    last = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value"))
+    ).alias("__last")
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("__last.ts")).alias("last_ts_us"),
+            F.col("__last.event_id").alias("last_event_id"),
+            F.col("__last.event_type").alias("last_event_type"),
+            F.round(F.col("__last.value"), 2).alias("last_value"),
+        )
+    )
+
+
+ORACLE_LATEST_EVENT = """
+SELECT user_id,
+       epoch_us(ts) AS last_ts_us,
+       event_id AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar surface: extraction groups, match counting, global
+# replacement.  NOTE: Spark regexp_replace is global by default;
+# DuckDB needs the explicit 'g' flag.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level regex features per document: first s-word (capture
+    group), 'sc*' match count, length after global replacement."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_count("text", F.lit("sc[a-z]*")).cast("int").alias("n_sc_words"),
+        F.length(F.regexp_replace("text", "table", "TBL")).alias("replaced_len"),
+    )
+
+
+ORACLE_REGEX_EXTRACT = r"""
+SELECT doc_id,
+       regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word,
+       CAST(len(regexp_extract_all(text, 'sc[a-z]*')) AS INTEGER) AS n_sc_words,
+       CAST(length(regexp_replace(text, 'table', 'TBL', 'g')) AS INTEGER) AS replaced_len
+FROM documents
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -447,4 +611,12 @@ def specs() -> list[QuerySpec]:
                   "array HOFs: aggregate/exists/filter over tokens"),
         QuerySpec("part_string_funcs", q_part_string_funcs, ORACLE_STRING_FUNCS,
                   "string scalar suite over part"),
+        QuerySpec("hourly_gapfill", q_hourly_gapfill, ORACLE_GAPFILL,
+                  "time-series gap-fill via sequence spine"),
+        QuerySpec("rolling_7d_revenue", q_rolling_7d_revenue, ORACLE_ROLLING_7D,
+                  "7-day trailing RANGE window over daily rollup"),
+        QuerySpec("latest_event_per_user", q_latest_event_per_user, ORACLE_LATEST_EVENT,
+                  "distributed arg-max (struct MAX) vs window oracle"),
+        QuerySpec("doc_regex_extract", q_doc_regex_extract, ORACLE_REGEX_EXTRACT,
+                  "regex extract/count/replace scalar surface"),
     ]

@@ -266,6 +266,53 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(t["documents"]).orderBy("doc_id")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs with exact Hamming verification
+    (completes the dedup family: exact / MinHash / SimHash / n-gram /
+    embedding).  Rows-only: hash-seeded."""
+    from ..functions.similarity import simhash_near_dupes
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash_near_dupes(t["documents"], max_hamming=8).orderBy(
+        "doc_id_1", "doc_id_2"
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (the streaming-scale mapping
+    of COUNT(DISTINCT)) side-by-side with the exact count.  Rows-only:
+    sketch estimates are engine-specific; the <5% relative error is
+    asserted in tests."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling via sampleBy (per-stratum Bernoulli, seeded
+    and deterministic for a given Spark build; rows-only).  Returns
+    per-stratum sampled counts; expected-fraction tolerance is
+    asserted in tests."""
+    t = load_tables(spark, sf_dir, ["events"])
+    fractions = {"view": 0.1, "click": 0.2, "purchase": 0.5, "signup": 0.5, "error": 0.05}
+    sample = t["events"].sampleBy("event_type", fractions, seed=42)
+    return (
+        sample.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_rows"),
+            F.round(F.sum("value"), 2).alias("sampled_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 
@@ -442,6 +489,12 @@ def specs() -> list[QuerySpec]:
                   "LSH pairs -> connected components -> cluster sizes"),
         QuerySpec("simhash", q_simhash, None,
                   "64-bit SimHash fingerprints (rows-only)"),
+        QuerySpec("simhash_near_dup", q_simhash_near_dup, None,
+                  "SimHash-banded near-dup + Hamming verify (rows-only)"),
+        QuerySpec("approx_distinct_users", q_approx_distinct_users, None,
+                  "HLL++ approx distinct vs exact (rows-only)"),
+        QuerySpec("stratified_sample", q_stratified_sample, None,
+                  "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
                   "array math: per-label norms"),
         QuerySpec("similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK,
