@@ -42,7 +42,16 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return physical_plan(df).count("Exchange")
+    """Number of shuffle exchanges (broadcast exchanges excluded).
+    Counted on the simple-mode plan: formatted mode lists every node
+    twice (tree + details), which double-counts."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
@@ -50,6 +59,21 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
-    """Map-side combine present (HashAggregate appears in partial +
-    final pairs)."""
-    return physical_plan(df).count("HashAggregate") >= 2
+    """Map-side combine present: paired partial/final aggregates.
+    Hash-based aggs appear as HashAggregate pairs; aggregates over
+    struct/complex buffers (e.g. MAX(struct)) fall back to
+    SortAggregate/ObjectHashAggregate but still combine map-side,
+    which the formatted plan marks with partial_* functions."""
+    if physical_plan(df).count("HashAggregate") >= 2:
+        return True
+    return "partial_" in _formatted_plan(df)
+
+
+def _formatted_plan(df: DataFrame) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
