@@ -94,6 +94,12 @@ class StreamingConfig:
     late_arrival_threshold_minutes: int = field(
         default_factory=lambda: _env_int("STREAM_LATE_THRESHOLD_MINUTES", 5)
     )
+    # "hdfs" (default in-memory+DFS provider) or "rocksdb": at large
+    # dedup/session state the RocksDB provider keeps state off-heap and
+    # incremental-checkpoints changelogs instead of full snapshots
+    state_store_provider: str = field(
+        default_factory=lambda: _env("STREAM_STATE_STORE", "hdfs")
+    )
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)

@@ -273,7 +273,11 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import simhash_near_dupes
 
     t = load_tables(spark, sf_dir, ["documents"])
-    return simhash_near_dupes(t["documents"], max_hamming=8).orderBy(
+    # hamming <= 4: just past the pigeonhole-guaranteed recall bound
+    # (num_bands=4 finds every pair under 4 bit errors); the fixture
+    # corpus is a small-vocabulary word soup, so looser thresholds
+    # degenerate into quadratic pair counts
+    return simhash_near_dupes(t["documents"], max_hamming=4).orderBy(
         "doc_id_1", "doc_id_2"
     )
 

@@ -72,6 +72,19 @@ class StreamingPipeline:
         return enriched
 
     def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:
+        if self.config.state_store_provider == "rocksdb":
+            # off-heap state + changelog checkpointing: the scale path
+            # for watermarked dedup state (millions of in-flight keys
+            # per partition would blow the default in-memory provider)
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
         writer = (
             self.transformed_stream(dedup)
             .writeStream.foreachBatch(self.router)

@@ -179,3 +179,37 @@ def test_invalid_copy_does_not_consume_dedup_state(spark, tmp_path):
     dlq = spark.read.parquet(f"{tmp_path}/out/dead_letter_events")
     assert events.count() == 1  # corrected copy landed
     assert dlq.count() == 1     # corrupted copy dead-lettered
+
+
+def test_rocksdb_state_store_dedup(spark, tmp_path):
+    """The RocksDB state-store provider (the large-state scale path)
+    carries the same dedup semantics as the default provider."""
+    input_dir = tmp_path / "in"
+    gen = EventGenerator(seed=11, anomaly_rate=0.0, now=NOW)
+    batch = gen.generate_batch(40)
+    gen.write_csv(batch, str(input_dir), "a.csv")
+    gen.write_csv(batch, str(input_dir), "b.csv")  # exact duplicate file
+
+    cfg = StreamingConfig(
+        input_path=str(input_dir),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out"),
+        max_files_per_trigger=10,
+        state_store_provider="rocksdb",
+    )
+    try:
+        pipe = build_pipeline(spark, cfg)
+        q = pipe.start(trigger_once=True)
+        q.awaitTermination(120)
+        assert "RocksDB" in spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        events = spark.read.parquet(f"{tmp_path}/out/ecommerce_events")
+        assert events.count() == 40
+        assert events.select("event_id").distinct().count() == 40
+    finally:
+        # reset for other tests sharing the session fixture
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
