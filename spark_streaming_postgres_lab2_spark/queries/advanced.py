@@ -591,6 +591,29 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# NOT IN subquery: Catalyst plans this as a null-aware anti join
+# (distinct from the EXISTS/left-anti path of customers_without_orders
+# -- NOT IN must reject everything when the subquery yields a NULL).
+# ---------------------------------------------------------------------------
+
+_NOT_IN_SQL = """
+SELECT p_brand, count(*) AS never_shipped_parts
+FROM part
+WHERE p_partkey NOT IN (
+  SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+)
+GROUP BY p_brand
+"""
+
+
+def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped NOT IN: parts with no shipments since 2000,
+    per brand (null-aware anti join)."""
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(_NOT_IN_SQL)
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -619,4 +642,6 @@ def specs() -> list[QuerySpec]:
                   "distributed arg-max (struct MAX) vs window oracle"),
         QuerySpec("doc_regex_extract", q_doc_regex_extract, ORACLE_REGEX_EXTRACT,
                   "regex extract/count/replace scalar surface"),
+        QuerySpec("parts_never_shipped", q_parts_never_shipped, _NOT_IN_SQL,
+                  "NOT IN null-aware anti join per brand"),
     ]
