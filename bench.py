@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "user_set_ops",
     "doc_hof_stats",
     "part_string_funcs",
+    "parts_never_shipped",
+    "top_spenders_lateral",
     "hourly_gapfill",
     "rolling_7d_revenue",
     "latest_event_per_user",

@@ -614,6 +614,33 @@ def q_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NOT_IN_SQL)
 
 
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: per outer row, a dependent table
+# expression (top-2 spenders per nation).  Catalyst decorrelates the
+# LATERAL into a ranked window join -- the remaining subquery shape
+# not covered by the correlated-scalar / EXISTS / NOT IN queries.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n_name, t.c_custkey, t.total_spend
+FROM nation, LATERAL (
+  SELECT c.c_custkey,
+         CAST(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n_nationkey
+  GROUP BY c.c_custkey
+  ORDER BY total_spend DESC, c.c_custkey
+  LIMIT 2
+) t
+"""
+
+
+def q_top_spenders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 spenders per nation via a LATERAL correlated subquery."""
+    register_views(spark, sf_dir, ["nation", "customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -644,4 +671,6 @@ def specs() -> list[QuerySpec]:
                   "regex extract/count/replace scalar surface"),
         QuerySpec("parts_never_shipped", q_parts_never_shipped, _NOT_IN_SQL,
                   "NOT IN null-aware anti join per brand"),
+        QuerySpec("top_spenders_lateral", q_top_spenders_lateral, _LATERAL_SQL,
+                  "LATERAL correlated subquery: top-2 spenders per nation"),
     ]

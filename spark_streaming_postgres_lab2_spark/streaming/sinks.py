@@ -53,10 +53,13 @@ def write_partitioned_events(df: DataFrame, path: str, mode: str = "overwrite") 
     hour-ranged scans skip row groups inside each date directory --
     the second index level, for free (no extra shuffle; the sort is
     per-task)."""
+    sort_cols = [
+        c
+        for c in ("event_year", "event_month", "event_day", "event_hour", "event_type")
+        if c in df.columns
+    ]
     (
-        df.sortWithinPartitions(
-            "event_year", "event_month", "event_day", "event_hour", "event_type"
-        )
+        df.sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         .partitionBy("event_year", "event_month", "event_day")
         .parquet(path)
