@@ -267,6 +267,7 @@ def minhash_near_dupes(
     num_hashes: int = 32,
     num_bands: int = 8,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline.
 
@@ -276,7 +277,14 @@ def minhash_near_dupes(
 
     Scale: the only shuffles are the band-bucket join (keyed on a
     64-bit hash, uniformly distributed) and the candidate distinct;
-    no O(n^2) stage exists anywhere.
+    no O(n^2) stage exists anywhere -- unless the corpus is
+    mass-duplicated, where one bucket legitimately holds every copy of
+    a boilerplate document and the self-join is quadratic in that
+    copy count.  ``max_bucket_size`` (default None = exact semantics)
+    drops buckets above the cap; use it when the corpus has known
+    mega-duplicate clusters and pair-level completeness inside them
+    doesn't matter (dedup-by-cluster only needs a spanning set of
+    pairs, not all of them).
     """
     if num_hashes % num_bands != 0:
         raise ValueError(
@@ -343,6 +351,14 @@ def minhash_near_dupes(
         F.col("__bk.band").alias("band"),
         F.col("__bk.band_hash").alias("band_hash"),
     )
+    if max_bucket_size is not None:
+        small_buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        banded = banded.join(small_buckets, ["band", "band_hash"], "left_semi")
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "band_hash"])
@@ -411,10 +427,14 @@ def embedding_near_dupes_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     n_planes: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: random-hyperplane bucket ->
     within-bucket self-join -> exact cosine verify.  One shuffle on the
-    bucket key; candidate count is linear for hash-uniform buckets."""
+    bucket key; candidate count is linear for hash-uniform buckets.
+    ``max_bucket_size`` (default None) drops degenerate buckets --
+    e.g. a mass-duplicated embedding puts every copy in one bucket and
+    the self-join is quadratic in the copy count."""
     first = emb.select(F.size(F.col(vec_col)).alias("__d")).first()
     if first is not None and first["__d"] is not None and first["__d"] > _HYPERPLANE_DIM:
         raise ValueError(
@@ -426,6 +446,14 @@ def embedding_near_dupes_lsh(
         F.col(vec_col).alias("vec"),
         random_hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        small = (
+            keyed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        keyed = keyed.join(small, "bucket", "left_semi")
     left = keyed.select(
         "bucket", F.col("vid").alias("vec_id_1"), F.col("vec").alias("__v1")
     )
@@ -622,6 +650,7 @@ def simhash_near_dupes(
     text_col: str = "text",
     max_hamming: int = 8,
     num_bands: int = 4,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """SimHash near-dup detection: band the 64-bit fingerprint into
     ``num_bands`` equal slices, bucket-join on (band, slice value),
@@ -631,7 +660,13 @@ def simhash_near_dupes(
     distance is below ``num_bands`` (pigeonhole); beyond that the
     banding is probabilistic, which is the standard SimHash-LSH
     trade-off.  Scale: one fingerprint shuffle + one bucket join --
-    never O(n^2).
+    never O(n^2) *provided buckets stay bounded*.  On degenerate
+    corpora (tiny vocabulary, near-identical fingerprints) a single
+    bucket can hold a large fraction of the corpus and the self-join
+    re-creates the quadratic blob; ``max_bucket_size`` drops those
+    buckets -- an oversized bucket means that band slice carries no
+    discriminating information, the standard LSH mitigation.  Set
+    ``None`` to disable (exact banding semantics).
     """
     bits = 64 // num_bands
     mask = (1 << bits) - 1
@@ -652,6 +687,14 @@ def simhash_near_dupes(
             )
         ).alias("__bk"),
     ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.val").alias("val"))
+    if max_bucket_size is not None:
+        small_buckets = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
+        banded = banded.join(small_buckets, ["band", "val"], "left_semi")
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "val"])

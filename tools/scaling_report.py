@@ -8,6 +8,7 @@ Usage: python tools/scaling_report.py [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -25,6 +26,9 @@ DEFAULT_QUERIES = [
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+# optional extra scale step (e.g. /tmp/sf1 from tools/make_sfN.py)
+if os.environ.get("SPARK_GRAFT_EXTRA_SF"):
+    SFS.append(os.environ["SPARK_GRAFT_EXTRA_SF"])
 
 
 def main() -> None:
@@ -37,19 +41,21 @@ def main() -> None:
     qs = entrymod.queries()
     qs["tpch_q1"](spark, SFS[0]).write.format("noop").mode("overwrite").save()  # warm
 
-    print(f"{'query':26s} {'sf0.001':>9s} {'sf0.01':>9s} {'sf0.1':>9s} {'x10 ratio':>10s} {'x100 ratio':>10s}")
+    labels = [sf.rstrip("/").rsplit("/", 1)[-1] for sf in SFS]
+    header = f"{'query':26s}" + "".join(f" {lab:>9s}" for lab in labels)
+    header += "".join(f" {'step x' + str(i + 1):>9s}" for i in range(len(SFS) - 1))
+    print(header + "   (each step = 10x data; ratio ~<=10x is linear-or-better)")
     for name in only:
         times = []
         for sf in SFS:
             t0 = time.time()
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
-        r10 = times[1] / times[0] if times[0] else float("nan")
-        r100 = times[2] / times[0] if times[0] else float("nan")
-        print(
-            f"{name:26s} {times[0]:8.2f}s {times[1]:8.2f}s {times[2]:8.2f}s "
-            f"{r10:9.1f}x {r100:9.1f}x"
-        )
+        row = f"{name:26s}" + "".join(f" {t:8.2f}s" for t in times)
+        for i in range(len(times) - 1):
+            ratio = times[i + 1] / times[i] if times[i] else float("nan")
+            row += f" {ratio:8.1f}x"
+        print(row)
 
 
 if __name__ == "__main__":
