@@ -157,7 +157,10 @@ class SparkConfig:
     adaptive_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_AQE", True))
     session_timezone: str = field(default_factory=lambda: _env("SPARK_SESSION_TZ", "UTC"))
     arrow_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_ARROW", True))
-    driver_memory: str = field(default_factory=lambda: _env("SPARK_DRIVER_MEMORY", ""))
+    # in local[*] mode the executors run INSIDE the driver JVM, so this
+    # is the entire engine's heap -- Spark's 1g default starves any
+    # broadcast build or wide aggregation once data passes ~sf0.1
+    driver_memory: str = field(default_factory=lambda: _env("SPARK_DRIVER_MEMORY", "16g"))
     ui_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_UI", False))
 
     def to_dict(self) -> dict[str, Any]:
