@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "big_orders",
     "order_window_suite",
     "user_set_ops",
+    "user_set_ops_all",
     "doc_hof_stats",
     "part_string_funcs",
     "parts_never_shipped",

@@ -319,6 +319,37 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set algebra (INTERSECT ALL / EXCEPT ALL): event
+    multiplicity survives, so the counts weigh repeat behaviour."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("user_id").isNotNull())
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+
+    def count_as(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).withColumn(
+            "segment", F.lit(label)
+        )
+
+    return (
+        count_as(purch.intersectAll(views), "purchase_intersect_all_view")
+        .unionByName(count_as(views.exceptAll(purch), "view_except_all_purchase"))
+        .select("segment", "n_rows")
+    )
+
+
+ORACLE_SET_OPS_ALL = """
+WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+     v AS (SELECT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL)
+SELECT 'purchase_intersect_all_view' AS segment, count(*) AS n_rows
+FROM (SELECT * FROM p INTERSECT ALL SELECT * FROM v)
+UNION ALL
+SELECT 'view_except_all_purchase', count(*)
+FROM (SELECT * FROM v EXCEPT ALL SELECT * FROM p)
+"""
+
+
 ORACLE_SET_OPS = """
 WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
      v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view' AND user_id IS NOT NULL)
@@ -657,6 +688,8 @@ def specs() -> list[QuerySpec]:
                   "window suite: rank/ntile/lag/lead/running/percent_rank"),
         QuerySpec("user_set_ops", q_user_set_ops, ORACLE_SET_OPS,
                   "INTERSECT/EXCEPT audience segmentation"),
+        QuerySpec("user_set_ops_all", q_user_set_ops_all, ORACLE_SET_OPS_ALL,
+                  "INTERSECT ALL/EXCEPT ALL bag semantics"),
         QuerySpec("doc_hof_stats", q_doc_hof_stats, ORACLE_DOC_HOF,
                   "array HOFs: aggregate/exists/filter over tokens"),
         QuerySpec("part_string_funcs", q_part_string_funcs, ORACLE_STRING_FUNCS,

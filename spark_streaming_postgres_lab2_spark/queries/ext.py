@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.multimodal import decode_features, synthesize_media
+from ..functions.multimodal import (
+    decode_features,
+    frame_sample,
+    resize_stub,
+    synthesize_media,
+)
 from ..functions.similarity import (
     cosine,
     cosine_topk,
@@ -471,6 +476,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (mapInPandas,
+    Arrow-batched): per media row, sampled-frame count + byte stats.
+    Rows-only (the codec is a byte-stride stand-in; the Spark-side
+    schema/batching contract is the real part)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_media(t["documents"])
+    frames = frame_sample(media, every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        F.size("frames").alias("n_frames"),
+        F.aggregate("frames", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "frame_byte_sum"
+        ),
+    ).orderBy("media_id")
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (binary in -> fixed-size binary out inside
+    mapInPandas): output payload sizes must be exactly target_bytes.
+    Rows-only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_media(t["documents"])
+    resized = resize_stub(media, target_bytes=256)
+    return (
+        resized.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min(F.octet_length("content")).cast("long").alias("min_bytes"),
+            F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("props_json", q_props_json, ORACLE_PROPS_JSON,
@@ -513,4 +553,8 @@ def specs() -> list[QuerySpec]:
                   "binary media metadata rollup"),
         QuerySpec("multimodal_features", q_multimodal_features, None,
                   "Arrow-batched pseudo-decode (rows-only)"),
+        QuerySpec("multimodal_frames", q_multimodal_frames, None,
+                  "frame-sampling plumbing over binary payloads (rows-only)"),
+        QuerySpec("multimodal_resize", q_multimodal_resize, None,
+                  "resize plumbing: fixed-size binary out (rows-only)"),
     ]
