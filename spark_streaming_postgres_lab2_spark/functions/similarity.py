@@ -281,10 +281,10 @@ def minhash_near_dupes(
     mass-duplicated, where one bucket legitimately holds every copy of
     a boilerplate document and the self-join is quadratic in that
     copy count.  ``max_bucket_size`` (default None = exact semantics)
-    drops buckets above the cap; use it when the corpus has known
-    mega-duplicate clusters and pair-level completeness inside them
-    doesn't matter (dedup-by-cluster only needs a spanning set of
-    pairs, not all of them).
+    degrades buckets above the cap to a spanning chain of adjacent-id
+    pairs (_cap_buckets): duplicate clusters stay connected for
+    connected-components dedup, candidate count stays linear; only
+    pair-level completeness inside the blob is given up.
     """
     if num_hashes % num_bands != 0:
         raise ValueError(
@@ -351,14 +351,11 @@ def minhash_near_dupes(
         F.col("__bk.band").alias("band"),
         F.col("__bk.band_hash").alias("band_hash"),
     )
+    chain = None
     if max_bucket_size is not None:
-        small_buckets = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
+        banded, chain = _cap_buckets(
+            banded, ["band", "band_hash"], "doc_id", max_bucket_size
         )
-        banded = banded.join(small_buckets, ["band", "band_hash"], "left_semi")
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "band_hash"])
@@ -367,8 +364,10 @@ def minhash_near_dupes(
             F.col("l.doc_id").alias("doc_id_1"),
             F.col("r.doc_id").alias("doc_id_2"),
         )
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
+    if chain is not None:
+        candidates = candidates.unionByName(chain)
+    candidates = candidates.dropDuplicates(["doc_id_1", "doc_id_2"])
     # Exact-Jaccard verification only on the (small) candidate set:
     # join token arrays back by id.
     toks = base.select("doc_id", "__toks")
@@ -432,9 +431,10 @@ def embedding_near_dupes_lsh(
     """Embedding-cosine near-dup at scale: random-hyperplane bucket ->
     within-bucket self-join -> exact cosine verify.  One shuffle on the
     bucket key; candidate count is linear for hash-uniform buckets.
-    ``max_bucket_size`` (default None) drops degenerate buckets --
-    e.g. a mass-duplicated embedding puts every copy in one bucket and
-    the self-join is quadratic in the copy count."""
+    ``max_bucket_size`` (default None) degrades degenerate buckets --
+    e.g. every copy of a mass-duplicated embedding lands in one bucket
+    -- to a spanning chain of adjacent-id pairs (_cap_buckets), keeping
+    the copies connected while the self-join stays linear."""
     first = emb.select(F.size(F.col(vec_col)).alias("__d")).first()
     if first is not None and first["__d"] is not None and first["__d"] > _HYPERPLANE_DIM:
         raise ValueError(
@@ -446,27 +446,51 @@ def embedding_near_dupes_lsh(
         F.col(vec_col).alias("vec"),
         random_hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
+    chain = None
     if max_bucket_size is not None:
-        small = (
-            keyed.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-        keyed = keyed.join(small, "bucket", "left_semi")
+        keyed, chain = _cap_buckets(keyed, ["bucket"], "vid", max_bucket_size)
     left = keyed.select(
         "bucket", F.col("vid").alias("vec_id_1"), F.col("vec").alias("__v1")
     )
     right = keyed.select(
         "bucket", F.col("vid").alias("vec_id_2"), F.col("vec").alias("__v2")
     )
-    return (
+    scored = (
         left.join(right, "bucket")
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
+        .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+    )
+    if chain is not None:
+        # chain pairs lost their payloads in _cap_buckets: re-attach
+        # vectors by id before verification
+        vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+        chain_scored = (
+            chain.select(
+                F.col("vid_1").alias("vec_id_1"), F.col("vid_2").alias("vec_id_2")
+            )
+            .join(
+                vecs.select(
+                    F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")
+                ),
+                "vec_id_1",
+            )
+            .join(
+                vecs.select(
+                    F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")
+                ),
+                "vec_id_2",
+            )
+            .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+        )
+        scored = scored.unionByName(chain_scored)
+    return (
+        scored.withColumn(
+            "cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4)
+        )
         .filter(F.col("cosine_sim") >= threshold)
-        # pairs are already distinct: each vector has exactly one bucket,
-        # so no dedup shuffle is needed (unlike multi-band MinHash)
+        # pairs are distinct without a dedup shuffle: each vector has
+        # exactly one bucket (unlike multi-band MinHash), and the chain
+        # contributes only successor pairs absent from capped buckets
         .select("vec_id_1", "vec_id_2", "cosine_sim")
     )
 
@@ -644,6 +668,45 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket_size: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Bound LSH bucket self-joins without losing cluster connectivity.
+
+    Rows in buckets at or under ``max_bucket_size`` are returned for
+    the normal all-pairs self-join.  Oversized buckets degrade to a
+    deterministic *spanning chain*: members sorted by id, each paired
+    with its successor -- linear candidate count instead of quadratic,
+    while every true duplicate cluster inside the bucket stays
+    connected (what connected-components dedup needs; only pair-level
+    completeness inside the blob is given up).  Returns
+    (small_bucket_rows, chain_pairs[id_1, id_2])."""
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    small = banded.join(
+        sizes.filter(F.col("__n") <= max_bucket_size).drop("__n"),
+        key_cols,
+        "left_semi",
+    )
+    big = banded.join(
+        sizes.filter(F.col("__n") > max_bucket_size).drop("__n"),
+        key_cols,
+        "left_semi",
+    )
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    chain = (
+        big.withColumn("__next", F.lead(id_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(
+            F.col(id_col).alias(f"{id_col}_1"),
+            F.col("__next").alias(f"{id_col}_2"),
+        )
+    )
+    return small, chain
+
+
 def simhash_near_dupes(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -663,10 +726,10 @@ def simhash_near_dupes(
     never O(n^2) *provided buckets stay bounded*.  On degenerate
     corpora (tiny vocabulary, near-identical fingerprints) a single
     bucket can hold a large fraction of the corpus and the self-join
-    re-creates the quadratic blob; ``max_bucket_size`` drops those
-    buckets -- an oversized bucket means that band slice carries no
-    discriminating information, the standard LSH mitigation.  Set
-    ``None`` to disable (exact banding semantics).
+    re-creates the quadratic blob; buckets over ``max_bucket_size``
+    degrade to a spanning chain of adjacent-id pairs (see
+    _cap_buckets), so mega-duplicate clusters stay connected while
+    candidate count stays linear.  Set ``None`` for exact banding.
     """
     bits = 64 // num_bands
     mask = (1 << bits) - 1
@@ -687,14 +750,9 @@ def simhash_near_dupes(
             )
         ).alias("__bk"),
     ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.val").alias("val"))
+    chain = None
     if max_bucket_size is not None:
-        small_buckets = (
-            banded.groupBy("band", "val")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
-        )
-        banded = banded.join(small_buckets, ["band", "val"], "left_semi")
+        banded, chain = _cap_buckets(banded, ["band", "val"], "doc_id", max_bucket_size)
     candidates = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "val"])
@@ -703,8 +761,10 @@ def simhash_near_dupes(
             F.col("l.doc_id").alias("doc_id_1"),
             F.col("r.doc_id").alias("doc_id_2"),
         )
-        .dropDuplicates(["doc_id_1", "doc_id_2"])
     )
+    if chain is not None:
+        candidates = candidates.unionByName(chain)
+    candidates = candidates.dropDuplicates(["doc_id_1", "doc_id_2"])
     fp1 = fp.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("__s1"))
     fp2 = fp.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("__s2"))
     return (

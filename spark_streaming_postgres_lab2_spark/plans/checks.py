@@ -50,7 +50,12 @@ def shuffle_count(df: DataFrame) -> int:
     )
     return sum(
         plan.count(f"Exchange {kind}")
-        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+        for kind in (
+            "hashpartitioning",
+            "rangepartitioning",
+            "SinglePartition",
+            "RoundRobinPartitioning",
+        )
     )
 
 
@@ -64,16 +69,5 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     struct/complex buffers (e.g. MAX(struct)) fall back to
     SortAggregate/ObjectHashAggregate but still combine map-side,
     which the formatted plan marks with partial_* functions."""
-    if physical_plan(df).count("HashAggregate") >= 2:
-        return True
-    return "partial_" in _formatted_plan(df)
-
-
-def _formatted_plan(df: DataFrame) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    plan = physical_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan

@@ -72,6 +72,9 @@ class StreamingPipeline:
         return enriched
 
     def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:
+        # session conf is sticky: set the provider explicitly on BOTH
+        # branches, or a rocksdb pipeline would silently reconfigure
+        # every later default-provider pipeline in the same session
         if self.config.state_store_provider == "rocksdb":
             # off-heap state + changelog checkpointing: the scale path
             # for watermarked dedup state (millions of in-flight keys
@@ -84,6 +87,12 @@ class StreamingPipeline:
             self.spark.conf.set(
                 "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
                 "true",
+            )
+        else:
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
             )
         writer = (
             self.transformed_stream(dedup)

@@ -93,3 +93,29 @@ def test_simhash_near_dup_hamming_matches_fingerprints(spark):
 def test_hamming64_column(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     assert df.select(hamming64(F.col("a"), F.col("b")).alias("h")).first().h == 2
+
+
+def test_oversized_bucket_degrades_to_spanning_chain(spark):
+    """A duplicate cluster LARGER than max_bucket_size must stay
+    connected (spanning chain), not vanish -- the mega-duplicate
+    cluster is exactly what dedup must catch."""
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated across every copy") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = simhash_near_dupes(docs, max_hamming=4, max_bucket_size=10).collect()
+    assert out  # capped, but not dropped
+    # all pairs are exact dups
+    assert all(r.hamming == 0 for r in out)
+    # union-find: the 30 copies must form ONE connected component
+    parent = list(range(30))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in out:
+        parent[find(int(r.doc_id_1))] = find(int(r.doc_id_2))
+    assert len({find(i) for i in range(30)}) == 1

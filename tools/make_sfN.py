@@ -16,14 +16,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+# fact -> {column: key_space}.  Columns sharing a key space (the
+# lineitem/orders orderkey FK) must shift by the SAME offset per copy,
+# or copied lineitems point at wrong-copy orders and every join-based
+# scaling measurement silently runs on a corrupted dataset.
 FACTS = {
-    # table -> columns whose key space must shift per copy (so joins
-    # and distinct counts scale honestly instead of collapsing)
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": {"l_orderkey": "orderkey"},
+    "orders": {"o_orderkey": "orderkey"},
+    "events": {"event_id": "event_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -44,16 +46,22 @@ def main() -> None:
         df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"{name}: copied dim")
 
+    # one offset per key SPACE (max over every column mapped to it),
+    # so FK pairs like l_orderkey/o_orderkey shift in lockstep
+    space_offsets: dict[str, int] = {}
     for name, key_cols in FACTS.items():
         df = load_table(spark, src, name)
-        offsets = {
-            c: df.agg(F.max(c)).first()[0] + 1 for c in key_cols
-        }
+        for col, space in key_cols.items():
+            m = df.agg(F.max(col)).first()[0] + 1
+            space_offsets[space] = max(space_offsets.get(space, 0), m)
+
+    for name, key_cols in FACTS.items():
+        df = load_table(spark, src, name)
         copies = []
         for i in range(k):
             c = df
-            for col, off in offsets.items():
-                c = c.withColumn(col, F.col(col) + F.lit(i * off))
+            for col, space in key_cols.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * space_offsets[space]))
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
