@@ -1,7 +1,7 @@
 """Rule-chain validation with dead-letter tagging.
 
 Parity target: reference spark/spark_streaming_to_postgres.py:99-144 --
-a first-match-wins ``when``-chain over 13 rules producing a
+a first-match-wins ``when``-chain over 12 rules producing a
 ``validation_errors`` tag (NULL == valid) and an ``is_valid`` flag.
 
 Rules are kept as an ordered list of (tag, Column) pairs instead of a
@@ -27,9 +27,17 @@ VALID_EVENT_TYPES = [
     "wishlist",
     "search",
 ]
-USER_REQUIRED_EVENT_TYPES = ["purchase", "add_to_cart", "wishlist", "remove_from_cart"]
 MIN_PRICE = 0.0
 MAX_PRICE = 10_000.0
+
+#: event_type -> dead-letter tag for user-required actions, in the
+#: reference's rule order (spark_streaming_to_postgres.py:107-123).
+USER_REQUIRED_TAGS = [
+    ("purchase", "purchase_without_user"),
+    ("add_to_cart", "cart_without_user"),
+    ("wishlist", "wishlist_without_user"),
+    ("remove_from_cart", "remove_cart_without_user"),
+]
 
 
 @dataclass(frozen=True)
@@ -42,29 +50,39 @@ class Rule:
 
 
 def ecommerce_rules() -> list[Rule]:
-    """The reference's 13-rule chain, in reference order
-    (spark_streaming_to_postgres.py:103-135)."""
+    """The reference's 12-rule chain with its exact tag vocabulary, in
+    reference order (spark_streaming_to_postgres.py:103-135): four
+    per-event-type ``*_without_user`` tags, then price rules with the
+    reference's ``purchase_zero_price`` / ``non_purchase_has_price``
+    names.  Tag-level parity matters downstream: error_distribution
+    keys, dead_letter_events.validation_errors values, and the
+    PipelineMonitor concentration alert all key off these strings."""
     c = F.col
-    return [
+    rules = [
         Rule("null_event_id", c("event_id").isNull()),
         Rule("null_product_id", c("product_id").isNull()),
         Rule("null_event_type", c("event_type").isNull()),
         Rule("invalid_event_type", ~c("event_type").isin(VALID_EVENT_TYPES)),
-        Rule(
-            "missing_user_id_for_user_action",
-            c("event_type").isin(USER_REQUIRED_EVENT_TYPES) & c("user_id").isNull(),
-        ),
+    ]
+    rules += [
+        Rule(tag, (c("event_type") == etype) & c("user_id").isNull())
+        for etype, tag in USER_REQUIRED_TAGS
+    ]
+    rules += [
         Rule("negative_price", c("price") < MIN_PRICE),
         Rule("extreme_price", c("price") > MAX_PRICE),
         Rule(
-            "purchase_with_nonpositive_price",
+            "purchase_zero_price",
             (c("event_type") == "purchase") & (c("price") <= 0),
         ),
         Rule(
-            "price_on_non_purchase_event",
-            ~c("event_type").isin(["purchase", "add_to_cart"]) & (c("price") > 0),
+            "non_purchase_has_price",
+            (c("event_type") != "purchase")
+            & (c("event_type") != "add_to_cart")
+            & (c("price") > 0),
         ),
     ]
+    return rules
 
 
 def events_table_rules() -> list[Rule]:

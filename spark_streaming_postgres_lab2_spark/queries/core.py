@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.dedup import dedup_exact
-from ..operators.validate import build_error_column, events_table_rules, validate
+from ..operators.validate import (
+    build_error_column,
+    ecommerce_rules,
+    events_table_rules,
+    validate,
+)
 from ..schema.registry import SchemaRegistry
 from ..sources.tables import load_tables
 from . import QuerySpec
@@ -277,6 +282,100 @@ SELECT coalesce({_ERROR_CASE_SQL}, 'ok') AS error_tag,
        count(*) AS row_count,
        round(sum(value), 2) AS total_value
 FROM events
+GROUP BY 1
+"""
+
+
+# --- T6/P5: dead-letter breakdown with the reference tag vocabulary ----------
+
+
+def q_dlq_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter rows grouped by the reference's exact 12-tag
+    vocabulary (spark_streaming_to_postgres.py:103-135), incl. the four
+    per-event-type ``*_without_user`` tags.
+
+    The driver fixture is anomaly-free, so the projection
+    deterministically perturbs rows into every reference failure mode
+    keyed on ``event_id % 23``; the perturbation is the same arithmetic
+    in both engines, so the oracle pins tag-level parity (the trap
+    SURVEY.md names: consumers key dashboards/alerts off these exact
+    strings)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    m = F.col("event_id") % 23
+    mapped_type = (
+        F.when(F.col("event_type") == "click", F.lit("add_to_cart"))
+        .when(F.col("event_type") == "signup", F.lit("wishlist"))
+        .when(F.col("event_type") == "error", F.lit("remove_from_cart"))
+        .otherwise(F.col("event_type"))
+    )
+    proj = t["events"].select(
+        F.when(m == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("event_id"))
+        .alias("event_id"),
+        F.when(m == 1, F.lit(None).cast("long"))
+        .otherwise(F.get_json_object("props", "$.k").cast("long"))
+        .alias("product_id"),
+        F.when(m == 2, F.lit(None).cast("string"))
+        .when(m == 3, F.lit("bogus"))
+        .otherwise(mapped_type)
+        .alias("event_type"),
+        F.when((m >= 4) & (m <= 7), F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(m == 8, F.lit(-5.0))
+        .when(m == 9, F.lit(20000.0))
+        .when(m == 10, F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("price"),
+    )
+    dead = validate(proj, ecommerce_rules()).filter(~F.col("is_valid"))
+    return dead.groupBy(F.col("validation_errors").alias("error_tag")).agg(
+        F.count(F.lit(1)).alias("dead_letter_count")
+    )
+
+
+ORACLE_DLQ_BREAKDOWN = """
+WITH proj AS (
+  SELECT
+    CASE WHEN event_id % 23 = 0 THEN NULL ELSE event_id END AS p_event_id,
+    CASE WHEN event_id % 23 = 1 THEN NULL
+         ELSE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS product_id,
+    CASE WHEN event_id % 23 = 2 THEN NULL
+         WHEN event_id % 23 = 3 THEN 'bogus'
+         ELSE CASE event_type WHEN 'click' THEN 'add_to_cart'
+                              WHEN 'signup' THEN 'wishlist'
+                              WHEN 'error' THEN 'remove_from_cart'
+                              ELSE event_type END
+    END AS p_event_type,
+    CASE WHEN event_id % 23 BETWEEN 4 AND 7 THEN NULL ELSE user_id END AS p_user_id,
+    CASE WHEN event_id % 23 = 8 THEN -5.0
+         WHEN event_id % 23 = 9 THEN 20000.0
+         WHEN event_id % 23 = 10 THEN 0.0
+         ELSE value END AS price
+  FROM events
+), tagged AS (
+  SELECT CASE
+    WHEN p_event_id IS NULL THEN 'null_event_id'
+    WHEN product_id IS NULL THEN 'null_product_id'
+    WHEN p_event_type IS NULL THEN 'null_event_type'
+    WHEN p_event_type NOT IN
+      ('view','purchase','add_to_cart','remove_from_cart','wishlist','search')
+      THEN 'invalid_event_type'
+    WHEN p_event_type = 'purchase' AND p_user_id IS NULL THEN 'purchase_without_user'
+    WHEN p_event_type = 'add_to_cart' AND p_user_id IS NULL THEN 'cart_without_user'
+    WHEN p_event_type = 'wishlist' AND p_user_id IS NULL THEN 'wishlist_without_user'
+    WHEN p_event_type = 'remove_from_cart' AND p_user_id IS NULL
+      THEN 'remove_cart_without_user'
+    WHEN price < 0.0 THEN 'negative_price'
+    WHEN price > 10000.0 THEN 'extreme_price'
+    WHEN p_event_type = 'purchase' AND price <= 0 THEN 'purchase_zero_price'
+    WHEN p_event_type <> 'purchase' AND p_event_type <> 'add_to_cart' AND price > 0
+      THEN 'non_purchase_has_price'
+  END AS error_tag
+  FROM proj
+)
+SELECT error_tag, count(*) AS dead_letter_count
+FROM tagged WHERE error_tag IS NOT NULL
 GROUP BY 1
 """
 
@@ -1104,6 +1203,8 @@ def specs() -> list[QuerySpec]:
                   "A8: UNION ALL of labelled scalar counts"),
         QuerySpec("validation_summary", q_validation_summary, ORACLE_VALIDATION,
                   "P5: first-match-wins rule-chain tag rollup"),
+        QuerySpec("dlq_breakdown", q_dlq_breakdown, ORACLE_DLQ_BREAKDOWN,
+                  "T6/P5: dead-letter counts by exact reference tag vocabulary"),
         QuerySpec("enriched_events", q_enriched_events, ORACLE_ENRICHED,
                   "F1-F9: row-level enrichment parity"),
         QuerySpec("dedup_exact", q_dedup_exact, ORACLE_DEDUP,

@@ -12,7 +12,7 @@ from hypothesis import strategies as st
 from spark_streaming_postgres_lab2_spark.operators.validate import (
     MAX_PRICE,
     MIN_PRICE,
-    USER_REQUIRED_EVENT_TYPES,
+    USER_REQUIRED_TAGS,
     VALID_EVENT_TYPES,
     validate,
 )
@@ -33,20 +33,21 @@ def python_spec_tag(ev: dict) -> str | None:
         return "null_event_type"
     if ev["event_type"] not in VALID_EVENT_TYPES:
         return "invalid_event_type"
-    if ev["event_type"] in USER_REQUIRED_EVENT_TYPES and ev["user_id"] is None:
-        return "missing_user_id_for_user_action"
+    for etype, tag in USER_REQUIRED_TAGS:
+        if ev["event_type"] == etype and ev["user_id"] is None:
+            return tag
     if ev["price"] is not None and ev["price"] < MIN_PRICE:
         return "negative_price"
     if ev["price"] is not None and ev["price"] > MAX_PRICE:
         return "extreme_price"
     if ev["event_type"] == "purchase" and ev["price"] is not None and ev["price"] <= 0:
-        return "purchase_with_nonpositive_price"
+        return "purchase_zero_price"
     if (
         ev["event_type"] not in ("purchase", "add_to_cart")
         and ev["price"] is not None
         and ev["price"] > 0
     ):
-        return "price_on_non_purchase_event"
+        return "non_purchase_has_price"
     return None
 
 

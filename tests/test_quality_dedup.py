@@ -39,7 +39,7 @@ def test_quality_metrics_single_pass(spark):
     assert m.null_counts["user_id"] == 1
     assert m.event_type_distribution == {"view": 2, "purchase": 1}
     assert m.error_distribution == {
-        "missing_user_id_for_user_action": 1,
+        "purchase_without_user": 1,
         "negative_price": 1,
     }
     assert abs(m.validity_rate - 1 / 3) < 1e-9

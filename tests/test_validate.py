@@ -55,7 +55,19 @@ def test_invalid_event_type(spark):
 
 def test_purchase_without_user(spark):
     tag, _ = tag_of(spark, event_type="purchase", user_id=None, price=10.0)
-    assert tag == "missing_user_id_for_user_action"
+    assert tag == "purchase_without_user"
+
+
+def test_per_type_without_user_tags(spark):
+    # Reference emits one tag per user-required event type
+    # (spark_streaming_to_postgres.py:107-123), not a collapsed tag.
+    for etype, want in [
+        ("add_to_cart", "cart_without_user"),
+        ("wishlist", "wishlist_without_user"),
+        ("remove_from_cart", "remove_cart_without_user"),
+    ]:
+        tag, _ = tag_of(spark, event_type=etype, user_id=None, price=0.0)
+        assert tag == want, (etype, tag)
 
 
 def test_negative_price(spark):
@@ -70,12 +82,12 @@ def test_extreme_price(spark):
 
 def test_purchase_with_zero_price(spark):
     tag, _ = tag_of(spark, event_type="purchase", price=0.0)
-    assert tag == "purchase_with_nonpositive_price"
+    assert tag == "purchase_zero_price"
 
 
 def test_price_on_non_purchase(spark):
     tag, _ = tag_of(spark, event_type="view", price=10.0)
-    assert tag == "price_on_non_purchase_event"
+    assert tag == "non_purchase_has_price"
 
 
 def test_first_match_wins_order(spark):
@@ -86,16 +98,21 @@ def test_first_match_wins_order(spark):
 
 def test_rule_order_is_stable():
     tags = [r.tag for r in ecommerce_rules()]
+    # Exact reference vocabulary in reference order
+    # (spark_streaming_to_postgres.py:103-135).
     assert tags == [
         "null_event_id",
         "null_product_id",
         "null_event_type",
         "invalid_event_type",
-        "missing_user_id_for_user_action",
+        "purchase_without_user",
+        "cart_without_user",
+        "wishlist_without_user",
+        "remove_cart_without_user",
         "negative_price",
         "extreme_price",
-        "purchase_with_nonpositive_price",
-        "price_on_non_purchase_event",
+        "purchase_zero_price",
+        "non_purchase_has_price",
     ]
 
 
