@@ -308,10 +308,12 @@ def minhash_near_dupes(
     # doc.  Same plan lesson as SimHash (NOTES.md): per-element HOF
     # allocation swamps the saved shuffle by >10x.  Values are
     # identical to the array formulation (same wrapping multiply).
-    # Docs with no shingles (shorter than the shingle width) simply
-    # produce no LSH candidates -- the quadratic all-null band bucket
-    # the array formulation created for them is exactly the skew blob
-    # we must avoid at scale.
+    # Empty/whitespace docs produce no shingles (text.shingles returns
+    # an empty array, so explode drops them) and hence no LSH
+    # candidates -- a shared degenerate shingle would put every empty
+    # doc in one band bucket, exactly the quadratic skew blob we must
+    # avoid at scale.  Short-but-nonempty docs keep one whole-text
+    # shingle so true short dups can still match.
     mins = (
         base.select("doc_id", F.explode(F.col("__sh")).alias("__h"))
         .groupBy("doc_id")

@@ -152,12 +152,27 @@ def fingerprint_md5(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (input to MinHash).
-    Uses slice-over-sequence -- pure Column ops, no UDF."""
-    toks = tokens(col)
-    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    Uses slice-over-sequence -- pure Column ops, no UDF.
+
+    Empty/whitespace-only text yields an EMPTY array (not ``['']``):
+    a degenerate shared shingle would put every empty doc in the same
+    LSH band bucket, recreating the quadratic bucket the explode
+    formulation exists to avoid.  Short-but-nonempty docs still get one
+    whole-text shingle so true short dups can match."""
+    # coalesce: NULL text must take the empty branch too (size(NULL) is
+    # -1 under non-ANSI, which would fall into the short-doc arm and
+    # emit the degenerate [''] shingle)
+    toks = F.coalesce(
+        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
+    )
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
     )
 

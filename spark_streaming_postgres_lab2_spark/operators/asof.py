@@ -37,14 +37,20 @@ def asof_join_window(
     before this purchase by the same user').  Pass ``tiebreak_cols`` to
     make the ordering total when timestamps can tie -- without it the
     ROWS frame membership for tied timestamps is shuffle-order
-    dependent."""
+    dependent.
+
+    A marked row whose ``value_col`` is NULL still counts as the most
+    recent marked row (its NULL is carried): presence is tracked via a
+    struct wrapper so ``ignorenulls`` skips only unmarked rows, not
+    marked-but-NULL values."""
     order = [ts_col] + list(tiebreak_cols or [])
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carried = F.last(F.when(mark_col, F.col(value_col)), ignorenulls=True).over(w)
+    marked = F.when(mark_col, F.struct(F.col(value_col).alias("v")))
+    carried = F.last(marked, ignorenulls=True).over(w).getField("v")
     return df.withColumn(out_col, carried)
 
 

@@ -24,12 +24,26 @@ def upsert_parquet(
     """Upsert into a parquet directory via write-then-swap.
 
     Limitations (by design of plain parquet dirs): the two-rename swap
-    is local-filesystem only and leaves a brief window where a
-    concurrent reader sees no table (and a crash inside the window
-    strands data at ``path__old``).  Readers never see a *half-written*
-    table, but true atomic MERGE needs a table format with a commit
-    protocol (Delta/Iceberg) or the staged-JDBC upsert path."""
+    is local-filesystem only (asserted below -- object stores/HDFS have
+    no atomic rename and need Delta/Iceberg's commit protocol instead)
+    and leaves a brief window where a concurrent reader sees no table.
+    A crash inside the window strands data at ``path__old``; the next
+    call auto-recovers it before merging."""
+    import os
     import shutil
+
+    scheme, _, rest = path.partition("://")
+    if rest and scheme != "file":
+        raise ValueError(
+            f"upsert_parquet is local-filesystem only (got scheme {scheme!r}); "
+            "use Delta/Iceberg MERGE or the staged-JDBC upsert for remote stores"
+        )
+    path = rest or path
+    backup = path + "__old"
+    if not os.path.exists(path) and os.path.exists(backup):
+        # a previous call crashed between the two renames: the backup IS
+        # the latest committed table -- restore it
+        shutil.move(backup, path)
 
     target = spark.read.parquet(path)
     merged = upsert(target, updates, keys)

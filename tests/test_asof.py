@@ -29,6 +29,21 @@ def test_asof_window_last_prior_view(spark):
     assert got == {(1, 250): 200, (1, 300): 200, (2, 50): None, (2, 90): 80}
 
 
+def test_asof_window_carries_marked_null_value(spark):
+    """A marked row with a NULL value IS the most recent marked row: its
+    NULL must be carried, not skipped in favor of an older non-null."""
+    rows = [
+        (1, 100, "view", 5.0),
+        (1, 200, "view", None),     # most recent view, NULL value
+        (1, 250, "purchase", 9.0),  # asof must be NULL, not 5.0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string, v double")
+    out = asof_join_window(
+        df, "user_id", "ts", "v", F.col("event_type") == "view", "last_view_v"
+    ).filter(F.col("event_type") == "purchase")
+    assert out.first()["last_view_v"] is None
+
+
 def test_asof_pandas_two_tables(spark):
     trades = spark.createDataFrame(
         [(1, 100, 10.0), (1, 205, 11.0), (2, 150, 20.0)],

@@ -36,6 +36,36 @@ def test_shingles(spark):
     assert short.select(TX.shingles("text", 3).alias("s")).first()["s"] == ["a b"]
 
 
+def test_shingles_empty_text_yields_no_shingles(spark):
+    """Empty/whitespace docs must produce an EMPTY shingle array -- a
+    shared degenerate shingle would put every empty doc in the same LSH
+    band bucket (quadratic blob on mass-empty corpora)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   "), Row(doc_id=3, text=None)]
+    )
+    rows = df.select("doc_id", TX.shingles("text", 3).alias("s")).collect()
+    got = {r["doc_id"]: r["s"] for r in rows}
+    assert got[1] == [] and got[2] == []
+    assert got[3] in (None, [])  # null text: no candidates either way
+
+
+def test_minhash_empty_docs_produce_no_candidates(spark):
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        minhash_near_dupes,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="") for i in range(1, 21)]
+        + [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+           Row(doc_id=101, text="the quick brown fox jumps over the lazy dog")]
+    )
+    pairs = minhash_near_dupes(docs, "doc_id", "text").collect()
+    ids = {(r[0], r[1]) for r in pairs}
+    # the 20 empty docs must NOT pair with each other; the true dup pair must
+    assert (100, 101) in ids or (101, 100) in ids
+    assert all(a >= 100 and b >= 100 for a, b in ids)
+
+
 def test_fingerprint_normalization(spark):
     df = spark.createDataFrame(
         [Row(a="Hello   World", b="hello world "), Row(a="x", b="y")]

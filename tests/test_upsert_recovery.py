@@ -36,6 +36,29 @@ def test_upsert_parquet_swap(spark, tmp_path):
     assert got == {1: 1.0, 2: 99.0, 3: 3.0}
 
 
+def test_upsert_parquet_recovers_stranded_backup(spark, tmp_path):
+    """A crash between the two renames leaves the table at path__old;
+    the next call must restore it before merging."""
+    import os
+    import shutil
+
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    # simulate the crash window: table moved to backup, nothing at path
+    shutil.move(path, path + "__old")
+    assert not os.path.exists(path)
+
+    updates = spark.createDataFrame([(2, 2.0)], "id long, v double")
+    upsert_parquet(spark, path, updates, ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        upsert_parquet(spark, "s3a://bucket/tbl", updates, ["id"])
+
+
 def test_checkpoint_incremental_recovery(spark, tmp_path):
     """Restarting with the same checkpoint processes ONLY files that
     arrived after the first run -- offsets recover, nothing reprocesses
