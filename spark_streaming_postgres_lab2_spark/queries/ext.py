@@ -465,6 +465,43 @@ GROUP BY 1
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec end-to-end: synthesize genuine 24-bit BMP files keyed
+    on doc_id (mapInPandas encoder), parse them back with the pure-Python
+    BMP decoder (mapInPandas), emit width/height/bpp/mean-pixel.  The
+    pixel formula is arithmetic on doc_id, so the oracle recomputes the
+    expected values in SQL without a decoder -- if either the encoder or
+    the parser mishandles headers/stride/padding, the means diverge."""
+    from ..functions.multimodal import decode_real, synthesize_bmp_media
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_bmp_media(t["documents"].select("doc_id"))
+    return decode_real(media, codec="bmp")
+
+
+ORACLE_MULTIMODAL_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id * 31 + y.v * 17 + x.v * 7 + c.v) % 256 AS pv
+  FROM d, range(0, 7) y(v), range(0, 9) x(v), range(0, 3) c(v)
+  WHERE y.v < d.height AND x.v < d.width
+)
+SELECT doc_id AS media_id,
+       'bmp24' AS format,
+       width,
+       height,
+       CAST(24 AS INTEGER) AS bpp,
+       round(avg(pv), 4) AS mean_pixel
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched pseudo-decode over binary payloads via mapInPandas
     (rows-only check; the codec itself is stubbed, the Spark plumbing is
@@ -549,6 +586,9 @@ def specs() -> list[QuerySpec]:
                   "random-hyperplane LSH near-dup (rows-only)"),
         QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None,
                   "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,
+                  "real BMP codec: mapInPandas encode -> parse -> stats, "
+                  "oracle recomputes arithmetically"),
         QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
                   "binary media metadata rollup"),
         QuerySpec("multimodal_features", q_multimodal_features, None,

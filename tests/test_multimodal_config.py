@@ -44,9 +44,41 @@ def test_frame_sample_shapes(media):
     assert isinstance(row["frames"], list) and len(row["frames"]) >= 1
 
 
-def test_decode_real_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_real(media)
+def test_bmp_roundtrip_pure_python():
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    b = encode_bmp24(5, 3, lambda x, y, c: (x * 7 + y * 17 + c) % 256)
+    w, h, bpp, mean = decode_bmp24(b)
+    assert (w, h, bpp) == (5, 3, 24)
+    expect = sum((x * 7 + y * 17 + c) % 256 for x in range(5) for y in range(3) for c in range(3)) / 45
+    assert abs(mean - expect) < 1e-12
+    # width 5 -> 15 data bytes/row, stride padded to 16: padding must not leak
+    assert len(b) == 54 + 16 * 3
+    assert decode_bmp24(b"not a bmp") is None
+    assert decode_bmp24(None) is None
+
+
+def test_decode_real_bmp_on_spark(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import (
+        synthesize_bmp_media,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"].select("doc_id").limit(20)
+    decoded = decode_real(synthesize_bmp_media(docs), codec="bmp").collect()
+    assert len(decoded) == 20
+    for r in decoded:
+        i = r["media_id"]
+        assert r["format"] == "bmp24" and r["bpp"] == 24
+        assert r["width"] == 4 + i % 5 and r["height"] == 3 + i % 4
+        assert 0.0 <= r["mean_pixel"] <= 255.0
+
+
+def test_decode_real_unknown_codec(media):
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_real(media, codec="h264")
 
 
 def test_config_defaults_valid():
