@@ -61,21 +61,23 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "doc_regex_extract",
     # LLM-pipeline extensions
-    "simhash_near_dup",
+    "simhash_near_dup_fast",
     "approx_distinct_users",
     "stratified_sample",
     "props_json",
     "doc_quality",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
-    "minhash_near_dup",
-    "near_dup_clusters",
+    "minhash_near_dup_fast",
+    "near_dup_clusters_fast",
     "simhash",
     "similarity_topk",
     "embedding_near_dup",
     "embedding_lsh_near_dup",
     "ann_ivf_topk",
     "multimodal_features",
+    "multimodal_decode",
+    "dlq_breakdown",
 ]
 
 

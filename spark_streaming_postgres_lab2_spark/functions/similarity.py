@@ -776,3 +776,188 @@ def simhash_near_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
     )
+
+
+# --- Portable (engine-agnostic) LSH family -----------------------------------
+#
+# The fast MinHash/SimHash paths above hash with xxhash64 -- JVM-side,
+# cheap, but not reproducible outside Spark, so their outputs can only
+# get rows-only checks.  The functions below build the SAME pipeline
+# shapes from md5 (available and bit-identical in every engine):
+# signature, banding, bucket join, and verify are all expressible in
+# ANSI-ish SQL, so a DuckDB oracle can recompute the ENTIRE near-dup
+# algorithm -- candidate generation included -- and hash-compare it.
+# Use the xxhash64 family at scale; use this family to verify the
+# algorithm end-to-end (queries minhash_near_dup / simhash_near_dup /
+# near_dup_clusters).
+
+
+def minhash_near_dupes_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an md5-salted string hash family:
+    min_i = min over shingles of md5('<i>|' || shingle) (a random
+    permutation approximated by salted md5, ordered lexicographically).
+    Same plan shape as minhash_near_dupes: one explode + grouped MINs,
+    payload-free band shuffle, exact-Jaccard verify over shingle sets."""
+    if num_hashes % num_bands != 0:
+        raise ValueError("num_hashes must divide evenly into num_bands")
+    rows = num_hashes // num_bands
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    exploded = base.select("doc_id", F.explode("__sh").alias("__s"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("__s")))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"__m{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+    left = base.select(F.col("doc_id").alias("doc_id_1"), F.col("__sh").alias("__sh1"))
+    right = base.select(F.col("doc_id").alias("doc_id_2"), F.col("__sh").alias("__sh2"))
+    return (
+        cand.join(left, "doc_id_1")
+        .join(right, "doc_id_2")
+        .withColumn("jaccard", F.round(jaccard_tokens(F.col("__sh1"), F.col("__sh2")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+def simhash_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (sim_lo, sim_hi) built from
+    md5 nibbles: bit j of token t = bit (j%4) of hex digit j//4 of
+    md5(t).  Majority bit-vote per position over DISTINCT tokens, same
+    explode + 64-partial-agg plan as simhash64; every step (locate on a
+    hex alphabet, /2^k % 2 arithmetic, 2^j packing) is plain SQL, so an
+    oracle can recompute it."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.filter(tokens(text_col), lambda t: t != ""))
+        ).alias("__t"),
+    ).withColumn("__md5", F.md5("__t"))
+    nib_cols = [
+        F.expr(
+            f"locate(substring(__md5, {p + 1}, 1), '0123456789abcdef') - 1"
+        ).alias(f"__n{p}")
+        for p in range(16)
+    ]
+    nibbled = toks.select("doc_id", *nib_cols)
+    vote_cols = [
+        F.sum((F.col(f"__n{j // 4}") / F.lit(2 ** (j % 4))).cast("long") % 2).alias(
+            f"__v{j}"
+        )
+        for j in range(64)
+    ] + [F.count(F.lit(1)).alias("__n_tok")]
+    votes = nibbled.groupBy("doc_id").agg(*vote_cols)
+    bit = lambda j: F.when(  # noqa: E731
+        F.col(f"__v{j}") * 2 > F.col("__n_tok"), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    lo = sum((bit(j) * F.lit(2**j).cast("long") for j in range(32)), F.lit(0).cast("long"))
+    hi = sum(
+        (bit(j) * F.lit(2 ** (j - 32)).cast("long") for j in range(32, 64)),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", lo.alias("sim_lo"), hi.alias("sim_hi"))
+
+
+def simhash_near_dupes_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs over the portable fingerprint: 4 bands of
+    16 bits (integer divide/modulo -- portable), bucket join, Hamming
+    verify via bit_count(xor) on each 32-bit half."""
+    fp = simhash_portable(docs, id_col, text_col).localCheckpoint(eager=False)
+    band_vals = [
+        (F.col("sim_lo") % 65536).cast("long"),
+        F.floor(F.col("sim_lo") / 65536).cast("long"),
+        (F.col("sim_hi") % 65536).cast("long"),
+        F.floor(F.col("sim_hi") / 65536).cast("long"),
+    ]
+    banded = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), v.alias("band_val"))
+                    for b, v in enumerate(band_vals)
+                ]
+            )
+        ).alias("__b"),
+    ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_val").alias("band_val"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+    )
+    f1 = fp.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("sim_lo").alias("__lo1"),
+        F.col("sim_hi").alias("__hi1"),
+    )
+    f2 = fp.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("sim_lo").alias("__lo2"),
+        F.col("sim_hi").alias("__hi2"),
+    )
+    return (
+        cand.join(f1, "doc_id_1")
+        .join(f2, "doc_id_2")
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("__lo1").bitwiseXOR(F.col("__lo2")))
+                + F.bit_count(F.col("__hi1").bitwiseXOR(F.col("__hi2")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )

@@ -3,10 +3,12 @@
 dedup families (exact / MinHash-LSH / SimHash / n-gram Jaccard),
 similarity search (brute-force + IVF), multimodal plumbing.
 
-Oracle-checked where ANSI-SQL-expressible in DuckDB; the hash-based
-operators (MinHash/SimHash, xxhash64-seeded) and the Arrow-batched
-multimodal features have no SQL equivalent and carry rows-only checks.
-"""
+Oracle-checked where expressible in DuckDB.  The canonical near-dup
+queries (minhash_near_dup / simhash_near_dup / near_dup_clusters) use
+the *portable* md5-string LSH family so the ENTIRE algorithm --
+signature, banding, bucket join, verify -- is recomputed by the DuckDB
+oracle; the xxhash64 fast family (the 100 TB path, JVM-side hashing)
+is benchmarked under the ``*_fast`` names with rows-only checks."""
 
 from __future__ import annotations
 
@@ -28,8 +30,10 @@ from ..functions.similarity import (
     jaccard_tokens,
     kmeans_lite,
     minhash_near_dupes,
+    minhash_near_dupes_portable,
     norm,
     simhash64,
+    simhash_near_dupes_portable,
 )
 from ..sources.tables import load_tables
 from . import QuerySpec
@@ -235,10 +239,173 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of the portable md5 LSH family (functions/similarity
+# portable section).  Built by helpers because the signature/vote SQL
+# is loop-generated; every step (salted md5 mins, band keys, bucket
+# join, exact verify) matches the Spark plan expression-for-expression.
+
+# shingle CTEs shared by the minhash oracles: tokens -> distinct word
+# 3-grams (empty/whitespace docs yield an empty list, like
+# text.shingles after the empty-doc fix)
+_SQL_SHINGLES = """
+__tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+__shd AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> array_to_string(tk[i:i+2], ' '))
+           END) AS sh
+  FROM __tk
+)
+"""
+
+
+def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 4) -> str:
+    """CTE chain (after _SQL_SHINGLES) producing verified near-dup
+    pairs (doc_id_1, doc_id_2, jaccard) -- the DuckDB recomputation of
+    minhash_near_dupes_portable."""
+    rows = num_hashes // num_bands
+    band_key = " || '|' || ".join(
+        f"sig[CAST(b.v * {rows} + {r + 1} AS INTEGER)]" for r in range(rows)
+    )
+    return f"""
+__sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, {num_hashes}),
+           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM __shd WHERE len(sh) > 0
+),
+__bands AS (
+  SELECT doc_id, b.v AS band, md5({band_key}) AS band_key
+  FROM __sigs, range(0, {num_bands}) b(v)
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM __bands a JOIN __bands b2
+    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+),
+__verified AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(s1.sh, s2.sh))), 4) AS jaccard
+  FROM __cand c
+  JOIN __shd s1 ON s1.doc_id = c.doc_id_1
+  JOIN __shd s2 ON s2.doc_id = c.doc_id_2
+  WHERE round(CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(s1.sh, s2.sh))), 4) >= {threshold}
+)
+"""
+
+
+ORACLE_MINHASH = (
+    "WITH "
+    + _SQL_SHINGLES
+    + ","
+    + _sql_minhash_pairs(0.4)
+    + "SELECT doc_id_1, doc_id_2, jaccard FROM __verified"
+)
+
+ORACLE_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES
+    + ","
+    + _sql_minhash_pairs(0.5)
+    + """,
+__edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM __verified
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM __verified
+),
+__reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.b FROM __reach r JOIN __edges e ON e.a = r.node
+),
+__comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM __reach GROUP BY src),
+__sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM __comp GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters FROM __sizes GROUP BY cluster_size
+"""
+)
+
+
+def _sql_simhash_pairs(max_hamming: int = 4) -> str:
+    """Full DuckDB recomputation of simhash_near_dupes_portable: md5
+    nibble bits, 64 majority votes, two 32-bit halves, 16-bit banding,
+    bit_count(xor) Hamming verify."""
+    votes = ",\n         ".join(
+        f"sum(CAST(floor((strpos('0123456789abcdef', substr(m, {j // 4 + 1}, 1)) - 1)"
+        f" / {2 ** (j % 4)}) AS BIGINT) % 2) AS v{j}"
+        for j in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN 2 * v{j} > n_tok THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 2 * v{j} > n_tok THEN CAST({2 ** (j - 32)} AS BIGINT) ELSE 0 END)"
+        for j in range(32, 64)
+    )
+    return f"""
+WITH __toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+  FROM documents
+),
+__tv AS (
+  SELECT doc_id,
+         {votes},
+         count(*) AS n_tok
+  FROM (SELECT doc_id, md5(tok) AS m FROM __toks)
+  GROUP BY doc_id
+),
+__fp AS (
+  SELECT doc_id, {lo} AS sim_lo, {hi} AS sim_hi FROM __tv
+),
+__banded AS (
+  SELECT doc_id, b.v AS band,
+         CASE b.v WHEN 0 THEN sim_lo % 65536
+                  WHEN 1 THEN sim_lo // 65536
+                  WHEN 2 THEN sim_hi % 65536
+                  ELSE sim_hi // 65536 END AS band_val
+  FROM __fp, range(0, 4) b(v)
+),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM __banded a JOIN __banded b2
+    ON a.band = b2.band AND a.band_val = b2.band_val AND a.doc_id < b2.doc_id
+)
+SELECT c.doc_id_1, c.doc_id_2,
+       CAST(bit_count(xor(f1.sim_lo, f2.sim_lo))
+            + bit_count(xor(f1.sim_hi, f2.sim_hi)) AS INTEGER) AS hamming
+FROM __cand c
+JOIN __fp f1 ON f1.doc_id = c.doc_id_1
+JOIN __fp f2 ON f2.doc_id = c.doc_id_2
+WHERE bit_count(xor(f1.sim_lo, f2.sim_lo)) + bit_count(xor(f1.sim_hi, f2.sim_hi))
+      <= {max_hamming}
+"""
+
+
+ORACLE_SIMHASH_PAIRS = _sql_simhash_pairs(4)
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
-    xxhash64-seeded -- deterministic but not SQL-expressible (rows-only
-    check)."""
+    """MinHash-LSH near-dup pairs, portable md5 hash family: the DuckDB
+    oracle recomputes signature -> banding -> bucket join -> exact
+    Jaccard, so candidate GENERATION is verified, not just the verify
+    stage."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return minhash_near_dupes_portable(t["documents"], threshold=0.4)
+
+
+def q_minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash-LSH (the 100 TB fast path: one JVM hash pass +
+    affine re-hashes).  Rows-only: engine-seeded hashing; the algorithm
+    itself is oracle-verified via the portable twin minhash_near_dup."""
     t = load_tables(spark, sf_dir, ["documents"])
     return minhash_near_dupes(t["documents"], threshold=0.3).orderBy(
         "doc_id_1", "doc_id_2"
@@ -246,13 +413,14 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full corpus-dedup pipeline: MinHash-LSH pairs -> connected
-    components -> canonical representative per cluster.  Summary row
-    per cluster size (rows-only: hash-seeded)."""
+    """Full corpus-dedup pipeline on the portable pair family:
+    MinHash-LSH pairs -> connected components -> cluster-size
+    histogram.  Oracle: recursive-CTE transitive closure over the same
+    recomputed pairs."""
     from ..functions.similarity import dedup_clusters
 
     t = load_tables(spark, sf_dir, ["documents"])
-    pairs = minhash_near_dupes(t["documents"], threshold=0.5)
+    pairs = minhash_near_dupes_portable(t["documents"], threshold=0.5)
     clustered = dedup_clusters(t["documents"], pairs)
     return (
         clustered.groupBy("cluster_id")
@@ -265,6 +433,23 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters over the xxhash64 fast pairs (rows-only; scale/bench
+    flavor of near_dup_clusters)."""
+    from ..functions.similarity import dedup_clusters
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = minhash_near_dupes(t["documents"], threshold=0.5)
+    clustered = dedup_clusters(t["documents"], pairs)
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (rows-only check)."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -272,16 +457,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup pairs with exact Hamming verification
-    (completes the dedup family: exact / MinHash / SimHash / n-gram /
-    embedding).  Rows-only: hash-seeded."""
+    """SimHash-banded near-dup pairs, portable md5-nibble fingerprint:
+    the DuckDB oracle recomputes the 64 bit-votes, 16-bit banding, and
+    bit_count(xor) Hamming verify, so the whole algorithm is checked."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash_near_dupes_portable(t["documents"], max_hamming=4)
+
+
+def q_simhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 SimHash near-dup (the scale/bench flavor; rows-only --
+    the algorithm itself is oracle-verified via simhash_near_dup).
+    hamming <= 4: just past the pigeonhole-guaranteed recall bound
+    (num_bands=4 finds every pair under 4 bit errors); the fixture
+    corpus is a small-vocabulary word soup, so looser thresholds
+    degenerate into quadratic pair counts."""
     from ..functions.similarity import simhash_near_dupes
 
     t = load_tables(spark, sf_dir, ["documents"])
-    # hamming <= 4: just past the pigeonhole-guaranteed recall bound
-    # (num_bands=4 finds every pair under 4 bit errors); the fixture
-    # corpus is a small-vocabulary word soup, so looser thresholds
-    # degenerate into quadratic pair counts
     return simhash_near_dupes(t["documents"], max_hamming=4).orderBy(
         "doc_id_1", "doc_id_2"
     )
@@ -564,14 +756,20 @@ def specs() -> list[QuerySpec]:
                   "rolling-hash blocking fingerprint (rows-only)"),
         QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD,
                   "token-set Jaccard near-dup over bounded candidates"),
-        QuerySpec("minhash_near_dup", q_minhash_near_dup, None,
-                  "MinHash+LSH banded near-dup (rows-only)"),
-        QuerySpec("near_dup_clusters", q_near_dup_clusters, None,
-                  "LSH pairs -> connected components -> cluster sizes"),
+        QuerySpec("minhash_near_dup", q_minhash_near_dup, ORACLE_MINHASH,
+                  "MinHash-LSH near-dup, full algorithm oracle-recomputed"),
+        QuerySpec("minhash_near_dup_fast", q_minhash_near_dup_fast, None,
+                  "xxhash64 MinHash-LSH (scale/bench flavor, rows-only)"),
+        QuerySpec("near_dup_clusters", q_near_dup_clusters, ORACLE_CLUSTERS,
+                  "LSH pairs -> connected components (recursive-CTE oracle)"),
+        QuerySpec("near_dup_clusters_fast", q_near_dup_clusters_fast, None,
+                  "clusters over xxhash64 pairs (scale/bench flavor, rows-only)"),
         QuerySpec("simhash", q_simhash, None,
                   "64-bit SimHash fingerprints (rows-only)"),
-        QuerySpec("simhash_near_dup", q_simhash_near_dup, None,
-                  "SimHash-banded near-dup + Hamming verify (rows-only)"),
+        QuerySpec("simhash_near_dup", q_simhash_near_dup, ORACLE_SIMHASH_PAIRS,
+                  "SimHash near-dup, full algorithm oracle-recomputed"),
+        QuerySpec("simhash_near_dup_fast", q_simhash_near_dup_fast, None,
+                  "xxhash64 SimHash near-dup (scale/bench flavor, rows-only)"),
         QuerySpec("approx_distinct_users", q_approx_distinct_users, None,
                   "HLL++ approx distinct vs exact (rows-only)"),
         QuerySpec("stratified_sample", q_stratified_sample, None,

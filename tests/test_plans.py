@@ -60,3 +60,13 @@ def test_minhash_band_join_no_cartesian(spark, sf_dir):
     plan = checks.physical_plan(q_minhash_near_dup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_fast_band_join_no_cartesian(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_minhash_near_dup_fast,
+    )
+
+    plan = checks.physical_plan(q_minhash_near_dup_fast(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
