@@ -188,21 +188,55 @@ GROUP BY source
 """
 
 
+# Shingle CTEs shared by the fingerprint-blocking and minhash oracles:
+# tokens -> distinct word 3-grams (empty/whitespace docs yield an empty
+# list, like text.shingles after the empty-doc fix)
+_SQL_SHINGLES = """
+__tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+__shd AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+                WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                ELSE list_transform(range(1, len(tk) - 1),
+                                    i -> array_to_string(tk[i:i+2], ' '))
+           END) AS sh
+  FROM __tk
+)
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (token-set) Jaccard near-dup over a bounded candidate
-    window (doc_id offsets 1..5 -- an equi-join on doc_id+offset, so
-    the pair count stays linear in corpus size)."""
+    """Token-set Jaccard near-dup with min-shingle-hash fingerprint
+    blocking: candidates = docs sharing the minimum md5 over their word
+    3-gram shingles (a 1-hash MinHash bucket -- collision probability
+    for a pair equals its shingle Jaccard, so near-dups collide and
+    unrelated docs don't).  One equi-join on the fingerprint, bucket
+    sizes bounded by true dup-cluster sizes -- a real linear blocking
+    strategy, unlike id-adjacency.  md5 keeps the bucket key
+    recomputable by the DuckDB oracle."""
     t = load_tables(spark, sf_dir, ["documents"])
-    docs = t["documents"].select("doc_id", TX.tokens("text").alias("__toks"))
-    left = docs.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1")
-    ).withColumn("__off", F.explode(F.sequence(F.lit(1), F.lit(5))))
-    right = docs.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2")
+    docs = (
+        t["documents"]
+        .select(
+            "doc_id",
+            TX.tokens("text").alias("__toks"),
+            F.array_min(
+                F.transform(TX.shingles("text", 3), lambda s: F.md5(s))
+            ).alias("__fp"),
+        )
+        .filter(F.col("__fp").isNotNull())
     )
-    pairs = left.join(
-        right, F.col("doc_id_2") == F.col("doc_id_1") + F.col("__off")
+    a = docs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1"), "__fp"
     )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2"), "__fp"
+    )
+    pairs = a.join(b, "__fp").filter(F.col("doc_id_1") < F.col("doc_id_2"))
     return (
         pairs.withColumn(
             "jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4)
@@ -212,20 +246,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_JACCARD = """
+ORACLE_NGRAM_JACCARD = (
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+__fp AS (
+  SELECT s.doc_id, string_split(d.text, ' ') AS toks,
+         list_min(list_transform(s.sh, x -> md5(x))) AS fp
+  FROM __shd s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE len(s.sh) > 0
+)
 SELECT d1.doc_id AS doc_id_1,
        d2.doc_id AS doc_id_2,
-       round(CAST(len(list_intersect(list_distinct(string_split(d1.text, ' ')),
-                                     list_distinct(string_split(d2.text, ' ')))) AS DOUBLE)
-             / len(list_distinct(list_concat(list_distinct(string_split(d1.text, ' ')),
-                                             list_distinct(string_split(d2.text, ' '))))), 4) AS jaccard
-FROM documents d1
-JOIN documents d2 ON d2.doc_id BETWEEN d1.doc_id + 1 AND d1.doc_id + 5
-WHERE round(CAST(len(list_intersect(list_distinct(string_split(d1.text, ' ')),
-                                    list_distinct(string_split(d2.text, ' ')))) AS DOUBLE)
-            / len(list_distinct(list_concat(list_distinct(string_split(d1.text, ' ')),
-                                            list_distinct(string_split(d2.text, ' '))))), 4) >= 0.2
+       round(CAST(len(list_intersect(list_distinct(d1.toks), list_distinct(d2.toks))) AS DOUBLE)
+             / len(list_distinct(list_concat(list_distinct(d1.toks), list_distinct(d2.toks)))), 4) AS jaccard
+FROM __fp d1
+JOIN __fp d2 ON d1.fp = d2.fp AND d1.doc_id < d2.doc_id
+WHERE round(CAST(len(list_intersect(list_distinct(d1.toks), list_distinct(d2.toks))) AS DOUBLE)
+            / len(list_distinct(list_concat(list_distinct(d1.toks), list_distinct(d2.toks)))), 4) >= 0.2
 """
+)
 
 
 def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,26 +283,6 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # portable section).  Built by helpers because the signature/vote SQL
 # is loop-generated; every step (salted md5 mins, band keys, bucket
 # join, exact verify) matches the Spark plan expression-for-expression.
-
-# shingle CTEs shared by the minhash oracles: tokens -> distinct word
-# 3-grams (empty/whitespace docs yield an empty list, like
-# text.shingles after the empty-doc fix)
-_SQL_SHINGLES = """
-__tk AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents
-),
-__shd AS (
-  SELECT doc_id,
-         list_distinct(
-           CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-                WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-                ELSE list_transform(range(1, len(tk) - 1),
-                                    i -> array_to_string(tk[i:i+2], ' '))
-           END) AS sh
-  FROM __tk
-)
-"""
 
 
 def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 4) -> str:
