@@ -129,17 +129,43 @@ def kmeans_lite(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic Lloyd iterations for IVF coarse quantization:
-    init = first k vectors by id, then assign/recompute ``iters``
-    times.  Each iteration is one broadcast pass + one (cluster, pos)
-    shuffle -- the standard distributed k-means shape.  Returns the
-    corpus with a ``cluster`` column."""
-    w = Window.orderBy(id_col)
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(k)
-        .withColumn("cluster", F.row_number().over(w) - 1)
-        .select("cluster", F.col(vec_col).alias("centroid"))
+    """Deterministic Lloyd iterations for IVF coarse quantization.
+
+    Seeding is the k-means|| pattern shrunk to its essence: draw a
+    small hash-spread candidate sample (TakeOrdered by xxhash64(id) --
+    per-partition top-k + merge, no full sort, deterministic, and
+    immune to ids correlating with cluster structure the way
+    first-k-by-id seeding is), then run farthest-point (k-means++-style)
+    selection over the candidates on the driver -- O(candidates * k)
+    numpy on <=8k floats.  Naive first-k seeding demonstrably collapses
+    planted blobs into one cell (tests/test_ann_recall.py).  Then
+    assign/recompute ``iters`` times; each iteration is one broadcast
+    pass + one (cluster, pos) shuffle -- the standard distributed
+    k-means shape.  Returns the corpus with a ``cluster`` column."""
+    import numpy as np
+
+    n_cand = max(8 * k, 32)
+    cand_rows = (
+        corpus.select(
+            F.xxhash64(F.col(id_col).cast("string")).alias("__seed_h"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__seed_h")
+        .limit(n_cand)
+        .collect()
+    )
+    vecs = np.array([r["__v"] for r in cand_rows], dtype="float64")
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    while len(chosen) < min(k, len(vecs)):
+        # next seed = candidate farthest (in cosine distance) from its
+        # nearest already-chosen seed; argmax ties break by index
+        sims = unit @ unit[chosen].T
+        nearest = sims.max(axis=1)
+        chosen.append(int(np.argmin(nearest)))
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in vecs[c]]) for i, c in enumerate(chosen)],
+        "cluster int, centroid array<double>",
     )
     assigned = kmeans_assign(corpus, cents, id_col, vec_col)
     for _ in range(iters - 1):

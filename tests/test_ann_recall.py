@@ -1,0 +1,81 @@
+"""ANN quality gate: recall@k of the IVF path vs brute force on
+planted clusters.
+
+The driver fixture embeddings are random/near-orthogonal (no cluster
+structure -- NOTES.md), so recall there is meaningless; this synthesizes
+a corpus with ground-truth clusters (tight Gaussian blobs around
+well-separated centers) and asserts the IVF probe path recovers the
+brute-force top-k.  The measured number is recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_postgres_lab2_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+    kmeans_lite,
+)
+
+N_CLUSTERS = 8
+PER_CLUSTER = 50
+DIM = 32
+K = 10
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(PER_CLUSTER):
+            v = centers[c] + 0.05 * rng.normal(size=DIM)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_recall_at_10_on_planted_clusters(planted):
+    queries = planted.filter(F.col("vec_id") % PER_CLUSTER == 0)  # 1 per true cluster
+    truth = _topk_sets(cosine_topk(planted, queries, k=K))
+
+    clustered = kmeans_lite(planted, k=N_CLUSTERS, iters=3)
+    got = _topk_sets(
+        ivf_topk(clustered, queries, k=K, nprobe=2, cluster_col="cluster")
+    )
+
+    assert set(truth) == set(got)  # every query answered
+    recalls = [len(truth[q] & got[q]) / K for q in truth]
+    recall = sum(recalls) / len(recalls)
+    # tight planted blobs + nprobe=2 of 8: the probed cells contain the
+    # whole true neighborhood; anything under 0.9 means the coarse
+    # quantizer or the probe routing is broken
+    assert recall >= 0.9, f"recall@{K} = {recall:.3f}"
+
+
+def test_ivf_prunes_the_corpus(planted):
+    """The IVF path must score fewer candidates than brute force:
+    with nprobe=2 of 8 equal clusters, ~1/4 of the corpus per query."""
+    clustered = kmeans_lite(planted, k=N_CLUSTERS, iters=3)
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in clustered.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # planted blobs are balanced; k-means-lite must not collapse them
+    assert len(sizes) == N_CLUSTERS
+    assert max(sizes.values()) <= 2 * PER_CLUSTER
