@@ -229,16 +229,26 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__fp"),
         )
         .filter(F.col("__fp").isNotNull())
+        .localCheckpoint(eager=False)
     )
-    a = docs.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1"), "__fp"
+    # candidate generation on the SLIM (doc_id, fp) projection -- the
+    # bucket self-join shuffles 2 columns, not the token arrays; token
+    # payloads join back only for surviving candidate pairs
+    slim = docs.select("doc_id", "__fp")
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), "__fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
     )
-    b = docs.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2"), "__fp"
-    )
-    pairs = a.join(b, "__fp").filter(F.col("doc_id_1") < F.col("doc_id_2"))
+    t1 = docs.select(F.col("doc_id").alias("doc_id_1"), F.col("__toks").alias("__toks_1"))
+    t2 = docs.select(F.col("doc_id").alias("doc_id_2"), F.col("__toks").alias("__toks_2"))
     return (
-        pairs.withColumn(
+        cand.join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
+        .withColumn(
             "jaccard", F.round(jaccard_tokens(F.col("__toks_1"), F.col("__toks_2")), 4)
         )
         .filter(F.col("jaccard") >= 0.2)
