@@ -2,6 +2,11 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at the
 given sf, compare row count, column names, and an order-insensitive
 value hash.  Usage: python tools/parity_check.py [sf_dir] [name ...]
+
+Set ``PARITY_JSON=path.json`` to also write a machine-readable result
+map (committed per round as PARITY_r{N}.json: the driver checks only
+the first 50 queries() entries, so this file is the evidence for the
+rest of the inventory).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -60,9 +66,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:24s} spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"}
             continue
         if name not in oracles:
             print(f"ok?   {name:24s} rows-only: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -71,6 +79,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name:24s} duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -85,8 +94,24 @@ def main() -> int:
         if problems:
             print(f"FAIL  {name:24s} {'; '.join(problems)}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "err": "; ".join(problems)}
         else:
             print(f"PASS  {name:24s} {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "PASS",
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": True,
+                "spark_rows": len(srows),
+                "oracle_rows": len(drows),
+            }
+
+    json_out = __import__("os").environ.get("PARITY_JSON")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(results, f, indent=1)
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
