@@ -463,16 +463,25 @@ def embedding_near_dupes_lsh(
     e.g. every copy of a mass-duplicated embedding lands in one bucket
     -- to a spanning chain of adjacent-id pairs (_cap_buckets), keeping
     the copies connected while the self-join stays linear."""
-    first = emb.select(F.size(F.col(vec_col)).alias("__d")).first()
-    if first is not None and first["__d"] is not None and first["__d"] > _HYPERPLANE_DIM:
-        raise ValueError(
-            f"embedding dim {first['__d']} exceeds hyperplane dim "
-            f"{_HYPERPLANE_DIM}; extend _HYPERPLANES"
+    # dim guard INSIDE the plan (raise_error fires on the executor at
+    # evaluation time): composing the plan stays job-free, and unlike a
+    # driver-side first() probe it checks EVERY row, not just one
+    guarded_bucket = F.when(
+        F.size(F.col(vec_col)) <= _HYPERPLANE_DIM,
+        random_hyperplane_bucket(F.col(vec_col), n_planes),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("embedding dim "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" exceeds hyperplane dim {_HYPERPLANE_DIM}; extend _HYPERPLANES"),
+            )
         )
+    )
     keyed = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        random_hyperplane_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        guarded_bucket.alias("bucket"),
     )
     chain = None
     if max_bucket_size is not None:
