@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_decode",
     "dlq_breakdown",
+    "doc_repetition",
+    "doc_clean",
+    "user_session_window",
+    "order_first_last_nth",
+    "user_map_funcs",
 ]
 
 

@@ -56,6 +56,12 @@ DRIVER_PRIORITY = [
     "near_dup_clusters",
     # implementation changed this round (asof NULL-carry fix)
     "purchase_attribution",
+    # round-2 additions, second batch
+    "user_session_window",
+    "order_first_last_nth",
+    "user_map_funcs",
+    "doc_repetition",
+    "doc_clean",
 ]
 
 

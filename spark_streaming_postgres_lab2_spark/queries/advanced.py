@@ -672,6 +672,165 @@ def q_top_spenders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+# --- session_window batch twin ----------------------------------------------
+
+
+def q_user_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch flavor of the session_window operator (10-minute gap):
+    per-user sessions with start/end/count/value.  The oracle is the
+    classic gaps-and-islands SQL: lag -> new-session flag on gap >= 10
+    minutes (session_window's [start, last+gap) semantics make an
+    exactly-gap-sized step a NEW session) -> running-sum session id ->
+    group.  Pins the streaming operator's semantics against plain
+    ANSI SQL."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 10 MINUTE) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+# --- first/last/nth_value window suite ---------------------------------------
+
+
+def q_order_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full unbounded frame
+    per customer (order history summary in one window pass)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.first("o_totalprice").over(full).alias("first_price"),
+            F.last("o_totalprice").over(full).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+            F.count(F.lit(1)).over(full).alias("n_orders"),
+            F.row_number().over(rn).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+ORACLE_FIRST_LAST_NTH = """
+WITH w AS (
+  SELECT o_custkey,
+         first_value(o_totalprice) OVER win AS first_price,
+         last_value(o_totalprice) OVER win AS last_price,
+         nth_value(o_totalprice, 2) OVER win AS second_price,
+         count(*) OVER win AS n_orders,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, first_price, last_price, second_price, n_orders
+FROM w WHERE rn = 1
+"""
+
+
+# --- map-type functions -------------------------------------------------------
+
+_MAP_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def q_user_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function surface: create_map -> map_filter ->
+    map_keys / map_values / transform_values / aggregate over per-user
+    event-type counts.  The oracle recomputes the same scalars from
+    conditional counts -- map semantics pinned against plain SQL."""
+    t = load_tables(spark, sf_dir, ["events"])
+    counts = t["events"].groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == et, 1)).alias(f"n_{et}")
+            for et in _MAP_EVENT_TYPES
+        ]
+    )
+    kv_pairs: list = []
+    for et in _MAP_EVENT_TYPES:
+        kv_pairs += [F.lit(et), F.col(f"n_{et}")]
+    active = F.map_filter(F.create_map(*kv_pairs), lambda _k, v: v > 0)
+    return counts.select(
+        "user_id",
+        F.array_join(F.array_sort(F.map_keys(active)), ",").alias("active_types"),
+        F.size(F.map_keys(active)).cast("int").alias("n_active_types"),
+        F.aggregate(
+            F.map_values(active), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_events"),
+        F.array_max(
+            F.map_values(F.transform_values(active, lambda _k, v: v * v))
+        ).alias("max_sq_count"),
+    )
+
+
+def _map_oracle() -> str:
+    conds = ",\n         ".join(
+        f"count(CASE WHEN event_type = '{et}' THEN 1 END) AS n_{et}"
+        for et in _MAP_EVENT_TYPES
+    )
+    pairs = ", ".join(
+        f"struct_pack(k := '{et}', v := n_{et})" for et in _MAP_EVENT_TYPES
+    )
+    squares = ", ".join(f"n_{et} * n_{et}" for et in _MAP_EVENT_TYPES)
+    total = " + ".join(f"n_{et}" for et in _MAP_EVENT_TYPES)
+    return f"""
+WITH c AS (
+  SELECT user_id,
+         {conds}
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       array_to_string(list_sort(list_transform(
+         list_filter([{pairs}], s -> s.v > 0), s -> s.k)), ',') AS active_types,
+       CAST(len(list_filter([{pairs}], s -> s.v > 0)) AS INTEGER) AS n_active_types,
+       CAST({total} AS BIGINT) AS total_events,
+       CAST(greatest({squares}) AS BIGINT) AS max_sq_count
+FROM c
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -706,4 +865,10 @@ def specs() -> list[QuerySpec]:
                   "NOT IN null-aware anti join per brand"),
         QuerySpec("top_spenders_lateral", q_top_spenders_lateral, _LATERAL_SQL,
                   "LATERAL correlated subquery: top-2 spenders per nation"),
+        QuerySpec("user_session_window", q_user_session_window, ORACLE_SESSION_WINDOW,
+                  "session_window batch twin vs gaps-and-islands SQL"),
+        QuerySpec("order_first_last_nth", q_order_first_last_nth, ORACLE_FIRST_LAST_NTH,
+                  "first/last/nth_value unbounded-frame window suite"),
+        QuerySpec("user_map_funcs", q_user_map_funcs, _map_oracle(),
+                  "map functions: create/filter/keys/values/transform_values"),
     ]

@@ -188,6 +188,154 @@ GROUP BY source
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct
+    token ratio, top-token fraction, top-bigram fraction -- the filters
+    LLM-pipeline dedup/quality stages run before training.  Pure
+    Column-level HOFs, per-row computation, no shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    # explode + two-phase agg, NOT nested HOFs: transform(distinct,
+    # x -> size(filter(toks, y = x))) is O(distinct * n) interpreted
+    # per row and measured 25x slower at sf0.1 (124 s vs 5 s).  Both
+    # groupBys partial-aggregate map-side, keyed on doc_id.
+    tok_stats = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__d"),
+            F.max("__c").alias("__top"),
+        )
+    )
+    bi_stats = (
+        docs.select("doc_id", F.explode(TX.shingles("text", 2)).alias("__b"))
+        .groupBy("doc_id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.sum("__c").alias("__bn"), F.max("__c").alias("__btop"))
+    )
+    return (
+        tok_stats.join(bi_stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("__n").cast("int").alias("n_tokens"),
+            F.round(F.col("__d").cast("double") / F.col("__n"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("__top").cast("double") / F.col("__n"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("__btop").cast("double") / F.col("__bn"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+
+
+ORACLE_DOC_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), tc AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), ts AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS top
+  FROM tc GROUP BY doc_id
+), fd AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ftk
+  FROM documents
+), big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ftk) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(ftk) < 2 THEN [array_to_string(ftk, ' ')]
+                     ELSE list_transform(range(1, len(ftk)),
+                                         i -> array_to_string(ftk[i:i+1], ' '))
+                END) AS b
+  FROM fd
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b
+), bs AS (
+  SELECT doc_id, sum(c) AS bn, max(c) AS btop FROM bc GROUP BY doc_id
+)
+SELECT ts.doc_id,
+       CAST(ts.n AS INTEGER) AS n_tokens,
+       round(CAST(ts.d AS DOUBLE) / ts.n, 4) AS distinct_ratio,
+       round(CAST(ts.top AS DOUBLE) / ts.n, 4) AS top_token_frac,
+       round(CAST(bs.btop AS DOUBLE) / bs.bn, 4) AS top_bigram_frac
+FROM ts JOIN bs ON bs.doc_id = ts.doc_id
+"""
+
+
+def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-cleaning transform (URL/email scrub + whitespace collapse +
+    trim) -- the normalization pass before fingerprinting/dedup.  The
+    fixture text is clean, so deterministic noise is appended keyed on
+    doc_id (same expression in the oracle) and the scrub must remove
+    exactly it."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    noisy = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" visit https://example.com/p"),
+                F.col("doc_id").cast("string"),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("  contact bob"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org  "),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                noisy, r"(https?://\S+)|([A-Za-z0-9.]+@[A-Za-z0-9.]+)", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.length(noisy).cast("long").alias("n_chars_noisy"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+        (F.length(noisy) - F.length(cleaned)).cast("long").alias("n_chars_removed"),
+    )
+
+
+ORACLE_DOC_CLEAN = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' visit https://example.com/p' || CAST(doc_id AS VARCHAR) || ' now'
+                      WHEN doc_id % 3 = 1
+                      THEN '  contact bob' || CAST(doc_id AS VARCHAR) || '@mail.example.org  '
+                      ELSE '' END AS t
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(t, '(https?://\S+)|([A-Za-z0-9.]+@[A-Za-z0-9.]+)', '', 'g'),
+           '\s+', ' ', 'g')) AS c
+  FROM noisy
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_noisy,
+       CAST(length(c) AS BIGINT) AS n_chars_clean,
+       CAST(length(t) - length(c) AS BIGINT) AS n_chars_removed
+FROM cleaned
+"""
+
+
 # Shingle CTEs shared by the fingerprint-blocking and minhash oracles:
 # tokens -> distinct word 3-grams (empty/whitespace docs yield an empty
 # list, like text.shingles after the empty-doc fix)
@@ -786,6 +934,10 @@ def specs() -> list[QuerySpec]:
                   "rolling-hash blocking fingerprint (rows-only)"),
         QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD,
                   "token-set Jaccard near-dup over bounded candidates"),
+        QuerySpec("doc_repetition", q_doc_repetition, ORACLE_DOC_REPETITION,
+                  "Gopher-style repetition quality signals per doc"),
+        QuerySpec("doc_clean", q_doc_clean, ORACLE_DOC_CLEAN,
+                  "URL/email scrub + whitespace collapse transform"),
         QuerySpec("minhash_near_dup", q_minhash_near_dup, ORACLE_MINHASH,
                   "MinHash-LSH near-dup, full algorithm oracle-recomputed"),
         QuerySpec("minhash_near_dup_fast", q_minhash_near_dup_fast, None,
