@@ -62,6 +62,8 @@ DRIVER_PRIORITY = [
     "user_map_funcs",
     "doc_repetition",
     "doc_clean",
+    "salted_distinct_users",
+    "salted_nation_revenue",
 ]
 
 

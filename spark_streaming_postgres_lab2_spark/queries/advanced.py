@@ -831,6 +831,67 @@ FROM c
 """
 
 
+# --- skew-mitigation techniques, correctness-pinned --------------------------
+
+
+def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted COUNT(DISTINCT): stage 1 dedups (key, salt,
+    value) with map-side partials, stage 2 merges -- the hot-key shape
+    for COUNT(DISTINCT) at scale.  Salt partitions of a hash-salted
+    value space are disjoint, so the merged sum is EXACTLY the distinct
+    count; the oracle is the plain COUNT(DISTINCT)."""
+    from ..operators.skew import salted_distinct_count
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return salted_distinct_count(
+        t["events"], "event_type", "user_id", salt_n=8
+    ).withColumnRenamed("distinct_user_id", "distinct_users")
+
+
+ORACLE_SALTED_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_salted_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim equi-join (supplier-nation revenue): the small
+    side explodes salt_n-fold, the big side salts deterministically by
+    a per-row unique column, and the join key becomes (key, salt) --
+    identical result set to the plain join (the oracle), with hot keys
+    spread over salt_n reducers."""
+    from ..operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "n_name")
+    )
+    joined = salted_join(
+        t["lineitem"].select("l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"),
+        supp_nation,
+        key="l_suppkey",
+        salt_n=8,
+        big_unique_col="l_orderkey",
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+SELECT n_name AS nation,
+       {sql_money_sum("l_extendedprice * (1 - l_discount)", "revenue")},
+       count(*) AS line_count
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -871,4 +932,8 @@ def specs() -> list[QuerySpec]:
                   "first/last/nth_value unbounded-frame window suite"),
         QuerySpec("user_map_funcs", q_user_map_funcs, _map_oracle(),
                   "map functions: create/filter/keys/values/transform_values"),
+        QuerySpec("salted_distinct_users", q_salted_distinct_users, ORACLE_SALTED_DISTINCT,
+                  "two-stage salted COUNT(DISTINCT) vs plain oracle"),
+        QuerySpec("salted_nation_revenue", q_salted_nation_revenue, ORACLE_SALTED_JOIN,
+                  "salted hot-key equi-join vs plain-join oracle"),
     ]

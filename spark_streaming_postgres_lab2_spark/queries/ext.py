@@ -583,11 +583,17 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 MinHash-LSH (the 100 TB fast path: one JVM hash pass +
     affine re-hashes).  Rows-only: engine-seeded hashing; the algorithm
-    itself is oracle-verified via the portable twin minhash_near_dup."""
+    itself is oracle-verified via the portable twin minhash_near_dup.
+
+    max_bucket_size=500: on a mass-duplicated corpus every copy of a
+    doc shares every band bucket, so the uncapped self-join is
+    quadratic in copy count (measured 306 s at sf10 = 100 copies of
+    each doc, vs 42 s capped -- SCALING.md).  The cap never bites on
+    the driver fixtures (buckets are far smaller)."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return minhash_near_dupes(t["documents"], threshold=0.3).orderBy(
-        "doc_id_1", "doc_id_2"
-    )
+    return minhash_near_dupes(
+        t["documents"], threshold=0.3, max_bucket_size=500
+    ).orderBy("doc_id_1", "doc_id_2")
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,11 +619,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_near_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clusters over the xxhash64 fast pairs (rows-only; scale/bench
-    flavor of near_dup_clusters)."""
+    flavor of near_dup_clusters).  Bucket cap is lossless here: the
+    spanning-chain degradation keeps every duplicate cluster connected,
+    which is all connected components needs."""
     from ..functions.similarity import dedup_clusters
 
     t = load_tables(spark, sf_dir, ["documents"])
-    pairs = minhash_near_dupes(t["documents"], threshold=0.5)
+    pairs = minhash_near_dupes(t["documents"], threshold=0.5, max_bucket_size=500)
     clustered = dedup_clusters(t["documents"], pairs)
     return (
         clustered.groupBy("cluster_id")

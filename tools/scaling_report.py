@@ -26,9 +26,10 @@ DEFAULT_QUERIES = [
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-# optional extra scale step (e.g. /tmp/sf1 from tools/make_sfN.py)
+# optional extra scale steps, comma-separated (e.g.
+# SPARK_GRAFT_EXTRA_SF=/tmp/sf1,/tmp/sf10 from tools/make_sfN.py)
 if os.environ.get("SPARK_GRAFT_EXTRA_SF"):
-    SFS.append(os.environ["SPARK_GRAFT_EXTRA_SF"])
+    SFS.extend(p for p in os.environ["SPARK_GRAFT_EXTRA_SF"].split(",") if p)
 
 
 def main() -> None:
