@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "user_session_window",
     "order_first_last_nth",
     "user_map_funcs",
+    "salted_distinct_users",
+    "salted_nation_revenue",
+    "grouping_sets_events",
+    "doc_array_ops",
 ]
 
 

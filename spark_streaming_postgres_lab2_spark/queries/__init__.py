@@ -64,6 +64,8 @@ DRIVER_PRIORITY = [
     "doc_clean",
     "salted_distinct_users",
     "salted_nation_revenue",
+    "grouping_sets_events",
+    "doc_array_ops",
 ]
 
 

@@ -831,6 +831,75 @@ FROM c
 """
 
 
+# --- explicit GROUPING SETS + grouping_id ------------------------------------
+
+
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE desugar to)
+    with grouping_id disambiguating subtotal rows from genuine NULL
+    group values."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(year(ts) AS INT) AS yr,
+               CAST(grouping_id(event_type, CAST(year(ts) AS INT)) AS INT) AS gid,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(year(ts) AS INT)),
+                                (event_type), (CAST(year(ts) AS INT)), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT event_type,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(GROUPING_ID(event_type, CAST(year(ts) AS INTEGER)) AS INTEGER) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(year(ts) AS INTEGER)),
+                        (event_type), (CAST(year(ts) AS INTEGER)), ())
+"""
+
+
+# --- per-row array set operations ---------------------------------------------
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def q_doc_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation surface (array_intersect / array_except /
+    array_union against a literal vocabulary) -- per-row, codegen'd, no
+    shuffle."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.array_distinct(TX.tokens("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.size(F.array_intersect(toks, stop)).cast("int").alias("n_stop_hits"),
+        F.size(F.array_except(toks, stop)).cast("int").alias("n_content_tokens"),
+        F.size(F.array_union(toks, stop)).cast("int").alias("n_union"),
+    )
+
+
+def _array_ops_oracle() -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+    return f"""
+SELECT doc_id,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')), {lit})) AS INTEGER)
+         AS n_stop_hits,
+       CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                            t -> NOT list_contains({lit}, t))) AS INTEGER)
+         AS n_content_tokens,
+       CAST(len(list_distinct(list_concat(list_distinct(string_split(text, ' ')), {lit}))) AS INTEGER)
+         AS n_union
+FROM documents
+"""
+
+
 # --- skew-mitigation techniques, correctness-pinned --------------------------
 
 
@@ -936,4 +1005,8 @@ def specs() -> list[QuerySpec]:
                   "two-stage salted COUNT(DISTINCT) vs plain oracle"),
         QuerySpec("salted_nation_revenue", q_salted_nation_revenue, ORACLE_SALTED_JOIN,
                   "salted hot-key equi-join vs plain-join oracle"),
+        QuerySpec("grouping_sets_events", q_grouping_sets_events, ORACLE_GROUPING_SETS,
+                  "explicit GROUPING SETS + grouping_id"),
+        QuerySpec("doc_array_ops", q_doc_array_ops, _array_ops_oracle(),
+                  "array_intersect/except/union per-row suite"),
     ]
