@@ -39,6 +39,28 @@ def _cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0") == "1"
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to plain TIMESTAMP, whatever
+    physical shape the fixture round delivered.
+
+    Driver fixtures have shipped ``events.ts`` three ways so far:
+    r1: parquet TIMESTAMP(NANOS) -> read as bigint nanos (legacy conf);
+    r2: plain ``timestamp[us]`` with no tz -> Spark 4 TIMESTAMP_NTZ,
+    which ``unix_micros``/interval arithmetic reject.  The session tz is
+    pinned UTC (load_tables), so casting NTZ -> TIMESTAMP is value-
+    preserving and agrees with the UTC-naive DuckDB oracle.  Applying
+    the rule to *all* columns (not just events.ts) makes the next silent
+    fixture-type change a no-op instead of a per-query analysis error.
+    """
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif col == "ts" and dtype == "bigint":
+            # nanos-as-long shape: truncate to micros like DuckDB does.
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table.  The events table carries TIMESTAMP(NANOS)
     parquet timestamps, which Spark 4 refuses by default
@@ -49,8 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = _normalize_timestamps(df)
     if _cache_enabled():
         _TABLE_CACHE[key] = df
     return df
