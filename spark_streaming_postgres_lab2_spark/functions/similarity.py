@@ -420,8 +420,12 @@ def minhash_near_dupes(
 # (zip_with would null-pad a dimension mismatch and silently collapse
 # every vector into one bucket -- see embedding_near_dupes_lsh guard).
 _HYPERPLANE_DIM = 256
+# 96 planes support up to n_tables * n_planes = 96 (e.g. 16 tables x 6
+# planes).  The first 16 are bit-identical to the r2 constants: _rng's
+# minhash draws happen above, and extending the comprehension only
+# appends to the gaussian stream.
 _HYPERPLANES = [
-    [_rng.gauss(0.0, 1.0) for _ in range(_HYPERPLANE_DIM)] for _ in range(16)
+    [_rng.gauss(0.0, 1.0) for _ in range(_HYPERPLANE_DIM)] for _ in range(96)
 ]
 
 
@@ -429,23 +433,31 @@ def _plane_lit(plane: list[float]) -> Column:
     return F.array(*[F.lit(x) for x in plane])
 
 
-def random_hyperplane_bucket(vec_col: Column, n_planes: int = 8) -> Column:
+def random_hyperplane_bucket(
+    vec_col: Column, n_planes: int = 8, table: int = 0
+) -> Column:
     """LSH bucket key for cosine similarity: sign bits of ``n_planes``
     fixed random projections packed into one long.  Vectors with high
-    cosine land in the same bucket with high probability.  Planes are
+    cosine land in the same bucket with high probability.  ``table``
+    selects a disjoint plane slice and offsets the key space, so
+    buckets from different hash tables never collide.  Planes are
     sliced to the vector's own length (dims above _HYPERPLANE_DIM are
     rejected by embedding_near_dupes_lsh)."""
-    if n_planes > len(_HYPERPLANES):
-        raise ValueError(f"n_planes must be <= {len(_HYPERPLANES)}")
+    base = table * n_planes
+    if base + n_planes > len(_HYPERPLANES):
+        raise ValueError(
+            f"table {table} x n_planes {n_planes} needs plane "
+            f"{base + n_planes}; only {len(_HYPERPLANES)} available"
+        )
     bits = []
     for i in range(n_planes):
-        plane = F.slice(_plane_lit(_HYPERPLANES[i]), 1, F.size(vec_col))
+        plane = F.slice(_plane_lit(_HYPERPLANES[base + i]), 1, F.size(vec_col))
         d = dot(vec_col, plane)
         bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     key = bits[0]
     for b in bits[1:]:
         key = key + b
-    return key.cast("long")
+    return (key + F.lit(table * (1 << n_planes))).cast("long")
 
 
 def embedding_near_dupes_lsh(
@@ -454,21 +466,39 @@ def embedding_near_dupes_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     n_planes: int = 8,
+    n_tables: int = 1,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup at scale: random-hyperplane bucket ->
-    within-bucket self-join -> exact cosine verify.  One shuffle on the
-    bucket key; candidate count is linear for hash-uniform buckets.
-    ``max_bucket_size`` (default None) degrades degenerate buckets --
-    e.g. every copy of a mass-duplicated embedding lands in one bucket
-    -- to a spanning chain of adjacent-id pairs (_cap_buckets), keeping
-    the copies connected while the self-join stays linear."""
+    """Embedding-cosine near-dup at scale: random-hyperplane buckets ->
+    within-bucket self-join -> exact cosine verify.
+
+    ``n_tables`` is the OR-amplification knob: a pair at angle theta
+    collides in one table with p = (1 - theta/pi)^n_planes, and in at
+    least one of L tables with 1 - (1-p)^L.  n_planes trades precision
+    (candidate volume) against per-table recall; n_tables buys recall
+    back at the cost of L bucket rows per vector.  E.g. cosine 0.4
+    (theta ~= 66 deg, p_plane ~= 0.63): one 8-plane table catches ~2.5%
+    of true pairs; 16 tables x 4 planes catch ~94%.
+
+    Shuffle stays slim: only (vid, bucket) rows are exploded L times
+    and self-joined; the float vectors are joined back by id for the
+    surviving candidates only (same survivors-only pattern as
+    minhash_near_dupes).  ``max_bucket_size`` degrades degenerate
+    buckets -- e.g. every copy of a mass-duplicated embedding lands in
+    one bucket -- to a spanning chain of adjacent-id pairs
+    (_cap_buckets), keeping the copies connected while the self-join
+    stays linear."""
     # dim guard INSIDE the plan (raise_error fires on the executor at
     # evaluation time): composing the plan stays job-free, and unlike a
     # driver-side first() probe it checks EVERY row, not just one
-    guarded_bucket = F.when(
-        F.size(F.col(vec_col)) <= _HYPERPLANE_DIM,
-        random_hyperplane_bucket(F.col(vec_col), n_planes),
+    buckets = F.array(
+        *[
+            random_hyperplane_bucket(F.col(vec_col), n_planes, table=t)
+            for t in range(n_tables)
+        ]
+    )
+    guarded_buckets = F.when(
+        F.size(F.col(vec_col)) <= _HYPERPLANE_DIM, buckets
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -478,56 +508,46 @@ def embedding_near_dupes_lsh(
             )
         )
     )
-    keyed = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        guarded_bucket.alias("bucket"),
+    slim = emb.select(
+        F.col(id_col).alias("vid"), F.explode(guarded_buckets).alias("bucket")
     )
     chain = None
     if max_bucket_size is not None:
-        keyed, chain = _cap_buckets(keyed, ["bucket"], "vid", max_bucket_size)
-    left = keyed.select(
-        "bucket", F.col("vid").alias("vec_id_1"), F.col("vec").alias("__v1")
-    )
-    right = keyed.select(
-        "bucket", F.col("vid").alias("vec_id_2"), F.col("vec").alias("__v2")
-    )
-    scored = (
+        slim, chain = _cap_buckets(slim, ["bucket"], "vid", max_bucket_size)
+    left = slim.select("bucket", F.col("vid").alias("vec_id_1"))
+    right = slim.select("bucket", F.col("vid").alias("vec_id_2"))
+    candidates = (
         left.join(right, "bucket")
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+        .select("vec_id_1", "vec_id_2")
     )
     if chain is not None:
-        # chain pairs lost their payloads in _cap_buckets: re-attach
-        # vectors by id before verification
-        vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
-        chain_scored = (
+        candidates = candidates.unionByName(
             chain.select(
                 F.col("vid_1").alias("vec_id_1"), F.col("vid_2").alias("vec_id_2")
             )
-            .join(
-                vecs.select(
-                    F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")
-                ),
-                "vec_id_1",
-            )
-            .join(
-                vecs.select(
-                    F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")
-                ),
-                "vec_id_2",
-            )
-            .select("vec_id_1", "vec_id_2", "__v1", "__v2")
         )
-        scored = scored.unionByName(chain_scored)
+    if n_tables > 1 or chain is not None:
+        # a pair can collide in several tables; dedup the slim id pairs
+        # BEFORE the vector join so each candidate is scored once
+        candidates = candidates.dropDuplicates(["vec_id_1", "vec_id_2"])
+    vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    scored = (
+        candidates.join(
+            vecs.select(F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")),
+            "vec_id_1",
+        )
+        .join(
+            vecs.select(F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")),
+            "vec_id_2",
+        )
+        .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+    )
     return (
         scored.withColumn(
             "cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4)
         )
         .filter(F.col("cosine_sim") >= threshold)
-        # pairs are distinct without a dedup shuffle: each vector has
-        # exactly one bucket (unlike multi-band MinHash), and the chain
-        # contributes only successor pairs absent from capped buckets
         .select("vec_id_1", "vec_id_2", "cosine_sim")
     )
 

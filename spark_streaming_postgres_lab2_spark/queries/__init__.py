@@ -41,31 +41,23 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # oracle-declared but absent from CORRECTNESS_r01 (VERDICT.md item 1)
-    "doc_fingerprints",
-    "ngram_jaccard_pairs",
-    "embedding_norms",
-    "similarity_topk",
-    "embedding_near_dup",
-    "multimodal_meta",
-    # new oracle queries this round
-    "dlq_breakdown",
-    "multimodal_decode",
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "near_dup_clusters",
-    # implementation changed this round (asof NULL-carry fix)
-    "purchase_attribution",
-    # round-2 additions, second batch
+    # round 3: the 5 queries errored by the r2 TIMESTAMP_NTZ fixture
+    # regression (now fixed in sources/tables.load_table).
+    # user_session_window is the only oracle never driver-green.
     "user_session_window",
-    "order_first_last_nth",
-    "user_map_funcs",
-    "doc_repetition",
-    "doc_clean",
-    "salted_distinct_users",
-    "salted_nation_revenue",
-    "grouping_sets_events",
-    "doc_array_ops",
+    "user_activity",
+    "sessionization",
+    "schema_migration",
+    "purchase_attribution",
+    # rows-only operators that have never appeared in a driver window
+    # (driver records a rows-only check; embedding_lsh_near_dup was
+    # flagged weak-evidence in VERDICT r2 -- now emits >0 rows at
+    # fixture scale).
+    "embedding_lsh_near_dup",
+    "ann_ivf_topk",
+    "minhash_near_dup_fast",
+    "simhash_near_dup_fast",
+    "near_dup_clusters_fast",
 ]
 
 
