@@ -6,7 +6,10 @@
 
 Each query is forced through the noop sink (full computation, no
 driver collect overhead).  A warmup query absorbs JVM/codegen start-up
-so per-query numbers reflect steady-state executor time.
+so per-query numbers reflect steady-state executor time.  Each query
+runs ``$SPARK_GRAFT_BENCH_N`` times (default 3) and reports the
+median, making round-over-round diffs defensible against the ±50%
+single-shot host noise documented in SCALING.md.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -175,11 +179,15 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     stream = bench_streaming_pipeline(spark)
     timings["streaming_pipeline_20k_events"] = stream["streaming_pipeline_20k_events"]
@@ -191,6 +199,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": n_runs,
     }
     out.update({k: v for k, v in stream.items() if k != "streaming_pipeline_20k_events"})
     print(json.dumps(out))

@@ -25,22 +25,50 @@ from ..sources.csv_stream import csv_stream
 from .sinks import BatchRouter, SinkConfig
 
 
+class SchemaDriftError(ValueError):
+    """A source frame's declared schema does not match the registry's
+    current schema (missing required fields, extra fields, or type
+    mismatches).  Raised at plan-compose time: schema drift is a
+    structural property of the frame, not a per-row data error, so it
+    must refuse the whole stream at the boundary rather than leak
+    mistyped columns into the validation chain (reference
+    documentation section 5's schema-drift stance)."""
+
+    def __init__(self, report: dict):
+        self.report = report
+        super().__init__(
+            "source schema does not match registry schema: "
+            f"missing_required={report['missing_required_fields']} "
+            f"extra={report['extra_fields']} "
+            f"type_mismatches={report['type_mismatches']}"
+        )
+
+
 @dataclass
 class StreamingPipeline:
     spark: SparkSession
     config: StreamingConfig
     router: BatchRouter
 
-    def transformed_stream(self, dedup: bool = True) -> DataFrame:
+    def transformed_stream(
+        self, dedup: bool = True, source: DataFrame | None = None
+    ) -> DataFrame:
         """The full logical plan: explicit-schema CSV stream ->
-        validation rule chain -> enrichment -> watermarked dedup."""
+        registry boundary check -> validation rule chain -> enrichment
+        -> watermarked dedup.  ``source`` injects an alternative
+        streaming frame (kafka, memory, rate); whatever the source, its
+        schema must satisfy the registry or SchemaDriftError is raised
+        before any query starts."""
         schema = get_registry().get_schema()
-        raw = csv_stream(
+        raw = source if source is not None else csv_stream(
             self.spark,
             self.config.input_path,
             schema,
             self.config.max_files_per_trigger,
         )
+        report = get_registry().validate_against_schema(raw)
+        if not report["is_valid"]:
+            raise SchemaDriftError(report)
         validated = validate(raw)
         enriched = transform_and_enrich(
             validated, late_threshold=f"{self.config.late_arrival_threshold_minutes} minutes"

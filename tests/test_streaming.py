@@ -213,3 +213,58 @@ def test_rocksdb_state_store_dedup(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_schema_drift_rejected_at_boundary(spark, tmp_path):
+    """VERDICT r2 item 8: a source frame whose declared schema
+    mismatches the registry (here: event_time as INT, plus an
+    undeclared column) must be refused at plan-compose time, before
+    any streaming query starts."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
+    from spark_streaming_postgres_lab2_spark.streaming.pipeline import (
+        SchemaDriftError,
+    )
+
+    good = get_registry().get_schema()
+    drifted = StructType(
+        [
+            StructField(f.name, IntegerType() if f.name == "event_time" else f.dataType)
+            for f in good.fields
+        ]
+        + [StructField("rogue_column", StringType())]
+    )
+    (tmp_path / "in").mkdir()
+    cfg = StreamingConfig(
+        input_path=str(tmp_path / "in"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        output_path=str(tmp_path / "out"),
+    )
+    pipe = build_pipeline(spark, cfg)
+    bad_source = (
+        spark.readStream.schema(drifted)
+        .format("csv")
+        .option("header", "true")
+        .load(str(tmp_path / "in"))
+    )
+    with _pytest.raises(SchemaDriftError) as exc:
+        pipe.transformed_stream(source=bad_source)
+    assert "event_time" in exc.value.report["type_mismatches"]
+    assert exc.value.report["extra_fields"] == ["rogue_column"]
+
+    # a registry-conformant source composes fine (no query started)
+    ok_source = (
+        spark.readStream.schema(good)
+        .format("csv")
+        .option("header", "true")
+        .load(str(tmp_path / "in"))
+    )
+    assert pipe.transformed_stream(source=ok_source).columns

