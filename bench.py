@@ -91,6 +91,14 @@ BENCH_QUERIES = [
     "salted_nation_revenue",
     "grouping_sets_events",
     "doc_array_ops",
+    # round-3 TPC-H second batch
+    "nation_volume",
+    "returned_revenue",
+    "order_count_distribution",
+    "promo_revenue",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "idle_customers",
 ]
 
 

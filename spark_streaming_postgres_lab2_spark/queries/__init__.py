@@ -58,13 +58,30 @@ DRIVER_PRIORITY = [
     "minhash_near_dup_fast",
     "simhash_near_dup_fast",
     "near_dup_clusters_fast",
+    # new oracle queries this round (queries/tpch_more.py)
+    "nation_volume",
+    "returned_revenue",
+    "order_count_distribution",
+    "promo_revenue",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "idle_customers",
+    # new oracle queries this round (queries/corpus.py)
+    "canonical_docs",
+    "training_mix_sample",
 ]
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import advanced, core, ext
+    from . import advanced, core, corpus, ext, tpch_more
 
-    specs = core.specs() + advanced.specs() + ext.specs()
+    specs = (
+        core.specs()
+        + advanced.specs()
+        + ext.specs()
+        + tpch_more.specs()
+        + corpus.specs()
+    )
     by_name = {s.name: s for s in specs}
     missing = [n for n in DRIVER_PRIORITY if n not in by_name]
     assert not missing, f"DRIVER_PRIORITY names not in inventory: {missing}"

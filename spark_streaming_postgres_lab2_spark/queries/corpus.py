@@ -1,0 +1,161 @@
+"""Corpus-preparation operators for a training-data pipeline: the
+stages that come AFTER near-dup detection -- actually dropping rows.
+
+- ``canonical_docs``: near-dup clusters -> keep exactly one canonical
+  document per cluster (best quality, deterministic tie-break) ->
+  per-source kept/dropped accounting.  The full pipeline an LLM corpus
+  dedup actually runs, not just the pair list.
+- ``training_mix_sample``: deterministic per-language sampling by md5
+  prefix -- the "mix weights" stage of corpus assembly.  Hash-based
+  sampling is reproducible across engines and resumable across runs
+  (no RNG state), which is why production pipelines prefer it to
+  rand(); lexicographic compare on the fixed-width lowercase hex
+  prefix equals numeric compare, so DuckDB re-derives the exact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import dedup_clusters, minhash_near_dupes_portable
+from ..sources.tables import load_tables
+from . import QuerySpec
+from .ext import _SQL_SHINGLES, _sql_minhash_pairs
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-dedup with canonical selection: portable MinHash pairs
+    -> connected components -> per-cluster arg-max on (n_chars,
+    lowest doc_id) via struct MAX (one grouped aggregate with map-side
+    combine -- no per-cluster sort, no window over the whole corpus)
+    -> per-source kept/dropped counts."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = minhash_near_dupes_portable(docs, threshold=0.5)
+    comps = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    member = docs.select("doc_id", "source", "n_chars").join(comps, "doc_id")
+    best = member.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__neg_id"))).alias(
+            "__best"
+        )
+    )
+    return (
+        member.join(best, "cluster_id")
+        .withColumn(
+            "__kept",
+            (F.col("n_chars") == F.col("__best.n_chars"))
+            & (F.col("doc_id") == -F.col("__best.__neg_id")),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("__kept"), 1)).alias("kept_docs"),
+            F.count(F.when(~F.col("__kept"), 1)).alias("dropped_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CANONICAL_DOCS = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES
+    + ","
+    + _sql_minhash_pairs(0.5)
+    + """,
+__edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM __verified
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM __verified
+),
+__reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM documents
+  UNION
+  SELECT r.src, e.b FROM __reach r JOIN __edges e ON e.a = r.node
+),
+__comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM __reach GROUP BY src),
+__member AS (
+  SELECT d.doc_id, d.source, d.n_chars, c.cluster_id
+  FROM documents d JOIN __comp c ON d.doc_id = c.doc_id
+),
+__flagged AS (
+  SELECT source,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+         ) = 1 AS kept
+  FROM __member
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN kept THEN 1 END) AS kept_docs,
+       count(CASE WHEN NOT kept THEN 1 END) AS dropped_docs
+FROM __flagged
+GROUP BY source
+ORDER BY source
+"""
+)
+
+
+# per-language mix rates; 1.0 keeps everything (no hex compare -- a
+# 9-hex-digit cutoff would break the fixed-width string comparison)
+_MIX_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "fr": 0.5,
+    "es": 0.25,
+    "zh": 0.1,
+}
+
+
+def _cutoff_hex(rate: float) -> str:
+    return format(int(rate * 16**8), "08x")
+
+
+def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-weighted corpus sampling: keep a doc iff
+    the first 8 hex chars of md5(doc_id) fall under the language's
+    rate cutoff.  Pure JVM expressions (md5 + substring + string
+    compare), one scan, no shuffle before the final rollup."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    keep = F.lit(False)
+    for lang, rate in _MIX_RATES.items():
+        in_lang = F.col("lang") == lang
+        keep = F.when(
+            in_lang, F.lit(True) if rate >= 1.0 else prefix < _cutoff_hex(rate)
+        ).otherwise(keep)
+    return (
+        t["documents"]
+        .withColumn("__keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("__keep"), 1)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN "
+    + ("TRUE" if rate >= 1.0 else f"substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_cutoff_hex(rate)}'")
+    for lang, rate in _MIX_RATES.items()
+)
+
+ORACLE_TRAINING_MIX = f"""
+SELECT lang,
+       count(*) AS n_total,
+       count(CASE WHEN (CASE {_SQL_MIX_CASE} ELSE FALSE END) THEN 1 END) AS n_sampled
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec("canonical_docs", q_canonical_docs, ORACLE_CANONICAL_DOCS,
+                  "cluster dedup with canonical keep + kept/dropped accounting"),
+        QuerySpec("training_mix_sample", q_training_mix_sample, ORACLE_TRAINING_MIX,
+                  "deterministic md5-prefix language-weighted sampling"),
+    ]

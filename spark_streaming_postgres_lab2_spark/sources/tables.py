@@ -39,25 +39,73 @@ def _cache_enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_CACHE_TABLES", "0") == "1"
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
-    """Normalize every timestamp-ish column to plain TIMESTAMP, whatever
-    physical shape the fixture round delivered.
+# Canonical dtype per table.column (captured from the r2 driver
+# fixtures at sf0.01).  load_table casts any drifted column back to
+# this shape, so a silent fixture-type change (the r2 TIMESTAMP_NTZ
+# incident: 5 queries + the whole bench died per-query instead of
+# being normalized at load) degrades to a value-preserving cast -- or,
+# for a brand-new column, flows through untouched.
+CANONICAL_DTYPES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": "timestamp",
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>", "label": "int"},
+}
 
-    Driver fixtures have shipped ``events.ts`` three ways so far:
-    r1: parquet TIMESTAMP(NANOS) -> read as bigint nanos (legacy conf);
+
+def _normalize_dtypes(df: DataFrame, name: str) -> DataFrame:
+    """Cast every drifted column back to its canonical dtype.
+
+    Driver fixtures have shipped ``events.ts`` two ways so far:
+    r1: parquet TIMESTAMP(NANOS) -> read as bigint nanos (legacy conf),
+    truncated to micros like DuckDB does;
     r2: plain ``timestamp[us]`` with no tz -> Spark 4 TIMESTAMP_NTZ,
-    which ``unix_micros``/interval arithmetic reject.  The session tz is
-    pinned UTC (load_tables), so casting NTZ -> TIMESTAMP is value-
-    preserving and agrees with the UTC-naive DuckDB oracle.  Applying
-    the rule to *all* columns (not just events.ts) makes the next silent
-    fixture-type change a no-op instead of a per-query analysis error.
-    """
+    which ``unix_micros``/interval arithmetic reject.  The session tz
+    is pinned UTC (load_tables), so casting NTZ -> TIMESTAMP is value-
+    preserving and agrees with the UTC-naive DuckDB oracle.  Every
+    other column gets the same treatment against CANONICAL_DTYPES;
+    columns the map doesn't know (new fixture columns) pass through."""
+    canonical = CANONICAL_DTYPES.get(name, {})
     for col, dtype in df.dtypes:
-        if dtype == "timestamp_ntz":
-            df = df.withColumn(col, F.col(col).cast("timestamp"))
-        elif col == "ts" and dtype == "bigint":
+        want = canonical.get(col)
+        if want is None or dtype == want:
+            continue
+        if want == "timestamp" and dtype == "bigint":
             # nanos-as-long shape: truncate to micros like DuckDB does.
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        else:
+            df = df.withColumn(col, F.col(col).cast(want))
     return df
 
 
@@ -71,7 +119,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_CACHE[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    df = _normalize_timestamps(df)
+    df = _normalize_dtypes(df, name)
     if _cache_enabled():
         _TABLE_CACHE[key] = df
     return df
