@@ -20,7 +20,12 @@ from ..sources.tables import load_tables
 from . import QuerySpec
 from .core import money_sum, sql_money_sum
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # lazy: F.col needs an active SparkContext, and this module is
+    # imported at pytest collection time before any session exists
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 _SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -56,7 +61,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
-        .agg(money_sum(_REV).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 
@@ -98,7 +103,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(money_sum(_REV).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -174,8 +179,8 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * money_sum(F.when(F.col("p_type") == "PROMO", _REV).otherwise(0.0))
-                / money_sum(_REV),
+                * money_sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0))
+                / money_sum(_rev()),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -262,7 +267,7 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(money_sum(_REV).alias("revenue"))
+        .agg(money_sum(_rev()).alias("revenue"))
     )
 
 

@@ -1,0 +1,81 @@
+"""Plan-shape pins for the round-3 TPC-H batch and corpus operators:
+the plans Catalyst picks at sf scale must be the plans we'd want at
+100 TB -- broadcast for fixed-size dims, no cross products from the
+disjunctive residual, pushdown on the date slices, partial
+aggregation everywhere."""
+
+from __future__ import annotations
+
+from spark_streaming_postgres_lab2_spark.plans import checks
+from spark_streaming_postgres_lab2_spark.queries.corpus import (
+    q_training_mix_sample,
+)
+from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+    q_disjunctive_revenue,
+    q_idle_customers,
+    q_nation_volume,
+    q_order_count_distribution,
+    q_promo_revenue,
+    q_returned_revenue,
+    q_small_quantity_revenue,
+)
+
+
+def test_nation_volume_broadcasts_both_nation_dims(spark, sf_dir):
+    df = q_nation_volume(spark, sf_dir)
+    # two explicit nation broadcasts; the date slice reaches the scan
+    assert checks.broadcast_join_count(df) >= 2
+    assert checks.has_pushed_filters(df)
+    assert checks.has_partial_aggregation(df)
+
+
+def test_returned_revenue_pushes_returnflag_to_scan(spark, sf_dir):
+    df = q_returned_revenue(spark, sf_dir)
+    assert checks.has_pushed_filters(df)  # l_returnflag = 'R' + date slice
+    cols = checks.read_schema_columns(df)
+    assert "l_quantity" not in cols  # unused fact columns pruned
+
+
+def test_order_count_distribution_is_two_aggregates(spark, sf_dir):
+    df = q_order_count_distribution(spark, sf_dir)
+    assert checks.has_partial_aggregation(df)
+    # left join keeps zero-order customers; no cartesian anywhere
+    assert "CartesianProduct" not in checks.physical_plan(df)
+
+
+def test_promo_revenue_single_pass(spark, sf_dir):
+    df = q_promo_revenue(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    # one scan of lineitem: the CASE folds into one aggregate, no
+    # self-join / second scan of the fact table
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 2
+    assert checks.has_pushed_filters(df)
+
+
+def test_small_quantity_no_cartesian(spark, sf_dir):
+    plan = checks.physical_plan(q_small_quantity_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_residual_stays_hash_join(spark, sf_dir):
+    # the OR predicate must be a residual filter on an equi hash join,
+    # not degrade the join itself to a nested-loop cross product
+    plan = checks.physical_plan(q_disjunctive_revenue(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_idle_customers_anti_join(spark, sf_dir):
+    plan = checks.physical_plan(q_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the scalar average joins as a 1-row broadcast, never a per-row
+    # subquery or a shuffled cross join
+    assert checks.broadcast_join_count(q_idle_customers(spark, sf_dir)) >= 1
+
+
+def test_training_mix_sample_is_scan_plus_agg(spark, sf_dir):
+    df = q_training_mix_sample(spark, sf_dir)
+    assert checks.shuffle_count(df) <= 2  # partial agg + final agg
+    assert checks.has_partial_aggregation(df)
+    cols = checks.read_schema_columns(df)
+    assert "text" not in cols  # sampling never reads the payload
