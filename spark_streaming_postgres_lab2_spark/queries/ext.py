@@ -793,19 +793,33 @@ WHERE round(cos_exact, 4) >= 0.25
 def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH embedding near-dup (the unbounded scale
     path: bucket shuffle instead of pairwise compare; rows-only).
-    16 tables x 4 planes: ~94% recall at cosine 0.4 for near-random
-    64-dim fixtures (one 8-plane table caught ~0 of the 58 true pairs
-    at sf0.01 -- VERDICT r2 weak-evidence item).  Recall vs the exact
-    pairwise truth is pinned in tests/test_text_similarity.py
-    (>=0.75 at sf0.01; measured 0.92).  Static dim=64 (TESTDATA.md
-    embedding shape) truncates the plane literals at plan-build time;
-    at fixture scale the 64 projections/row dominate over candidate
-    volume, so k=4 beats k=6 on both recall AND runtime (6.5 s vs
-    7.7 s at sf0.1); corpora orders of magnitude larger should raise
-    n_planes to keep bucket sizes bounded."""
+    OR-amplified multi-table LSH (one 8-plane table caught ~0 of the
+    58 true pairs at sf0.01 -- VERDICT r2 weak-evidence item).  Recall
+    vs the exact pairwise truth is pinned in
+    tests/test_text_similarity.py (>=0.75 at sf0.01; measured 0.92).
+
+    Parameters adapt to corpus size -- the fixed-(k,L) version went
+    quadratic on /tmp/sf1 (313 s: 20k vectors over 16 buckets/table,
+    x10 exact copies of every embedding concentrating the buckets):
+    n_planes = clamp(log2(n/64), 4..6) keeps expected bucket size
+    bounded as n grows (96 planes cap k*L), and max_bucket_size=200
+    degrades mass-duplication blobs to spanning chains (connectivity
+    preserved, quadratic self-join avoided -- the same policy as the
+    capped MinHash family, SCALING.md r2 incident).  Static dim=64
+    (TESTDATA.md embedding shape) truncates plane literals at
+    plan-build time.  The count() probe is metadata-only on parquet."""
+    import math
+
     t = load_tables(spark, sf_dir, ["embeddings"])
+    n = t["embeddings"].count()
+    k = min(6, max(4, math.ceil(math.log2(max(n, 64) / 64))))
     return embedding_near_dupes_lsh(
-        t["embeddings"], threshold=0.4, n_planes=4, n_tables=16, dim=64
+        t["embeddings"],
+        threshold=0.4,
+        n_planes=k,
+        n_tables=min(16, 96 // k),
+        max_bucket_size=200,
+        dim=64,
     ).orderBy("vec_id_1", "vec_id_2")
 
 
