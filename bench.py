@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "small_quantity_revenue",
     "disjunctive_revenue",
     "idle_customers",
+    # round-3 corpus-preparation operators
+    "canonical_docs",
+    "training_mix_sample",
+    "embedding_quantize",
+    "quality_percentile_filter",
 ]
 
 

@@ -69,6 +69,8 @@ DRIVER_PRIORITY = [
     # new oracle queries this round (queries/corpus.py)
     "canonical_docs",
     "training_mix_sample",
+    "embedding_quantize",
+    "quality_percentile_filter",
 ]
 
 

@@ -158,4 +158,141 @@ def specs() -> list[QuerySpec]:
                   "cluster dedup with canonical keep + kept/dropped accounting"),
         QuerySpec("training_mix_sample", q_training_mix_sample, ORACLE_TRAINING_MIX,
                   "deterministic md5-prefix language-weighted sampling"),
+        QuerySpec("embedding_quantize", q_embedding_quantize,
+                  ORACLE_EMBEDDING_QUANTIZE,
+                  "int8 symmetric quantization + reconstruction error"),
+        QuerySpec("quality_percentile_filter", q_quality_percentile_filter,
+                  ORACLE_QUALITY_PERCENTILE,
+                  "corpus-relative percentile quality gate"),
     ]
+
+
+# --- int8 embedding quantization --------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (scale = max|x| / 127)
+    -- the storage/bandwidth lever for ANN at 100 TB: 4x smaller
+    shuffles and bucket payloads, dequantize only at final scoring.
+    Emits per-label reconstruction-error stats so the quality cost is
+    measured, not assumed.  Pure array HOFs (transform/aggregate),
+    no UDF; floor(x + 0.5) rounding keeps Spark and DuckDB
+    bit-identical."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    emb = t["embeddings"].withColumn(
+        "__scale", F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    )
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("__scale") + 0.5).cast("int"),
+    )
+    err = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("__qvec"),
+            lambda x, q: F.pow(x.cast("double") - q * F.col("__scale"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.withColumn("__qvec", qvec)
+        .withColumn("__sqerr", err)
+        .withColumn("__qmax", F.array_max(F.col("__qvec")))
+        .withColumn("__qmin", F.array_min(F.col("__qvec")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__sqerr"), 6).alias("avg_sq_error"),
+            F.max("__qmax").alias("q_max"),
+            F.min("__qmin").alias("q_min"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH q AS (
+  SELECT label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) AS qvec,
+         embedding, s
+  FROM (
+    SELECT label, embedding,
+           CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS s
+    FROM (
+      SELECT label, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+      FROM embeddings
+    )
+  )
+),
+e AS (
+  SELECT label, qvec,
+         list_aggregate(
+           list_transform(list_zip(embedding, qvec),
+                          p -> pow(CAST(p[1] AS DOUBLE) - p[2] * s, 2)),
+           'sum') AS sqerr
+  FROM q
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqerr), 6) AS avg_sq_error,
+       max(list_aggregate(qvec, 'max')) AS q_max,
+       min(list_aggregate(qvec, 'min')) AS q_min
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
+# --- global-percentile quality gate ------------------------------------------
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: drop documents whose
+    unique-token count sits below the corpus 25th percentile.  The
+    cutoff is an exact percentile computed once and broadcast as a
+    1-row frame (no per-row subquery, no second scan of the text
+    payload); per-source kept/dropped accounting mirrors
+    canonical_docs.  Integer-valued metric + .5-interpolation keeps
+    Spark percentile() and DuckDB quantile_cont bit-identical."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].withColumn(
+        "__uniq", F.array_size(F.array_distinct(F.split(F.col("text"), " ")))
+    )
+    cut = docs.agg(
+        F.expr("percentile(__uniq, 0.25)").alias("__cut")
+    )
+    return (
+        docs.crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("__uniq") >= F.col("__cut"), 1)).alias("kept_docs"),
+            F.count(F.when(F.col("__uniq") < F.col("__cut"), 1)).alias("dropped_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_PERCENTILE = """
+WITH u AS (
+  SELECT source,
+         len(list_distinct(string_split(text, ' '))) AS uniq
+  FROM documents
+),
+c AS (SELECT quantile_cont(uniq, 0.25) AS cut FROM u)
+SELECT source,
+       count(*) AS n_docs,
+       count(CASE WHEN uniq >= cut THEN 1 END) AS kept_docs,
+       count(CASE WHEN uniq < cut THEN 1 END) AS dropped_docs
+FROM u, c
+GROUP BY source
+ORDER BY source
+"""
