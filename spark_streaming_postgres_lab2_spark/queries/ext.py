@@ -812,7 +812,12 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     n = t["embeddings"].count()
-    k = min(6, max(4, math.ceil(math.log2(max(n, 64) / 64))))
+    # k = clamp(round(log2(n/128)), 4..6): 500 -> 4, 2k -> 4, 20k -> 6.
+    # target ~128 vectors/bucket -- measured cheaper to verify a
+    # somewhat larger candidate set than to run 16 extra projections
+    # per row (k=5 at sf0.1 benched SLOWER than k=4 despite 2x fewer
+    # candidates; the cap below still bounds the degenerate corpora)
+    k = min(6, max(4, round(math.log2(max(n, 128) / 128))))
     return embedding_near_dupes_lsh(
         t["embeddings"],
         threshold=0.4,

@@ -124,3 +124,36 @@ def test_split_valid_invalid(spark):
     valid, invalid = split_valid_invalid(validate(df))
     assert valid.count() == 1
     assert invalid.count() == 2
+
+
+def test_load_table_normalizes_drifted_fixture_dtypes(spark, tmp_path):
+    """The r2 incident class: the driver re-generates fixtures with a
+    different physical type (TIMESTAMP_NTZ events.ts broke 5 queries +
+    the whole bench).  load_table must cast any drifted column back to
+    CANONICAL_DTYPES at load, so queries never see the drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_table
+
+    # events with tz-naive us timestamps (-> Spark TIMESTAMP_NTZ) and
+    # value as float32 (canonical: double)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1700000000000000, 1700000001000000], pa.timestamp("us")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["view", "purchase"]),
+            "value": pa.array([1.5, 2.5], pa.float32()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp", dtypes
+    assert dtypes["value"] == "double", dtypes
+    # unix_micros -- the exact call that failed in r2 -- must resolve
+    from pyspark.sql import functions as F
+
+    assert df.select(F.unix_micros("ts")).count() == 2
