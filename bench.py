@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "training_mix_sample",
     "embedding_quantize",
     "quality_percentile_filter",
+    "doc_chunks",
+    "sequence_packing",
 ]
 
 

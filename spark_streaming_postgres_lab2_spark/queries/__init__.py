@@ -71,6 +71,8 @@ DRIVER_PRIORITY = [
     "training_mix_sample",
     "embedding_quantize",
     "quality_percentile_filter",
+    "doc_chunks",
+    "sequence_packing",
 ]
 
 

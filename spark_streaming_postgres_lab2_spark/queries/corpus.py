@@ -164,6 +164,11 @@ def specs() -> list[QuerySpec]:
         QuerySpec("quality_percentile_filter", q_quality_percentile_filter,
                   ORACLE_QUALITY_PERCENTILE,
                   "corpus-relative percentile quality gate"),
+        QuerySpec("doc_chunks", q_doc_chunks, ORACLE_DOC_CHUNKS,
+                  "64-token/16-overlap context-window chunking"),
+        QuerySpec("sequence_packing", q_sequence_packing,
+                  ORACLE_SEQUENCE_PACKING,
+                  "512-token greedy packing accounting per source"),
     ]
 
 
@@ -293,6 +298,129 @@ SELECT source,
        count(CASE WHEN uniq >= cut THEN 1 END) AS kept_docs,
        count(CASE WHEN uniq < cut THEN 1 END) AS dropped_docs
 FROM u, c
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- context-window document chunking ----------------------------------------
+
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document's token stream
+    into 64-token chunks with 16-token overlap (stride 48).  One
+    explode over a computed chunk-index sequence + array slice -- no
+    UDF, no per-doc Python, the chunk count derives from n_tokens so
+    the explode is exactly sized (no over-generate-and-filter).
+    Chunk payloads stay as md5 fingerprints in the output so the
+    parity check pins exact token content without shipping text."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n_tok - F.lit(_OVERLAP)) / F.lit(float(_STRIDE))).cast("int")
+    )
+    docs = t["documents"].select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+    return docs.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(1, CAST(ceil((n_tok - {_OVERLAP}) / {_STRIDE}.0) AS INTEGER)))) AS chunk_id
+  FROM d
+),
+c AS (
+  SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+         list_slice(toks, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK}) AS chunk
+  FROM e
+)
+SELECT doc_id, chunk_id,
+       CAST(len(chunk) AS INTEGER) AS chunk_n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+# --- sequence packing --------------------------------------------------------
+
+_CTX = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing accounting: documents are packed
+    greedily in stable doc_id order into 512-token bins per source
+    (the concat-and-split strategy training pipelines use -- pack_id =
+    floor(cumulative-tokens-before / ctx)).  One window shuffle keyed
+    on source; sources pack independently, so the operator
+    parallelizes across the corpus at any scale.  Output: per-source
+    pack count and fill ratio (the padding-waste metric)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("__n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "__pack_id",
+        F.floor(F.coalesce(F.sum("__n_tok").over(w), F.lit(0)) / F.lit(_CTX)),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+            (F.max("__pack_id") + 1).cast("bigint").alias("n_packs"),
+            F.round(
+                F.sum("__n_tok") / ((F.max("__pack_id") + 1) * _CTX), 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT source, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {_CTX}) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       round(CAST(sum(n_tok) AS DOUBLE) / ((max(pack_id) + 1) * {_CTX}), 4) AS fill_ratio
+FROM p
 GROUP BY source
 ORDER BY source
 """
