@@ -79,3 +79,37 @@ def test_training_mix_sample_is_scan_plus_agg(spark, sf_dir):
     assert checks.has_partial_aggregation(df)
     cols = checks.read_schema_columns(df)
     assert "text" not in cols  # sampling never reads the payload
+
+
+def test_embedding_quantize_no_shuffle_before_rollup(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_embedding_quantize,
+    )
+
+    df = q_embedding_quantize(spark, sf_dir)
+    # quantize + error are per-row HOFs: partial agg then one exchange
+    assert checks.shuffle_count(df) <= 2
+    assert checks.has_partial_aggregation(df)
+
+
+def test_doc_chunks_explode_is_exactly_sized(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.corpus import q_doc_chunks
+
+    plan = checks.physical_plan(q_doc_chunks(spark, sf_dir))
+    # no join, no aggregate -- scan + generate + project (+ output sort)
+    assert "Join" not in plan
+    cols = checks.read_schema_columns(q_doc_chunks(spark, sf_dir))
+    assert "lang" not in cols  # untouched columns pruned at the scan
+
+
+def test_sequence_packing_single_window_shuffle(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_sequence_packing,
+    )
+
+    df = q_sequence_packing(spark, sf_dir)
+    # window partition on source + final agg on source reuse the same
+    # hash partitioning; no second data-wide exchange beyond the sort
+    assert checks.shuffle_count(df) <= 2
+    cols = checks.read_schema_columns(df)
+    assert "text" in cols and "lang" not in cols
