@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "quality_percentile_filter",
     "doc_chunks",
     "sequence_packing",
+    "multimodal_resize_real",
 ]
 
 

@@ -273,3 +273,49 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "frames": frames})
 
     return media.mapInPandas(_sample, schema="media_id long, frames array<int>")
+
+
+def _bmp_pixels(b: bytes):
+    """Parse a 24-bit BMP into a logical top-down (h, w, 3) uint8 array
+    (B,G,R channel order as stored); None if unparseable."""
+    import numpy as np
+
+    parsed = decode_bmp24(b)
+    if parsed is None:
+        return None
+    (pixel_offset,) = struct.unpack_from("<I", b, 10)
+    _hsz, width, height_raw = struct.unpack_from("<Iii", b, 14)
+    height = abs(height_raw)
+    stride = (width * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * height, offset=pixel_offset
+    ).reshape(height, stride)[:, : width * 3]
+    # stored bottom-up -> flip to logical top-down
+    return rows[::-1].reshape(height, width, 3)
+
+
+def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL nearest-neighbor downsample over the BMP codec: decode ->
+    numpy stride slicing (out(x,y) = src(factor*x, factor*y) in
+    logical top-down space) -> re-encode BMP24.  Arrow-batched
+    mapInPandas; unparseable payloads pass through as NULL content.
+    Because the synthetic pixel formula is arithmetic on the id, the
+    resized image's stats are recomputable in SQL -- see
+    ORACLE_MULTIMODAL_RESIZE."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["content"]:
+                arr = _bmp_pixels(b) if b is not None else None
+                if arr is None:
+                    out.append(None)
+                    continue
+                small = arr[::factor, ::factor]
+                h, w = small.shape[0], small.shape[1]
+                out.append(
+                    encode_bmp24(w, h, lambda x, y, c, a=small: int(a[y, x, c]))
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
+
+    return media.mapInPandas(_resize, schema="media_id long, content binary")

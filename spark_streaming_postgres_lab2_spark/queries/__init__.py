@@ -73,6 +73,7 @@ DRIVER_PRIORITY = [
     "quality_percentile_filter",
     "doc_chunks",
     "sequence_packing",
+    "multimodal_resize_real",
 ]
 
 

@@ -909,6 +909,48 @@ GROUP BY doc_id, width, height
 """
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize end-to-end: synthesize genuine BMPs -> nearest-
+    neighbor 2x downsample (decode -> numpy stride slice -> re-encode,
+    functions/multimodal.py:resize_real) -> re-decode for stats.  The
+    resized pixel (x, y, c) is the source pixel (2x, 2y, c), so the
+    oracle recomputes the downsampled dimensions (ceil-division from
+    numpy's [::2]) and mean arithmetically; any header/stride/padding
+    or orientation bug in decode OR re-encode diverges the means."""
+    from ..functions.multimodal import (
+        decode_real,
+        resize_real,
+        synthesize_bmp_media,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_bmp_media(t["documents"].select("doc_id"))
+    return decode_real(resize_real(media, factor=2), codec="bmp")
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST((4 + doc_id % 5 + 1) // 2 AS INTEGER) AS width,
+         CAST((3 + doc_id % 4 + 1) // 2 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id * 31 + (2 * y.v) * 17 + (2 * x.v) * 7 + c.v) % 256 AS pv
+  FROM d, range(0, 4) y(v), range(0, 5) x(v), range(0, 3) c(v)
+  WHERE y.v < d.height AND x.v < d.width
+)
+SELECT doc_id AS media_id,
+       'bmp24' AS format,
+       width,
+       height,
+       CAST(24 AS INTEGER) AS bpp,
+       round(avg(pv), 4) AS mean_pixel
+FROM px
+GROUP BY doc_id, width, height
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched pseudo-decode over binary payloads via mapInPandas
     (rows-only check; the codec itself is stubbed, the Spark plumbing is
@@ -1014,4 +1056,8 @@ def specs() -> list[QuerySpec]:
                   "frame-sampling plumbing over binary payloads (rows-only)"),
         QuerySpec("multimodal_resize", q_multimodal_resize, None,
                   "resize plumbing: fixed-size binary out (rows-only)"),
+        QuerySpec("multimodal_resize_real", q_multimodal_resize_real,
+                  ORACLE_MULTIMODAL_RESIZE,
+                  "real NN-downsample over the BMP codec, "
+                  "oracle recomputes resized stats arithmetically"),
     ]
