@@ -7,9 +7,11 @@
 Each query is forced through the noop sink (full computation, no
 driver collect overhead).  A warmup query absorbs JVM/codegen start-up
 so per-query numbers reflect steady-state executor time.  Each query
-runs ``$SPARK_GRAFT_BENCH_N`` times (default 3) and reports the
+runs ``$SPARK_GRAFT_BENCH_N`` times (default 2) and reports the
 median, making round-over-round diffs defensible against the ±50%
-single-shot host noise documented in SCALING.md.
+single-shot host noise documented in SCALING.md (n=2 keeps the
+full-suite wall time under ~6 min for the driver's per-round run;
+set 3+ for tighter local medians).
 """
 
 from __future__ import annotations
@@ -195,7 +197,7 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         samples = []
