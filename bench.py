@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "sequence_packing",
     "multimodal_resize_real",
+    "decontaminate",
 ]
 
 

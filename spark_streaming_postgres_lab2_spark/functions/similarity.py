@@ -870,20 +870,19 @@ def simhash_near_dupes(
 # near_dup_clusters).
 
 
-def minhash_near_dupes_portable(
+def _portable_shingle_bands(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 12,
-    num_bands: int = 4,
-    threshold: float = 0.4,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with an md5-salted string hash family:
-    min_i = min over shingles of md5('<i>|' || shingle) (a random
-    permutation approximated by salted md5, ordered lexicographically).
-    Same plan shape as minhash_near_dupes: one explode + grouped MINs,
-    payload-free band shuffle, exact-Jaccard verify over shingle sets."""
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    num_bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the portable MinHash family: distinct
+    shingles per doc (checkpointed -- reused by banding AND verify)
+    plus exploded (doc_id, band, band_key) rows.  min_i = min over
+    shingles of md5('<i>|' || shingle); band_key = md5 of the band's
+    '|'-joined signature slice."""
     if num_hashes % num_bands != 0:
         raise ValueError("num_hashes must divide evenly into num_bands")
     rows = num_hashes // num_bands
@@ -920,6 +919,80 @@ def minhash_near_dupes_portable(
             )
         ).alias("__b"),
     ).select("doc_id", F.col("__b.band").alias("band"), F.col("__b.band_key").alias("band_key"))
+    return base, bands
+
+
+def minhash_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Training/eval decontamination: which TRAIN documents near-match
+    an EVAL document.  The asymmetric shape is the point -- the eval
+    set is orders of magnitude smaller than the corpus, so its banded
+    signatures and shingle sets BROADCAST; the train side streams
+    through one bucket probe + one verify with no train-train
+    self-join and no shuffle of the train corpus at all.  At 100 TB
+    this is the only tractable shape: cost is one scan of train times
+    a constant, independent of train's pair count."""
+    base_t, bands_t = _portable_shingle_bands(
+        train, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
+    base_e, bands_e = _portable_shingle_bands(
+        eval_set, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
+    cand = (
+        bands_t.alias("t")
+        .join(
+            F.broadcast(
+                bands_e.select(
+                    "band", "band_key", F.col("doc_id").alias("eval_doc_id")
+                )
+            ),
+            ["band", "band_key"],
+        )
+        .select(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .distinct()
+    )
+    ev = base_e.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("__sh").alias("__sh_e")
+    )
+    tr = base_t.select(
+        F.col("doc_id").alias("train_doc_id"), F.col("__sh").alias("__sh_t")
+    )
+    return (
+        cand.join(tr, "train_doc_id")
+        .join(F.broadcast(ev), "eval_doc_id")
+        .withColumn(
+            "jaccard", F.round(jaccard_tokens(F.col("__sh_t"), F.col("__sh_e")), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_doc_id", "eval_doc_id", "jaccard")
+    )
+
+
+def minhash_near_dupes_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    num_bands: int = 4,
+    threshold: float = 0.4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with an md5-salted string hash family:
+    min_i = min over shingles of md5('<i>|' || shingle) (a random
+    permutation approximated by salted md5, ordered lexicographically).
+    Same plan shape as minhash_near_dupes: one explode + grouped MINs,
+    payload-free band shuffle, exact-Jaccard verify over shingle sets."""
+    base, bands = _portable_shingle_bands(
+        docs, id_col, text_col, num_hashes, num_bands, shingle_n
+    )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])

@@ -74,6 +74,7 @@ DRIVER_PRIORITY = [
     "doc_chunks",
     "sequence_packing",
     "multimodal_resize_real",
+    "decontaminate",
 ]
 
 

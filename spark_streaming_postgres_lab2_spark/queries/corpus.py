@@ -169,6 +169,8 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sequence_packing", q_sequence_packing,
                   ORACLE_SEQUENCE_PACKING,
                   "512-token greedy packing accounting per source"),
+        QuerySpec("decontaminate", q_decontaminate, _decon_oracle(),
+                  "train/eval cross-corpus near-dup, broadcast eval side"),
     ]
 
 
@@ -424,3 +426,68 @@ FROM p
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- training/eval decontamination -------------------------------------------
+
+_EVAL_SOURCES = ("src18", "src19")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find TRAIN documents (sources other
+    than src18/src19) that near-duplicate an EVAL document (src18/19).
+    The asymmetric scale shape is the point: eval's banded signatures
+    and shingle sets broadcast, the train corpus streams through one
+    bucket probe + verify -- no train-train self-join, no shuffle of
+    train at all (functions/similarity.py:minhash_decontaminate)."""
+    from ..functions.similarity import minhash_decontaminate
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    return minhash_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), threshold=0.4
+    ).orderBy("train_doc_id", "eval_doc_id")
+
+
+def _decon_oracle() -> str:
+    from .ext import _SQL_SHINGLES
+
+    ev = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    return (
+        "WITH "
+        + _SQL_SHINGLES
+        + f""",
+__sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 12),
+           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+  FROM __shd WHERE len(sh) > 0
+),
+__bands AS (
+  SELECT doc_id, b.v AS band,
+         md5(sig[CAST(b.v * 3 + 1 AS INTEGER)] || '|' || sig[CAST(b.v * 3 + 2 AS INTEGER)] || '|' || sig[CAST(b.v * 3 + 3 AS INTEGER)]) AS band_key
+  FROM __sigs, range(0, 4) b(v)
+),
+__ev AS (SELECT doc_id FROM documents WHERE source IN ({ev})),
+__cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+  FROM __bands t
+  JOIN __bands e ON t.band = e.band AND t.band_key = e.band_key
+  WHERE e.doc_id IN (SELECT doc_id FROM __ev)
+    AND t.doc_id NOT IN (SELECT doc_id FROM __ev)
+),
+__verified AS (
+  SELECT c.train_doc_id, c.eval_doc_id,
+         round(CAST(len(list_intersect(st.sh, se.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(st.sh, se.sh))), 4) AS jaccard
+  FROM __cand c
+  JOIN __shd st ON st.doc_id = c.train_doc_id
+  JOIN __shd se ON se.doc_id = c.eval_doc_id
+)
+SELECT train_doc_id, eval_doc_id, jaccard
+FROM __verified
+WHERE jaccard >= 0.4
+ORDER BY train_doc_id, eval_doc_id
+"""
+    )
