@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_fingerprints",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_fast",
     "minhash_near_dup_fast",
     "near_dup_clusters_fast",
     "simhash",
