@@ -290,8 +290,12 @@ def _bmp_pixels(b: bytes):
     rows = np.frombuffer(
         b, dtype=np.uint8, count=stride * height, offset=pixel_offset
     ).reshape(height, stride)[:, : width * 3]
-    # stored bottom-up -> flip to logical top-down
-    return rows[::-1].reshape(height, width, 3)
+    # positive height = stored bottom-up -> flip to logical top-down;
+    # negative height_raw = already top-down, no flip (ADVICE r3: an
+    # unconditional flip would vertically mirror top-down inputs)
+    if height_raw > 0:
+        rows = rows[::-1]
+    return rows.reshape(height, width, 3)
 
 
 def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:

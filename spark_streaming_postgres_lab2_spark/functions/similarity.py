@@ -937,9 +937,12 @@ def minhash_decontaminate(
     set is orders of magnitude smaller than the corpus, so its banded
     signatures and shingle sets BROADCAST; the train side streams
     through one bucket probe + one verify with no train-train
-    self-join and no shuffle of the train corpus at all.  At 100 TB
-    this is the only tractable shape: cost is one scan of train times
-    a constant, independent of train's pair count."""
+    self-join.  The only train-derived rows that ever shuffle are the
+    eval-band COLLISIONS (``cand``, bounded by |eval| x bucket size);
+    the candidate set is then itself broadcast back against the train
+    shingle base, so the full train corpus is never exchanged.  At
+    100 TB this is the only tractable shape: cost is one scan of train
+    times a constant, independent of train's pair count."""
     base_t, bands_t = _portable_shingle_bands(
         train, id_col, text_col, num_hashes, num_bands, shingle_n
     )
@@ -966,7 +969,7 @@ def minhash_decontaminate(
         F.col("doc_id").alias("train_doc_id"), F.col("__sh").alias("__sh_t")
     )
     return (
-        cand.join(tr, "train_doc_id")
+        tr.join(F.broadcast(cand), "train_doc_id")
         .join(F.broadcast(ev), "eval_doc_id")
         .withColumn(
             "jaccard", F.round(jaccard_tokens(F.col("__sh_t"), F.col("__sh_e")), 4)
@@ -1111,4 +1114,97 @@ def simhash_near_dupes_portable(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+# Integer-quantized hyperplane family: same Gaussian planes as the
+# float path, scaled by 2^10 and rounded to ints.  With quantized
+# vectors (floor(v * 2^14) -- exact: float->double is exact and a
+# power-of-two multiply doesn't round), the bucket sign bits come from
+# PURE int64 arithmetic, so any engine that sums the same integers gets
+# bit-identical buckets -- no dependence on float summation order.
+# |qv| < 2^14, |plane int| < 2^13 (4.5 sigma), 64 terms => |dot| < 2^33.
+_INT_PLANE_SCALE = 1 << 10
+_QUANT_SCALE = 1 << 14
+
+
+def _int_plane(idx: int, dim: int) -> list[int]:
+    return [round(x * _INT_PLANE_SCALE) for x in _HYPERPLANES[idx][:dim]]
+
+
+def embedding_near_dupes_lsh_portable(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Engine-agnostic twin of embedding_near_dupes_lsh: random-
+    hyperplane buckets -> bucket self-join -> exact-cosine verify, with
+    the bucketing done in exact integer arithmetic (quantized vectors x
+    integer-quantized planes) so a DuckDB oracle can recompute the
+    ENTIRE algorithm -- candidate generation included -- and
+    hash-compare the result (the embedding analog of
+    minhash_near_dupes_portable).  Same plan shape as the float path:
+    slim (vid, bucket) explode, payload-free self-join, survivors-only
+    vector join.  Quantization moves each plane boundary by O(2^-10)
+    in angle -- a different (equally random) LSH family, not a recall
+    loss.  Use the float/adaptive path at scale; use this one to verify
+    the algorithm end-to-end."""
+    qv = F.transform(
+        F.col(vec_col), lambda v: F.floor(v.cast("double") * _QUANT_SCALE).cast("long")
+    )
+    size_ok = F.size(F.col(vec_col)) == dim
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.when(size_ok, qv)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("embedding dim "),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(f" != static dim {dim}"),
+                )
+            )
+        )
+        .alias("__qv"),
+    )
+    buckets = []
+    for t in range(n_tables):
+        key = None
+        for j in range(n_planes):
+            ints = _int_plane(t * n_planes + j, dim)
+            plane = F.expr("array(" + ",".join(f"{p}L" for p in ints) + ")")
+            d = F.aggregate(
+                F.zip_with(F.col("__qv"), plane, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        buckets.append((key + F.lit(t * (1 << n_planes))).cast("long"))
+    slim = base.select("vid", F.explode(F.array(*buckets)).alias("bucket"))
+    left = slim.select("bucket", F.col("vid").alias("vec_id_1"))
+    right = slim.select("bucket", F.col("vid").alias("vec_id_2"))
+    candidates = (
+        left.join(right, "bucket")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    return (
+        candidates.join(
+            vecs.select(F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")),
+            "vec_id_1",
+        )
+        .join(
+            vecs.select(F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")),
+            "vec_id_2",
+        )
+        .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_id_1", "vec_id_2", "cosine_sim")
     )

@@ -177,7 +177,77 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingles_sampled(col: Column | str, n: int = 3, step: int = 4) -> Column:
+    """Every ``step``-th word n-gram (token positions 0, step, 2*step,
+    ...) -- the blocking-key flavor of ``shingles``.  Building the full
+    shingle array is the measured bottleneck of min-hash fingerprint
+    blocking (interpreted HOF constructing ~size(toks) strings per row;
+    swapping md5 for xxhash64 bought only ~12%), so for a 1-hash
+    blocking key we construct 1/step of the positions instead: still a
+    valid (coarser) MinHash -- two near-identical docs still agree on
+    the min over sampled positions with high probability, and the
+    subsample is deterministic by position, so any engine recomputes
+    the same key.  Same empty/short-doc semantics as ``shingles``."""
+    toks = F.coalesce(
+        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
+    )
+    return (
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n, F.lit(step)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+
+
 def rolling_hash_fingerprint(col: Column | str, n: int = 3) -> Column:
     """Document fingerprint: min of shingle hashes (one 64-bit value --
-    a 1-hash MinHash; cheap near-dup blocking key)."""
+    a 1-hash MinHash; cheap near-dup blocking key).  xxhash64 = the
+    scale flavor; use ``rolling_fingerprint_portable`` when the value
+    must be recomputable outside Spark."""
     return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
+
+
+# Window-combination constants for the portable rolling fingerprint
+# (golden-ratio / xxhash64 primes as SIGNED 64-bit values; the DuckDB
+# oracle uses the same constants mod 2^64).
+_RFP_C = (-7046029254386353131, -4417276706812531889, 1609587929392839161)
+
+
+def rolling_fingerprint_portable(col: Column | str, n: int = 3) -> Column:
+    """Engine-agnostic rolling document fingerprint: per-token 60-bit
+    hash (first 15 hex chars of md5, via ``conv`` -- exact in any
+    engine), combined over ``n``-token windows with wrapping 64-bit
+    multiply-add (Spark non-ANSI long arithmetic IS mod-2^64 two's
+    complement; a DuckDB oracle emulates it with HUGEINT products
+    ``% 2^64`` and a signed conversion).  fingerprint = signed min over
+    window hashes; NULL for empty/whitespace-only docs.  Windows past
+    the end (docs shorter than ``n`` tokens) zero-pad, so every
+    non-empty doc gets exactly max(1, n_tokens-n+1) windows."""
+    if n > len(_RFP_C):
+        raise ValueError(f"n={n} needs {n} combination constants; have {len(_RFP_C)}")
+    toks = F.coalesce(
+        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
+    )
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+
+    def win(i: Column) -> Column:
+        total = None
+        for j in range(n):
+            term = F.coalesce(
+                F.element_at(th, i + F.lit(j)), F.lit(0).cast("long")
+            ) * F.lit(_RFP_C[j]).cast("long")
+            total = term if total is None else total + term
+        return total
+
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1))), win
+    )
+    return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(
+        F.array_min(wins)
+    )

@@ -322,8 +322,12 @@ SELECT c_nationkey,
        {sql_money_sum("c_acctbal", "totacctbal")}
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND c_custkey NOT IN (
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  AND NOT EXISTS (
+    -- NOT EXISTS, not NOT IN: matches Spark left_anti NULL semantics
+    -- (a NULL o_custkey would collapse NOT IN to zero rows)
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = customer.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
   )
 GROUP BY c_nationkey
 ORDER BY c_nationkey

@@ -105,7 +105,27 @@ def _normalize_dtypes(df: DataFrame, name: str) -> DataFrame:
             # nanos-as-long shape: truncate to micros like DuckDB does.
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
         else:
-            df = df.withColumn(col, F.col(col).cast(want))
+            # ADVICE r3: an INCOMPATIBLE drift (e.g. a string date in an
+            # unparseable format) must fail loudly at the load boundary,
+            # not surface as an all-NULL column downstream.  Non-ANSI
+            # cast yields NULL on failure, so guard per row: original
+            # non-NULL but cast NULL => raise.  Plan-level (fused into
+            # the scan) -- no extra job per table load.
+            casted = F.col(col).cast(want)
+            df = df.withColumn(
+                col,
+                F.when(F.col(col).isNull() | casted.isNotNull(), casted).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"incompatible fixture drift: {name}.{col} "
+                                f"({dtype}) failed cast to {want}, value="
+                            ),
+                            F.col(col).cast("string"),
+                        )
+                    )
+                ),
+            )
     return df
 
 
