@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     "sequence_packing",
     "multimodal_resize_real",
     "decontaminate",
+    # round-4: bucketed-layout pair (same query, same oracle; the delta
+    # IS the fact-fact shuffle) + new portable/oracle flavors
+    "fact_join_unbucketed",
+    "fact_join_bucketed",
+    "doc_rolling_fingerprint",
+    "multimodal_frames",
 ]
 
 
@@ -199,6 +205,16 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     qs["tpch_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # one-time bucketed layout cost, reported separately so the
+    # fact_join_bucketed timing reflects steady-state reads (at scale
+    # the write is amortized over every subsequent co-located join)
+    from spark_streaming_postgres_lab2_spark.sources.bucketing import ensure_bucketed
+
+    t0 = time.time()
+    ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey", 16)
+    ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 16)
+    bucket_write_sec = round(time.time() - t0, 3)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -220,6 +236,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
+        "bucketed_layout_write_sec": bucket_write_sec,
     }
     out.update({k: v for k, v in stream.items() if k != "streaming_pipeline_20k_events"})
     print(json.dumps(out))

@@ -41,40 +41,65 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 3: the 5 queries errored by the r2 TIMESTAMP_NTZ fixture
-    # regression (now fixed in sources/tables.load_table).
-    # user_session_window is the only oracle never driver-green.
+    # round 4, tier 1: queries added or semantically changed this round
+    # (VERDICT r3 items 1-5 + ADVICE follow-ups) -- every one needs a
+    # fresh driver row.
+    "embedding_lsh_near_dup_portable",  # new: int-quantized LSH oracle (item 1)
+    "doc_rolling_fingerprint",          # oracle-ized via HUGEINT wrap (item 3)
+    "ngram_jaccard_pairs",              # blocking key now position-sampled (item 2)
+    "multimodal_features",              # re-based on real BMP payloads (item 4)
+    "multimodal_frames",                # re-based on real BMP payloads (item 4)
+    "fact_join_unbucketed",             # new: bucketing bench pair (item 5)
+    "fact_join_bucketed",               # new: bucketing bench pair (item 5)
+    "idle_customers",                   # oracle NOT IN -> NOT EXISTS (ADVICE)
+    "decontaminate",                    # candidate set now broadcast (ADVICE)
+    # first rows-evidence for the quantized ANN composition (item 6)
+    "ann_ivf_topk_quantized",
+    # tier 2: oracle queries whose only driver-green row is r1 (two
+    # rounds stale) -- refresh before the evidence ages further.
+    "big_orders",
+    "doc_hof_stats",
+    "doc_language",
+    "doc_quality",
+    "doc_regex_extract",
+    "doc_token_stats",
+    "hourly_gapfill",
+    "latest_event_per_user",
+    "market_share",
+    "min_cost_supplier",
+    "nation_profit",
+    "order_window_suite",
+    "part_string_funcs",
+    "parts_never_shipped",
+    "props_json",
+    "rolling_7d_revenue",
+    "top_spenders_lateral",
+    "top_supplier",
+    "user_set_ops",
+    "user_set_ops_all",
+    # tier 3: oracle queries last green in r2 (one round stale).
+    "doc_array_ops",
+    "doc_clean",
+    "doc_fingerprints",
+    "doc_repetition",
+    "embedding_near_dup",
+    "embedding_norms",
+    "grouping_sets_events",
+    "minhash_near_dup",
+    "multimodal_decode",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "order_date_math",
+    "order_first_last_nth",
+    "salted_distinct_users",
+    "salted_nation_revenue",
+    "simhash_near_dup",
+    "similarity_topk",
+    "user_event_paths",
+    "user_map_funcs",
+    # 50th slot: the historically NTZ-sensitive session-window oracle --
+    # the cheapest canary for another fixture timestamp drift.
     "user_session_window",
-    "user_activity",
-    "sessionization",
-    "schema_migration",
-    "purchase_attribution",
-    # rows-only operators that have never appeared in a driver window
-    # (driver records a rows-only check; embedding_lsh_near_dup was
-    # flagged weak-evidence in VERDICT r2 -- now emits >0 rows at
-    # fixture scale).
-    "embedding_lsh_near_dup",
-    "ann_ivf_topk",
-    "minhash_near_dup_fast",
-    "simhash_near_dup_fast",
-    "near_dup_clusters_fast",
-    # new oracle queries this round (queries/tpch_more.py)
-    "nation_volume",
-    "returned_revenue",
-    "order_count_distribution",
-    "promo_revenue",
-    "small_quantity_revenue",
-    "disjunctive_revenue",
-    "idle_customers",
-    # new oracle queries this round (queries/corpus.py)
-    "canonical_docs",
-    "training_mix_sample",
-    "embedding_quantize",
-    "quality_percentile_filter",
-    "doc_chunks",
-    "sequence_packing",
-    "multimodal_resize_real",
-    "decontaminate",
 ]
 
 

@@ -19,7 +19,6 @@ from ..functions import text as TX
 from ..functions.multimodal import (
     decode_features,
     frame_sample,
-    resize_stub,
     synthesize_media,
 )
 from ..functions.similarity import (
@@ -1028,6 +1027,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal --------------------------------------------------------------
 
 
+def q_ann_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over an int8-quantized corpus (VERDICT r3 item 6):
+    vectors travel as array<tinyint> + one float scale (4x smaller
+    bucket payloads/shuffles), dequantized only at final scoring;
+    queries stay float (asymmetric search).  Rows-only; the quality
+    cost is pinned in tests/test_ann_recall.py (recall@10 >= 0.9 on
+    planted clusters)."""
+    from ..functions.similarity import dequantize_vectors, quantize_vectors
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    clustered = kmeans_lite(emb, k=8, iters=2)
+    q8 = (
+        dequantize_vectors(quantize_vectors(clustered))
+        .drop("embedding", "qvec")
+        .withColumnRenamed("embedding_dq", "embedding")
+    )
+    return ivf_topk(
+        q8,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=2,
+        cluster_col="cluster",
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary media table (synthesized from documents) metadata
     rollup: type x byte stats."""
@@ -1132,23 +1157,68 @@ GROUP BY doc_id, width, height
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched pseudo-decode over binary payloads via mapInPandas
-    (rows-only check; the codec itself is stubbed, the Spark plumbing is
-    real)."""
+    """Arrow-batched byte-feature extraction over GENUINE BMP payloads
+    (VERDICT r3 item 4 -- upgraded from the UTF-8 pseudo tier): the
+    generic decode_features body (length / checksum / mean byte) runs
+    over real encoded images, and because every byte of a synthesized
+    BMP is arithmetic on doc_id (header fields included -- file sizes
+    stay under 256 so each u32 contributes one nonzero byte), the
+    oracle recomputes checksum and mean from the format spec.  A
+    header/stride/padding bug in the encoder now diverges this query
+    too, not just multimodal_decode."""
+    from ..functions.multimodal import synthesize_bmp_media
+
     t = load_tables(spark, sf_dir, ["documents"])
-    media = synthesize_media(t["documents"])
+    media = synthesize_bmp_media(t["documents"].select("doc_id")).withColumn(
+        "media_type", F.lit("image")
+    )
     return decode_features(media).select(
         "media_id", "media_type", "n_bytes", "checksum", "feature_mean"
     )
 
 
+# Byte-sum of a synthesized BMP, from the format spec: 'B'+'M' = 143,
+# filesize u32 (= 54+img < 256: one nonzero byte), pixel-data offset 54,
+# header size 40, width w, height h, planes 1, bpp 24, img_size u32
+# (img < 256), ppm 2835 = 0x0B13 twice (19+11 each), zeros elsewhere:
+# header_sum = 143 + (54+img) + 54 + 40 + w + h + 1 + 24 + img + 60
+#            = 376 + 2*img + w + h.  Padding bytes are zero, so
+# total = header_sum + sum of pixel values.
+ORACLE_MULTIMODAL_FEATURES = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), g AS (
+  SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 * h AS img FROM d
+), ps AS (
+  SELECT d.doc_id,
+         CAST(sum((d.doc_id * 31 + y.v * 17 + x.v * 7 + c.v) % 256) AS BIGINT) AS pixel_sum
+  FROM d, range(0, 6) y(v), range(0, 8) x(v), range(0, 3) c(v)
+  WHERE y.v < d.h AND x.v < d.w
+  GROUP BY d.doc_id
+)
+SELECT g.doc_id AS media_id,
+       'image' AS media_type,
+       CAST(54 + g.img AS BIGINT) AS n_bytes,
+       CAST(376 + 2 * g.img + g.w + g.h + ps.pixel_sum AS BIGINT) AS checksum,
+       round(CAST(376 + 2 * g.img + g.w + g.h + ps.pixel_sum AS DOUBLE)
+             / (54 + g.img), 4) AS feature_mean
+FROM g JOIN ps ON ps.doc_id = g.doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads (mapInPandas,
-    Arrow-batched): per media row, sampled-frame count + byte stats.
-    Rows-only (the codec is a byte-stride stand-in; the Spark-side
-    schema/batching contract is the real part)."""
+    """Frame sampling (every-64th-byte stride) over GENUINE BMP payloads
+    (VERDICT r3 item 4): per media row, sampled-frame count + byte sum.
+    Sampled positions {0, 64, 128, 192} land on byte 0 of the header
+    ('B' = 66) and otherwise inside the pixel array, where the stored
+    byte is the doc_id pixel formula at the bottom-up row -- all
+    recomputable in SQL, so the byte-stride sampler is now
+    oracle-checked against the real format layout."""
+    from ..functions.multimodal import synthesize_bmp_media
+
     t = load_tables(spark, sf_dir, ["documents"])
-    media = synthesize_media(t["documents"])
+    media = synthesize_bmp_media(t["documents"].select("doc_id"))
     frames = frame_sample(media, every_n_bytes=64)
     return frames.select(
         "media_id",
@@ -1159,22 +1229,36 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing (binary in -> fixed-size binary out inside
-    mapInPandas): output payload sizes must be exactly target_bytes.
-    Rows-only."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    media = synthesize_media(t["documents"])
-    resized = resize_stub(media, target_bytes=256)
-    return (
-        resized.groupBy("media_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.min(F.octet_length("content")).cast("long").alias("min_bytes"),
-            F.max(F.octet_length("content")).cast("long").alias("max_bytes"),
-        )
-        .orderBy("media_type")
-    )
+# Sampled byte at position p of a synthesized BMP: p=0 is 'B' (66);
+# p >= 64 is inside the pixel array (header is 54 bytes, file length
+# <= 198): stored row r = (p-54)//stride holds logical row y = h-1-r
+# (bottom-up), offset o = (p-54)%stride is pixel x = o//3 channel
+# c = o%3 when o < w*3, else row padding (0).
+ORACLE_MULTIMODAL_FRAMES = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), g AS (
+  SELECT doc_id, w, h, ((w * 3 + 3) // 4) * 4 AS stride,
+         54 + ((w * 3 + 3) // 4) * 4 * h AS n
+  FROM d
+), f AS (
+  SELECT g.doc_id,
+         CASE WHEN p.v = 0 THEN 66
+              WHEN (p.v - 54) % g.stride < g.w * 3
+              THEN (g.doc_id * 31 + (g.h - 1 - (p.v - 54) // g.stride) * 17
+                    + (((p.v - 54) % g.stride) // 3) * 7
+                    + ((p.v - 54) % g.stride) % 3) % 256
+              ELSE 0
+         END AS fb
+  FROM g, (SELECT unnest([0, 64, 128, 192]) AS v) p
+  WHERE p.v < g.n
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       CAST(sum(fb) AS BIGINT) AS frame_byte_sum
+FROM f GROUP BY doc_id
+"""
 
 
 def specs() -> list[QuerySpec]:
@@ -1230,17 +1314,20 @@ def specs() -> list[QuerySpec]:
                   "int-quantized hyperplane LSH, full algorithm oracle-recomputed"),
         QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None,
                   "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("ann_ivf_topk_quantized", q_ann_ivf_topk_quantized, None,
+                  "IVF top-k over int8 corpus, dequantize-at-scoring "
+                  "(rows-only; recall gate in tests)"),
         QuerySpec("multimodal_decode", q_multimodal_decode, ORACLE_MULTIMODAL_DECODE,
                   "real BMP codec: mapInPandas encode -> parse -> stats, "
                   "oracle recomputes arithmetically"),
         QuerySpec("multimodal_meta", q_multimodal_meta, ORACLE_MULTIMODAL_META,
                   "binary media metadata rollup"),
-        QuerySpec("multimodal_features", q_multimodal_features, None,
-                  "Arrow-batched pseudo-decode (rows-only)"),
-        QuerySpec("multimodal_frames", q_multimodal_frames, None,
-                  "frame-sampling plumbing over binary payloads (rows-only)"),
-        QuerySpec("multimodal_resize", q_multimodal_resize, None,
-                  "resize plumbing: fixed-size binary out (rows-only)"),
+        QuerySpec("multimodal_features", q_multimodal_features,
+                  ORACLE_MULTIMODAL_FEATURES,
+                  "byte features over real BMP payloads, format-spec oracle"),
+        QuerySpec("multimodal_frames", q_multimodal_frames,
+                  ORACLE_MULTIMODAL_FRAMES,
+                  "byte-stride frame sampling over real BMPs, layout oracle"),
         QuerySpec("ngram_jaccard_pairs_fast", q_ngram_jaccard_pairs_fast, None,
                   "xxhash64 min-shingle blocking (scale flavor; rows-only)"),
         QuerySpec("multimodal_resize_real", q_multimodal_resize_real,

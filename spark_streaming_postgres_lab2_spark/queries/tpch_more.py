@@ -334,6 +334,51 @@ ORDER BY c_nationkey
 """
 
 
+def _fact_join_agg(li: DataFrame, o: DataFrame) -> DataFrame:
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            money_sum(_rev()).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_fact_join_unbucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control half of the bucketing bench pair (VERDICT r3 item 5):
+    lineitem x orders fact-fact join straight off parquet -- both sides
+    shuffle on the join key every time the query runs."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    return _fact_join_agg(t["lineitem"], t["orders"])
+
+
+def q_fact_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed half of the pair: both facts bucketed+sorted on the
+    join key (sources/bucketing.ensure_bucketed, one-time layout cost
+    per session), so the join itself is a zero-exchange zip of
+    co-located buckets -- the plan is pinned Exchange-free in
+    tests/test_plans_tpch_more.py.  Same result, same oracle, as the
+    unbucketed control: at 100 TB the difference is the fact-fact
+    shuffle, the dominant cost of the control plan."""
+    from ..sources.bucketing import ensure_bucketed
+
+    li = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey", 16)
+    o = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 16)
+    return _fact_join_agg(li, o)
+
+
+ORACLE_FACT_JOIN = f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       {sql_money_sum(_SQL_REV, "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("nation_volume", q_nation_volume, ORACLE_NATION_VOLUME,
@@ -352,4 +397,8 @@ def specs() -> list[QuerySpec]:
                   "TPC-H Q19-shaped disjunctive residual predicate"),
         QuerySpec("idle_customers", q_idle_customers, ORACLE_IDLE_CUSTOMERS,
                   "TPC-H Q22-shaped anti join + scalar-average filter"),
+        QuerySpec("fact_join_unbucketed", q_fact_join_unbucketed, ORACLE_FACT_JOIN,
+                  "fact-fact join control: shuffles both sides"),
+        QuerySpec("fact_join_bucketed", q_fact_join_bucketed, ORACLE_FACT_JOIN,
+                  "zero-exchange bucketed fact-fact join (same oracle)"),
     ]

@@ -104,13 +104,17 @@ def _normalize_dtypes(df: DataFrame, name: str) -> DataFrame:
         if want == "timestamp" and dtype == "bigint":
             # nanos-as-long shape: truncate to micros like DuckDB does.
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-        else:
+        elif dtype.startswith("string") and not want.startswith("string"):
             # ADVICE r3: an INCOMPATIBLE drift (e.g. a string date in an
             # unparseable format) must fail loudly at the load boundary,
             # not surface as an all-NULL column downstream.  Non-ANSI
             # cast yields NULL on failure, so guard per row: original
             # non-NULL but cast NULL => raise.  Plan-level (fused into
-            # the scan) -- no extra job per table load.
+            # the scan) -- no extra job per table load.  ONLY for casts
+            # that can actually fail (string -> typed): wrapping the
+            # infallible casts (NTZ -> timestamp, numeric widening) in
+            # raise_error would block predicate pushdown past the
+            # normalization projection for nothing.
             casted = F.col(col).cast(want)
             df = df.withColumn(
                 col,
@@ -121,11 +125,13 @@ def _normalize_dtypes(df: DataFrame, name: str) -> DataFrame:
                                 f"incompatible fixture drift: {name}.{col} "
                                 f"({dtype}) failed cast to {want}, value="
                             ),
-                            F.col(col).cast("string"),
+                            F.col(col),
                         )
                     )
                 ),
             )
+        else:
+            df = df.withColumn(col, F.col(col).cast(want))
     return df
 
 

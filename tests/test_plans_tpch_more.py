@@ -113,3 +113,43 @@ def test_sequence_packing_single_window_shuffle(spark, sf_dir):
     assert checks.shuffle_count(df) <= 2
     cols = checks.read_schema_columns(df)
     assert "text" in cols and "lang" not in cols
+
+
+def test_bucketed_fact_join_is_exchange_free(spark, sf_dir):
+    """The bucketing pair's whole point: with both facts bucketed+sorted
+    on the join key, the SMJ needs NO Exchange on either side (and no
+    Sort); the unbucketed control shuffles both.  Broadcast disabled so
+    the small fixture doesn't hide the shuffle behind a BHJ."""
+    from spark_streaming_postgres_lab2_spark.sources.bucketing import ensure_bucketed
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    li = ensure_bucketed(spark, sf_dir, "lineitem", "l_orderkey", 16)
+    o = ensure_bucketed(spark, sf_dir, "orders", "o_orderkey", 16)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            li["l_orderkey"], o["o_orderpriority"]
+        )
+        assert checks.shuffle_count(joined) == 0
+        assert checks.sort_merge_join_count(joined) >= 1
+
+        t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+        control = t["lineitem"].join(
+            t["orders"],
+            t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+        ).select(t["lineitem"]["l_orderkey"], t["orders"]["o_orderpriority"])
+        assert checks.shuffle_count(control) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_and_control_agree(spark, sf_dir):
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_fact_join_bucketed,
+        q_fact_join_unbucketed,
+    )
+
+    a = [tuple(r) for r in q_fact_join_bucketed(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_fact_join_unbucketed(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0

@@ -157,3 +157,44 @@ def test_load_table_normalizes_drifted_fixture_dtypes(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert df.select(F.unix_micros("ts")).count() == 2
+
+
+def test_load_table_raises_on_incompatible_drift(spark, tmp_path):
+    """ADVICE r3: compatible drift casts silently; INCOMPATIBLE drift
+    (a value the canonical dtype cannot represent) must fail loudly at
+    the load boundary, not become an all-NULL column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_table
+
+    # customer with a string-typed c_acctbal: "12.5" casts fine,
+    # "not-a-number" must raise, not go NULL
+    table = pa.table(
+        {
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_name": pa.array(["a", "b"]),
+            "c_nationkey": pa.array([0, 1], pa.int32()),
+            "c_acctbal": pa.array(["12.5", "not-a-number"]),
+            "c_mktsegment": pa.array(["x", "y"]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "customer.parquet"))
+    df = load_table(spark, str(tmp_path), "customer")
+    with _pytest.raises(Exception, match="incompatible fixture drift"):
+        df.collect()
+
+    # the compatible row alone passes through with the cast applied
+    ok = pa.table(
+        {
+            "c_custkey": pa.array([1], pa.int64()),
+            "c_name": pa.array(["a"]),
+            "c_nationkey": pa.array([0], pa.int32()),
+            "c_acctbal": pa.array(["12.5"]),
+            "c_mktsegment": pa.array(["x"]),
+        }
+    )
+    pq.write_table(ok, str(tmp_path / "customer.parquet"))
+    got = load_table(spark, str(tmp_path), "customer").collect()
+    assert got[0]["c_acctbal"] == 12.5
