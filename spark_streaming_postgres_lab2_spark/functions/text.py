@@ -227,27 +227,31 @@ def rolling_fingerprint_portable(col: Column | str, n: int = 3) -> Column:
     window hashes; NULL for empty/whitespace-only docs.  Windows past
     the end (docs shorter than ``n`` tokens) zero-pad, so every
     non-empty doc gets exactly max(1, n_tokens-n+1) windows."""
-    if n > len(_RFP_C):
-        raise ValueError(f"n={n} needs {n} combination constants; have {len(_RFP_C)}")
+    if n != 3:
+        raise ValueError("portable rolling fingerprint is pinned to n=3 windows")
     toks = F.coalesce(
         F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
     )
     th = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-
-    def win(i: Column) -> Column:
-        total = None
-        for j in range(n):
-            term = F.coalesce(
-                F.element_at(th, i + F.lit(j)), F.lit(0).cast("long")
-            ) * F.lit(_RFP_C[j]).cast("long")
-            total = term if total is None else total + term
-        return total
-
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(th) - (n - 1), F.lit(1))), win
+    # Windows via SHIFTED-ARRAY zips, never element_at(th, i) inside a
+    # position lambda: a subexpression referenced from a HOF lambda is
+    # re-evaluated per element, so the element_at formulation recomputes
+    # the full md5 hash array for every window position -- O(tokens^2)
+    # md5 calls per document (measured 115 s at sf0.1 vs ~2 s linear).
+    # Here ``th`` appears exactly three times (itself + two shifted
+    # copies, zero-padded back to equal length), so the hash array is
+    # built a constant number of times per row.
+    c1, c2, c3 = (F.lit(c).cast("long") for c in _RFP_C)
+    zero = F.array(F.lit(0).cast("long"))
+    sz = F.size(toks)
+    th2 = F.concat(F.slice(th, 2, F.greatest(sz - 1, F.lit(0))), zero)
+    th3 = F.concat(F.slice(th, 3, F.greatest(sz - 2, F.lit(0))), zero, zero)
+    wins = F.zip_with(
+        F.zip_with(th, th2, lambda a, b: a * c1 + b * c2),
+        th3,
+        lambda ab, c: ab + F.coalesce(c, F.lit(0).cast("long")) * c3,
     )
-    return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(
-        F.array_min(wins)
-    )
+    wins = F.slice(wins, 1, F.greatest(sz - (n - 1), F.lit(1)))
+    return F.when(sz == 0, F.lit(None).cast("long")).otherwise(F.array_min(wins))

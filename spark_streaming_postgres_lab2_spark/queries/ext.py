@@ -926,6 +926,9 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # somewhat larger candidate set than to run 16 extra projections
     # per row (k=5 at sf0.1 benched SLOWER than k=4 despite 2x fewer
     # candidates; the cap below still bounds the degenerate corpora)
+    # r4: bucket projection now one numpy matmul per Arrow batch
+    # (bucket_impl='arrow' default): 16.3 s -> ~6 s at sf0.1; the
+    # remainder is candidate dedup + the survivors-only verify join.
     k = min(6, max(4, round(math.log2(max(n, 128) / 128))))
     return embedding_near_dupes_lsh(
         t["embeddings"],
