@@ -110,17 +110,27 @@ CHAR_TRIGRAM_PROFILES = {
 
 def char_trigrams(col: Column | str) -> Column:
     """Distinct character trigrams of the lowercased text (empty array
-    for texts shorter than 3 chars -- no partial grams)."""
+    for texts shorter than 3 chars -- no partial grams).
+
+    Built from shifted-array zips over the char array, NOT
+    ``substr(c, i, 3)`` inside a position lambda: a lambda re-evaluates
+    referenced subexpressions per element, so the substr formulation
+    lowers the whole string once per position -- O(len^2) char work per
+    document (the same antipattern the rolling fingerprint hit at
+    115 s/sf0.1; see SCALING.md r4)."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.when(
-        F.length(c) < 3, F.array().cast("array<string>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(c) - 2),
-                lambda i: c.substr(i, F.lit(3)),
-            )
-        )
+    ch = F.split(c, "")
+    sz = F.size(ch)
+    pad = F.array(F.lit(""))
+    t2 = F.concat(F.slice(ch, 2, F.greatest(sz - 1, F.lit(0))), pad)
+    t3 = F.concat(F.slice(ch, 3, F.greatest(sz - 2, F.lit(0))), pad, pad)
+    tri = F.zip_with(
+        F.zip_with(ch, t2, lambda a, b: F.concat(a, b)),
+        t3,
+        lambda ab, c3: F.concat(ab, F.coalesce(c3, F.lit(""))),
+    )
+    return F.when(F.length(c) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.slice(tri, 1, F.greatest(sz - 2, F.lit(0))))
     )
 
 
@@ -150,9 +160,31 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def _all_shingles(toks: Column, n: int) -> Column:
+    """Full-length n-gram array via shifted-array zips: ``toks`` is
+    referenced a constant n times (itself + n-1 shifted, padded
+    copies), so the tokenization is evaluated O(n) times per row.  The
+    previous slice-per-position formulation re-evaluated the token
+    array inside the position lambda -- O(tokens^2) split/filter work
+    per document, the actual root of the 'interpreted shingle HOFs'
+    bottleneck measured in r3 (SCALING.md r4)."""
+    sz = F.size(toks)
+    parts = [toks]
+    for j in range(1, n):
+        pads = F.array(*[F.lit("") for _ in range(j)])
+        parts.append(
+            F.concat(F.slice(toks, j + 1, F.greatest(sz - j, F.lit(0))), pads)
+        )
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = F.zip_with(acc, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc  # length sz; positions past sz-n+1 carry pad-joined tails
+
+
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (input to MinHash).
-    Uses slice-over-sequence -- pure Column ops, no UDF.
+    Pure Column ops, no UDF; linear in document length (see
+    _all_shingles).
 
     Empty/whitespace-only text yields an EMPTY array (not ``['']``):
     a degenerate shared shingle would put every empty doc in the same
@@ -165,15 +197,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     toks = F.coalesce(
         F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
     )
+    sz = F.size(toks)
     return (
-        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
-        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
+        F.when(sz == 0, F.array().cast("array<string>"))
+        .when(sz < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.slice(_all_shingles(toks, n), 1, sz - (n - 1)))
     )
 
 
@@ -191,15 +219,18 @@ def shingles_sampled(col: Column | str, n: int = 3, step: int = 4) -> Column:
     toks = F.coalesce(
         F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
     )
+    sz = F.size(toks)
+    # full gram array built linearly, then strided with filter's
+    # (element, index) lambda -- one pass, no per-position re-eval of
+    # the token array (same O(tokens^2) trap as _all_shingles notes)
+    strided = F.filter(
+        F.slice(_all_shingles(toks, n), 1, sz - (n - 1)),
+        lambda _x, i: i % step == 0,
+    )
     return (
-        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
-        .when(F.size(toks) < n, F.array(F.concat_ws(" ", toks)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n, F.lit(step)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
+        F.when(sz == 0, F.array().cast("array<string>"))
+        .when(sz < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(strided)
     )
 
 
