@@ -117,6 +117,13 @@ BENCH_QUERIES = [
     "fact_join_bucketed",
     "doc_rolling_fingerprint",
     "multimodal_frames",
+    # round-4: curation family (filter / redact / quota / term stats)
+    "exact_ngram_decontaminate",
+    "pii_redaction",
+    "source_quota_sample",
+    "zipf_top_terms",
+    "tfidf_top_terms",
+    "corpus_filter_chain",
 ]
 
 

@@ -41,6 +41,14 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
+    # round 4, tier 0: the curation family added late in round 4 --
+    # six brand-new oracle queries with no driver row yet.
+    "exact_ngram_decontaminate",
+    "pii_redaction",
+    "source_quota_sample",
+    "zipf_top_terms",
+    "tfidf_top_terms",
+    "corpus_filter_chain",
     # round 4, tier 1: queries added or semantically changed this round
     # (VERDICT r3 items 1-5 + ADVICE follow-ups) -- every one needs a
     # fresh driver row.
@@ -77,26 +85,25 @@ DRIVER_PRIORITY = [
     "top_supplier",
     "user_set_ops",
     "user_set_ops_all",
-    # tier 3: oracle queries last green in r2 (one round stale).
-    "doc_array_ops",
+    # tier 3: oracle queries last green in r2 (one round stale).  Six
+    # r2-green entries whose implementation has not changed since
+    # (doc_array_ops, doc_fingerprints, embedding_norms, multimodal_meta,
+    # order_date_math, user_map_funcs) rotated OUT to make room for the
+    # tier-0 curation family; the local parity replica still covers them
+    # every round.
     "doc_clean",
-    "doc_fingerprints",
     "doc_repetition",
     "embedding_near_dup",
-    "embedding_norms",
     "grouping_sets_events",
     "minhash_near_dup",
     "multimodal_decode",
-    "multimodal_meta",
     "near_dup_clusters",
-    "order_date_math",
     "order_first_last_nth",
     "salted_distinct_users",
     "salted_nation_revenue",
     "simhash_near_dup",
     "similarity_topk",
     "user_event_paths",
-    "user_map_funcs",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift.
     "user_session_window",
@@ -104,7 +111,7 @@ DRIVER_PRIORITY = [
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import advanced, core, corpus, ext, tpch_more
+    from . import advanced, core, corpus, curation, ext, tpch_more
 
     specs = (
         core.specs()
@@ -112,6 +119,7 @@ def all_specs() -> list[QuerySpec]:
         + ext.specs()
         + tpch_more.specs()
         + corpus.specs()
+        + curation.specs()
     )
     by_name = {s.name: s for s in specs}
     missing = [n for n in DRIVER_PRIORITY if n not in by_name]

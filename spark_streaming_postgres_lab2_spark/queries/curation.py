@@ -1,0 +1,492 @@
+"""Data-curation operators for a training-corpus pipeline: the
+filter / redact / quota / term-analytics stages that sit between raw
+ingest and the dedup+mix stages in ``queries/corpus.py``.
+
+All six operators are pure Column expressions (JVM-side, codegen'd;
+no UDF anywhere) and every one carries a DuckDB oracle:
+
+- ``exact_ngram_decontaminate``: the GPT-3/PaLM-style EXACT n-gram
+  contamination check (any shared 8-gram between a train and an eval
+  document), complementing the fuzzy MinHash ``decontaminate``.
+- ``pii_redaction``: regex PII scrubbing (emails / IPv4 / phone) with
+  per-document redaction counts and a content hash of the scrubbed
+  text.
+- ``source_quota_sample``: per-source document quota (top-K by size),
+  the "domain balancing" stage of corpus assembly.
+- ``zipf_top_terms``: corpus-wide term-frequency top-K with rank and
+  cumulative share (Zipf diagnostics).
+- ``tfidf_top_terms``: per-document top-3 TF-IDF terms over the
+  corpus document frequencies.
+- ``corpus_filter_chain``: first-match-wins rule-based document
+  filter (length / diversity / policy-term) with per-source,
+  per-reason accounting -- the corpus-curation analog of the
+  reference's 12-tag validation chain
+  (/root/reference/src/streaming_job.py validation semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles
+from ..sources.tables import load_tables
+from . import QuerySpec
+
+_EVAL_SOURCES = ("src18", "src19")  # same eval split as corpus.decontaminate
+_NGRAM_N = 8
+
+
+def _clean_tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+# --- exact n-gram decontamination --------------------------------------------
+
+
+def q_exact_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram contamination check: a train document is flagged
+    iff it shares at least one verbatim 8-token n-gram with an eval
+    document (the decontamination rule used for GPT-3/PaLM-style
+    benchmark hygiene -- exact substring evidence, vs the Jaccard
+    evidence of ``decontaminate``).
+
+    Scale shape mirrors ``minhash_decontaminate``: the EVAL side (a
+    benchmark suite -- tiny vs a 100 TB train corpus) is exploded to
+    distinct grams and BROADCAST; the train corpus streams through one
+    linear shingle pass + broadcast-hash probe and only colliding
+    (train, eval, gram) rows reach the final pair aggregation, which
+    is bounded by true contamination, not corpus size.  The train side
+    is never shuffled in full."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+
+    def grams(df: DataFrame, idcol: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(idcol),
+            F.explode(F.array_distinct(shingles(F.col("text"), _NGRAM_N))).alias(
+                "gram"
+            ),
+        )
+
+    train = grams(docs.filter(~is_eval), "train_doc_id")
+    ev = grams(docs.filter(is_eval), "eval_doc_id")
+    return (
+        train.join(F.broadcast(ev), "gram")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+        .orderBy("train_doc_id", "eval_doc_id")
+    )
+
+
+def _sql_grams(n: int) -> str:
+    """DuckDB n-gram builder mirroring text.shingles: empty docs give
+    no grams, docs shorter than n give one whole-text gram."""
+    return f"""
+__tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(range(1, len(toks) - {n - 2}),
+                     i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+         END AS grams
+  FROM __tok
+)"""
+
+
+_EV = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+
+ORACLE_EXACT_NGRAM_DECON = (
+    "WITH "
+    + _sql_grams(_NGRAM_N)
+    + f""",
+__e AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram
+  FROM __grams WHERE source IN ({_EV})
+),
+__t AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram
+  FROM __grams WHERE source NOT IN ({_EV})
+)
+SELECT __t.doc_id AS train_doc_id, __e.doc_id AS eval_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM __t JOIN __e USING (gram)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# Deliberately simple patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.(com|net)"
+_PII_IP = r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+"
+_PII_PHONE = r"555-[0-9]{4}"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents corpus.  The fixture text is a
+    clean token stream, so the query first APPENDS deterministic PII
+    (an email, an IPv4, a phone number -- all pure arithmetic on
+    doc_id) and then redacts it; the oracle re-derives both steps, so
+    the hash match proves the redaction itself, not just the counts.
+
+    One codegen'd projection per partition -- no shuffle, no UDF; at
+    100 TB this runs at scan speed.  Redaction order (email -> ip ->
+    phone) is fixed; the patterns are non-overlapping by construction."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@corp.net from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.7 phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    d = t["documents"].select("doc_id", dirty.alias("__dirty"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__dirty"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IP,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("__dirty"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("__dirty"), F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.regexp_count(F.col("__dirty"), F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_REDACTION = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or admin@corp.net from 10.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.7 phone 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(dirty, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             dirty, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_IP}', '[IP]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g')) AS clean_hash
+FROM d
+ORDER BY doc_id
+"""
+
+
+# --- per-source quota sampling ------------------------------------------------
+
+_QUOTA = 15
+
+
+def q_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: keep at most ``_QUOTA`` documents per source,
+    preferring larger documents (n_chars DESC, doc_id ASC tie-break).
+
+    One shuffle keyed on source for the row_number window.  At 100 TB
+    a mega-source still pays a full per-group sort here; the
+    mitigation (documented, not needed at fixture scale) is a two-phase
+    prune: per-partition top-K first (mapPartitions-free -- a local
+    sort limit per partition via repartition+sortWithinPartitions),
+    or an approximate K-th-size threshold from approx_percentile to
+    pre-filter before the exact window.  Only kept rows are emitted,
+    so downstream never sees the over-quota mass."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars")
+        .withColumn("quota_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("quota_rank") <= _QUOTA)
+        .orderBy("source", "quota_rank")
+    )
+
+
+ORACLE_SOURCE_QUOTA = f"""
+SELECT doc_id, source, n_chars, quota_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS quota_rank
+  FROM documents
+)
+WHERE quota_rank <= {_QUOTA}
+ORDER BY source, quota_rank
+"""
+
+
+# --- Zipf term analytics ------------------------------------------------------
+
+_TOPK_TERMS = 50
+
+
+def q_zipf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term-frequency top-K with rank, share, and
+    cumulative share (the Zipf diagnostic a corpus report leads with).
+
+    explode -> groupBy(term) partial-aggregates map-side (combiner
+    before the shuffle), then the top-K is selected with
+    orderBy+limit, which Spark executes as TakeOrderedAndProject --
+    a distributed per-partition top-K merge, NOT a global sort.  The
+    rank/cumulative window then runs over K rows only, so the
+    single-partition window is constant-sized no matter the corpus.
+    Cumulative share accumulates exact BIGINT counts and divides once
+    (doubles only at the last step -- see NOTES.md on double folding)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        F.explode(_clean_tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_count")
+    )
+    total = counts.agg(F.sum("term_count").cast("bigint").alias("__total"))
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(_TOPK_TERMS)
+    w = Window.orderBy(F.desc("term_count"), F.asc("term"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("int").alias("zipf_rank"),
+            "term",
+            "term_count",
+            F.round(
+                F.col("term_count").cast("double") / F.col("__total"), 6
+            ).alias("share"),
+            F.round(
+                F.sum("term_count")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("__total"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("zipf_rank")
+    )
+
+
+ORACLE_ZIPF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS term_count FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS total FROM c),
+top AS (SELECT * FROM c ORDER BY term_count DESC, term LIMIT {_TOPK_TERMS})
+SELECT CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INTEGER) AS zipf_rank,
+       term, term_count,
+       round(CAST(term_count AS DOUBLE) / total, 6) AS share,
+       round(CAST(sum(term_count) OVER (
+               ORDER BY term_count DESC, term ROWS UNBOUNDED PRECEDING
+             ) AS DOUBLE) / total, 6) AS cum_share
+FROM top, tot
+ORDER BY zipf_rank
+"""
+
+
+# --- TF-IDF top terms per document -------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf = term count in the doc,
+    idf = ln(N / df) over corpus document frequencies, ranked by
+    (round(tf*idf, 4) DESC, term ASC).
+
+    The document-frequency table is vocabulary-sized (tiny vs the
+    corpus) and explicitly broadcast, as is the 1-row corpus count --
+    the (doc, term) tf frame, which IS corpus-sized, is touched by
+    exactly one shuffle (its own groupBy) plus the per-doc rank
+    window.  Ranking uses the ROUNDED score on both engines so a
+    sub-ulp ln() difference cannot reorder ties; residual ties break
+    on term ASC."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = t["documents"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n").cast("double") / F.col("df")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= _TFIDF_K)
+        .select("doc_id", "term_rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term_rank, term, tf, df, tfidf
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS INTEGER) AS term_rank
+  FROM scored
+)
+WHERE term_rank <= {_TFIDF_K}
+ORDER BY doc_id, term_rank
+"""
+
+
+# --- rule-based filter chain --------------------------------------------------
+
+_MIN_TOKENS = 20
+_MAX_TOKENS = 90
+_MIN_DIVERSITY = 0.35
+_BAD_TERMS = ("slow", "dup")
+_BAD_TERM_LIMIT = 4  # >= this many policy-term hits drops the doc
+
+
+def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based corpus filter with first-match-wins drop
+    reasons (the curation analog of the reference's 12-tag validation
+    chain): too_short -> too_long -> low_diversity (distinct/total
+    token ratio) -> policy_terms (>= 4 hits on a term blocklist) ->
+    keep.  Per-source x reason accounting.
+
+    All features derive from ONE tokenization (the token array is a
+    single projected subexpression reused by each rule -- no repeated
+    split), then a map-side-combinable groupBy; no UDF, no window.
+    The division in the diversity rule is exact IEEE double on two
+    small ints, so the 0.35 comparison is engine-stable."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = _clean_tokens(F.col("text"))
+    d = t["documents"].select(
+        "source",
+        F.size(toks).alias("__n_tok"),
+        F.size(F.array_distinct(toks)).alias("__n_uniq"),
+        F.size(F.filter(toks, lambda x: x.isin(*_BAD_TERMS))).alias("__n_bad"),
+    )
+    diversity = F.col("__n_uniq").cast("double") / F.col("__n_tok")
+    reason = (
+        F.when(F.col("__n_tok") < _MIN_TOKENS, F.lit("too_short"))
+        .when(F.col("__n_tok") > _MAX_TOKENS, F.lit("too_long"))
+        .when(diversity < _MIN_DIVERSITY, F.lit("low_diversity"))
+        .when(F.col("__n_bad") >= _BAD_TERM_LIMIT, F.lit("policy_terms"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.withColumn("reason", reason)
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
+_BAD_SQL = ", ".join(f"'{w}'" for w in _BAD_TERMS)
+
+ORACLE_FILTER_CHAIN = f"""
+WITH d AS (
+  SELECT source,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> x IN ({_BAD_SQL}))) AS n_bad
+  FROM (
+    SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  )
+)
+SELECT source,
+       CASE WHEN n_tok < {_MIN_TOKENS} THEN 'too_short'
+            WHEN n_tok > {_MAX_TOKENS} THEN 'too_long'
+            WHEN CAST(n_uniq AS DOUBLE) / n_tok < {_MIN_DIVERSITY} THEN 'low_diversity'
+            WHEN n_bad >= {_BAD_TERM_LIMIT} THEN 'policy_terms'
+            ELSE 'keep'
+       END AS reason,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM d
+GROUP BY 1, 2
+ORDER BY source, reason
+"""
+
+
+def specs() -> list[QuerySpec]:
+    return [
+        QuerySpec(
+            "exact_ngram_decontaminate",
+            q_exact_ngram_decontaminate,
+            ORACLE_EXACT_NGRAM_DECON,
+            "exact 8-gram train/eval contamination, broadcast eval grams",
+        ),
+        QuerySpec(
+            "pii_redaction",
+            q_pii_redaction,
+            ORACLE_PII_REDACTION,
+            "regex PII scrub with per-doc counts + scrubbed-content hash",
+        ),
+        QuerySpec(
+            "source_quota_sample",
+            q_source_quota_sample,
+            ORACLE_SOURCE_QUOTA,
+            "per-source top-K document quota (domain balancing)",
+        ),
+        QuerySpec(
+            "zipf_top_terms",
+            q_zipf_top_terms,
+            ORACLE_ZIPF_TOP_TERMS,
+            "corpus term-frequency top-K with cumulative share",
+        ),
+        QuerySpec(
+            "tfidf_top_terms",
+            q_tfidf_top_terms,
+            ORACLE_TFIDF_TOP_TERMS,
+            "per-doc top-3 TF-IDF terms, broadcast df table",
+        ),
+        QuerySpec(
+            "corpus_filter_chain",
+            q_corpus_filter_chain,
+            ORACLE_FILTER_CHAIN,
+            "first-match-wins rule filter with per-source accounting",
+        ),
+    ]

@@ -1,0 +1,168 @@
+"""Tests for the curation-family operators (queries/curation.py):
+fixture parity covers the happy path, these pin plan shape and the
+boundary semantics the fixtures don't exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spark_streaming_postgres_lab2_spark.plans import checks
+from spark_streaming_postgres_lab2_spark.queries.curation import (
+    _BAD_TERM_LIMIT,
+    _MIN_TOKENS,
+    _QUOTA,
+    _TFIDF_K,
+    _TOPK_TERMS,
+    q_corpus_filter_chain,
+    q_exact_ngram_decontaminate,
+    q_pii_redaction,
+    q_source_quota_sample,
+    q_tfidf_top_terms,
+    q_zipf_top_terms,
+)
+
+
+# --- plan pins ----------------------------------------------------------------
+
+
+def test_exact_ngram_decon_broadcasts_eval_side(spark, sf_dir):
+    # the eval gram set must broadcast: the train corpus (100 TB side)
+    # may never be shuffled for the probe
+    df = q_exact_ngram_decontaminate(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 1
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    # document frequencies are vocabulary-sized -> broadcast; corpus
+    # count is a broadcast 1-row frame
+    df = q_tfidf_top_terms(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 2
+
+
+def test_zipf_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    # orderBy+limit over the term counts must lower to
+    # TakeOrderedAndProject (distributed top-K merge), so the only
+    # unbounded-window input is K rows
+    plan = checks.physical_plan(q_zipf_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_chain_single_shuffle(spark, sf_dir):
+    # one tokenization, one map-side-combinable groupBy: the plan may
+    # shuffle only for the aggregate (plus the final presentation sort)
+    df = q_corpus_filter_chain(spark, sf_dir)
+    assert checks.shuffle_count(df) <= 2
+
+
+def test_pii_redaction_no_shuffle_before_sort(spark, sf_dir):
+    # pure per-row projection: only the presentation orderBy may
+    # exchange
+    df = q_pii_redaction(spark, sf_dir)
+    assert checks.shuffle_count(df) <= 1
+
+
+# --- semantics ----------------------------------------------------------------
+
+
+def test_pii_redaction_scrubs_all_three_kinds(spark, sf_dir):
+    rows = q_pii_redaction(spark, sf_dir).limit(10).collect()
+    assert rows, "expected documents"
+    for r in rows:
+        # the synthesized dirt adds exactly 2 emails, 1 ip, 1 phone
+        assert (r.n_emails, r.n_ips, r.n_phones) == (2, 1, 1)
+
+
+def test_pii_redaction_hash_changes_with_payload(spark, sf_dir):
+    hashes = {
+        r.clean_hash for r in q_pii_redaction(spark, sf_dir).limit(20).collect()
+    }
+    assert len(hashes) > 1  # per-doc content survives into the hash
+
+
+def test_source_quota_respects_cap_and_order(spark, sf_dir):
+    rows = q_source_quota_sample(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        assert len(rs) <= _QUOTA
+        sizes = [r.n_chars for r in sorted(rs, key=lambda r: r.quota_rank)]
+        assert sizes == sorted(sizes, reverse=True), src
+
+
+def test_zipf_cumulative_share_monotone(spark, sf_dir):
+    rows = q_zipf_top_terms(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOPK_TERMS
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    counts = [r.term_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_tfidf_rank_within_doc(spark, sf_dir):
+    rows = q_tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        assert 1 <= len(rs) <= _TFIDF_K
+        ordered = sorted(rs, key=lambda r: r.term_rank)
+        scores = [r.tfidf for r in ordered]
+        assert scores == sorted(scores, reverse=True), doc
+
+
+def test_filter_chain_first_match_wins(spark, sf_dir):
+    """A doc that is BOTH too short and policy-flagged must be tagged
+    too_short (rule order), mirroring the reference validation chain."""
+    short_and_bad = " ".join(["slow"] * (_BAD_TERM_LIMIT + 1))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=short_and_bad, lang="en", source="s", n_chars=1),
+            Row(
+                doc_id=2,
+                text=" ".join(f"t{i}" for i in range(_MIN_TOKENS + 10)),
+                lang="en",
+                source="s",
+                n_chars=1,
+            ),
+        ]
+    )
+
+    # drive the operator body directly over a hand-built frame
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        out = {
+            (r.reason): r.n_docs for r in q_corpus_filter_chain(spark, "unused").collect()
+        }
+    finally:
+        cur.load_tables = orig
+    assert out.get("too_short") == 1
+    assert out.get("keep") == 1
+
+
+def test_exact_ngram_decon_planted_contamination(spark, sf_dir):
+    """A train doc sharing a verbatim 8-gram with an eval doc is
+    flagged with the right shared count; disjoint docs are not."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"pre {shared} post", lang="en", source="src0", n_chars=1),
+            Row(doc_id=2, text="a b c d e f g h i j", lang="en", source="src1", n_chars=1),
+            Row(doc_id=100, text=f"{shared} tail1 tail2", lang="en", source="src18", n_chars=1),
+        ]
+    )
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = q_exact_ngram_decontaminate(spark, "unused").collect()
+    finally:
+        cur.load_tables = orig
+    assert [(r.train_doc_id, r.eval_doc_id, r.n_shared_ngrams) for r in rows] == [
+        (1, 100, 1)
+    ]
