@@ -458,15 +458,20 @@ def _decon_oracle() -> str:
         "WITH "
         + _SQL_SHINGLES
         + f""",
+__hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+  FROM __shd WHERE len(sh) > 0
+),
 __sigs AS (
   SELECT doc_id,
          list_transform(range(0, 12),
-           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
-  FROM __shd WHERE len(sh) > 0
+           i -> list_min(list_transform(hs, x -> ((2*i+1) * x + (7919*i+13)) % 2147483647))) AS sig
+  FROM __hs
 ),
 __bands AS (
   SELECT doc_id, b.v AS band,
-         md5(sig[CAST(b.v * 3 + 1 AS INTEGER)] || '|' || sig[CAST(b.v * 3 + 2 AS INTEGER)] || '|' || sig[CAST(b.v * 3 + 3 AS INTEGER)]) AS band_key
+         md5(CAST(sig[CAST(b.v * 3 + 1 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 2 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 3 AS INTEGER)] AS VARCHAR)) AS band_key
   FROM __sigs, range(0, 4) b(v)
 ),
 __ev AS (SELECT doc_id FROM documents WHERE source IN ({ev})),

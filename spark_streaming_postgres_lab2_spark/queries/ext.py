@@ -555,17 +555,26 @@ FROM __th
 def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 4) -> str:
     """CTE chain (after _SQL_SHINGLES) producing verified near-dup
     pairs (doc_id_1, doc_id_2, jaccard) -- the DuckDB recomputation of
-    minhash_near_dupes_portable."""
+    minhash_near_dupes_portable: one md5-prefix int per shingle mod
+    P=2^31-1, then min over k exact affine permutations
+    (2i+1)*h + (7919i+13) mod P (similarity._mh_ab) -- all BIGINT
+    arithmetic below 2^63, so both engines agree bit-for-bit."""
     rows = num_hashes // num_bands
     band_key = " || '|' || ".join(
-        f"sig[CAST(b.v * {rows} + {r + 1} AS INTEGER)]" for r in range(rows)
+        f"CAST(sig[CAST(b.v * {rows} + {r + 1} AS INTEGER)] AS VARCHAR)"
+        for r in range(rows)
     )
     return f"""
-__sigs AS (
+__hs AS (
   SELECT doc_id,
-         list_transform(range(0, {num_hashes}),
-           i -> list_min(list_transform(sh, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
   FROM __shd WHERE len(sh) > 0
+),
+__sigs AS (
+  SELECT h.doc_id,
+         list_transform(range(0, {num_hashes}),
+           i -> list_min(list_transform(h.hs, x -> ((2*i+1) * x + (7919*i+13)) % 2147483647))) AS sig
+  FROM __hs h
 ),
 __bands AS (
   SELECT doc_id, b.v AS band, md5({band_key}) AS band_key
