@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     "zipf_top_terms",
     "tfidf_top_terms",
     "corpus_filter_chain",
+    # round-4: boilerplate removal + range-join / sweep-line pair
+    "boilerplate_dedup",
+    "session_overlap_pairs",
+    "session_concurrency",
 ]
 
 

@@ -41,7 +41,13 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 4, tier 0: the curation family added late in round 4 --
+    # round 4, tier 0: operators added (or re-hashed) in round 4's
+    # final session -- no driver row yet / implementation changed.
+    "boilerplate_dedup",       # corpus-wide repeated-block removal
+    "session_overlap_pairs",   # grain-bucketed interval range join
+    "session_concurrency",     # segmented sweep-line concurrency
+    "canonical_docs",          # portable MinHash hash family changed (affine)
+    # round 4, tier 0b: the curation family added late in round 4 --
     # six brand-new oracle queries with no driver row yet.
     "exact_ngram_decontaminate",
     "pii_redaction",
@@ -85,21 +91,19 @@ DRIVER_PRIORITY = [
     "top_supplier",
     "user_set_ops",
     "user_set_ops_all",
-    # tier 3: oracle queries last green in r2 (one round stale).  Six
-    # r2-green entries whose implementation has not changed since
-    # (doc_array_ops, doc_fingerprints, embedding_norms, multimodal_meta,
-    # order_date_math, user_map_funcs) rotated OUT to make room for the
-    # tier-0 curation family; the local parity replica still covers them
-    # every round.
-    "doc_clean",
-    "doc_repetition",
+    # tier 3: oracle queries last green in r2 (one round stale).  Ten
+    # unchanged r2-green entries (doc_array_ops, doc_fingerprints,
+    # embedding_norms, multimodal_meta, order_date_math, user_map_funcs,
+    # doc_clean, doc_repetition, grouping_sets_events,
+    # salted_distinct_users) rotated OUT to make room for tier 0; the
+    # local parity replica still covers them every round.
+    # minhash_near_dup and near_dup_clusters stay: their hash family
+    # changed this session (affine-permutation portable MinHash).
     "embedding_near_dup",
-    "grouping_sets_events",
     "minhash_near_dup",
     "multimodal_decode",
     "near_dup_clusters",
     "order_first_last_nth",
-    "salted_distinct_users",
     "salted_nation_revenue",
     "simhash_near_dup",
     "similarity_topk",

@@ -961,6 +961,246 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval-overlap join (range join).  Spark has no native range-join
+# optimization (Databricks' range-join hint is proprietary): a naive
+# `a.s <= b.e AND b.s <= a.e` theta join plans as BroadcastNestedLoop
+# -- O(n^2) comparisons even when the time axis is sparse.  The scale
+# pattern below turns it into an EQUI-join: explode each interval to
+# the coarse time grains it covers, hash-join on the grain, then
+# verify the exact overlap predicate on the survivors.  Grain choice
+# trades explode factor against per-grain candidate density; pick it
+# near the median interval length (sessions here are <= ~67 min, so a
+# 1-hour grain gives <= 2 grains per session).
+# ---------------------------------------------------------------------------
+
+_GRAIN_US = 3_600_000_000  # 1 hour
+
+
+def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency: which pairs of users were active
+    at the same time, how often, and for how long in total.  Sessions
+    are the same 30-min-gap islands as q_sessionization; a session
+    pair overlaps when s1 <= e2 AND s2 <= e1 (point-touch counts,
+    overlap_us 0).  Top-100 pairs by total overlap, BIGINT-exact so
+    ordering can never flip on float noise.
+
+    Grains use integer division (`DIV`), not floor(double /): epoch
+    micros ~1.7e15 survive a double round-trip today but the habit
+    does not scale past 2^53."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("s"), F.max(F.unix_micros("ts")).alias("e")
+    )
+    grains = iv.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s DIV {_GRAIN_US}"), F.expr(f"e DIV {_GRAIN_US}")
+            )
+        ).alias("g"),
+    )
+    a = grains.select(
+        F.col("user_id").alias("user_1"), F.col("sid").alias("sid_1"),
+        F.col("s").alias("s1"), F.col("e").alias("e1"), "g",
+    )
+    b = grains.select(
+        F.col("user_id").alias("user_2"), F.col("sid").alias("sid_2"),
+        F.col("s").alias("s2"), F.col("e").alias("e2"), "g",
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("user_1") < F.col("user_2"))
+        # a session pair sharing a grain need not overlap; verify exactly
+        .filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
+        # long sessions span several grains: count each session pair once
+        .dropDuplicates(["user_1", "sid_1", "user_2", "sid_2"])
+        .withColumn(
+            "ov",
+            F.least(F.col("e1"), F.col("e2")) - F.greatest(F.col("s1"), F.col("s2")),
+        )
+    )
+    return (
+        pairs.groupBy("user_1", "user_2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("ov").cast("bigint").alias("overlap_us"),
+        )
+        .orderBy(F.col("overlap_us").desc(), "user_1", "user_2")
+        .limit(100)
+    )
+
+
+ORACLE_SESSION_OVERLAP = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sid, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM sess GROUP BY user_id, sid
+),
+pairs AS (
+  SELECT a.user_id AS user_1, b.user_id AS user_2,
+         least(a.e, b.e) - greatest(a.s, b.s) AS ov
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+)
+SELECT user_1, user_2,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(ov) AS BIGINT) AS overlap_us
+FROM pairs
+GROUP BY user_1, user_2
+ORDER BY overlap_us DESC, user_1, user_2
+LIMIT 100
+"""
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day -- the sweep-line companion to
+    q_session_overlap_pairs.  Each session interval becomes a +1 point
+    at its start and a -1 at its end (starts ordered before ends at
+    equal timestamps: closed-interval semantics, and the tie order
+    pins the peak deterministically); the running sum of deltas is the
+    live-session count and its per-day max is the answer.
+
+    A single global running sum would serialize onto one partition at
+    scale, so the sweep is SEGMENTED: (1) per-day delta totals ->
+    (2) a cumulative sum over the tiny day spine gives each day's
+    carry-in concurrency -> (3) the within-day running sum (window
+    PARTITIONED by day, parallel across days) + carry-in.  Only the
+    ~O(days) spine ever passes through a single partition."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min(F.unix_micros("ts")).alias("s"), F.max(F.unix_micros("ts")).alias("e")
+    )
+    points = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta")))
+    points = points.withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("t")))
+    )
+    carry = (
+        points.groupBy("day")
+        .agg(F.sum("delta").alias("__day_delta"))
+        .withColumn(
+            "carry_in",
+            F.coalesce(
+                F.sum("__day_delta").over(
+                    Window.orderBy("day").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("day", "carry_in")
+    )
+    wday = Window.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc()
+    )
+    running = points.withColumn("run", F.sum("delta").over(wday))
+    return (
+        running.groupBy("day")
+        .agg(F.max("run").alias("__day_max"))
+        .join(F.broadcast(carry), "day")
+        .select(
+            "day",
+            (F.col("__day_max") + F.col("carry_in"))
+            .cast("bigint")
+            .alias("max_concurrent"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_SESSION_CONCURRENCY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sid, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM sess GROUP BY user_id, sid
+),
+points AS (
+  SELECT s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM iv
+),
+running AS (
+  SELECT CAST(make_timestamp(t) AS DATE) AS day,
+         sum(delta) OVER (ORDER BY t, delta DESC) AS run
+  FROM points
+)
+SELECT day, CAST(max(run) AS BIGINT) AS max_concurrent
+FROM running
+GROUP BY day
+ORDER BY day
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
@@ -1009,4 +1249,8 @@ def specs() -> list[QuerySpec]:
                   "explicit GROUPING SETS + grouping_id"),
         QuerySpec("doc_array_ops", q_doc_array_ops, _array_ops_oracle(),
                   "array_intersect/except/union per-row suite"),
+        QuerySpec("session_overlap_pairs", q_session_overlap_pairs, ORACLE_SESSION_OVERLAP,
+                  "interval-overlap range join via grain-bucketed equi-join"),
+        QuerySpec("session_concurrency", q_session_concurrency, ORACLE_SESSION_CONCURRENCY,
+                  "segmented sweep-line: peak concurrent sessions per day"),
     ]

@@ -451,6 +451,117 @@ ORDER BY source, reason
 """
 
 
+# --- corpus-wide boilerplate removal -----------------------------------------
+
+_BLOCK_N = 8  # tokens per non-overlapping block ("paragraph" unit)
+_BOILERPLATE_MIN_DOCS = 2  # block in >= this many DISTINCT docs => boilerplate
+
+
+def q_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-unit removal (the CCNet/Gopher paragraph-
+    dedup step): split every document into non-overlapping 8-token
+    blocks, count each block's DISTINCT-document frequency over the
+    whole corpus, and drop blocks that appear in >= 2 documents
+    (headers, footers, licence banners, mirrored content).  Per doc:
+    blocks before/after and an md5 over the kept blocks in position
+    order, pinning exactly which content survived.
+
+    Scale shape: one explode of slim (doc_id, pos, md5) rows -> one
+    grouped count on the block hash (map-side combinable) -> the
+    boilerplate set -- tiny by definition: only units repeated across
+    documents -- is broadcast back as a hash-probe filter; the corpus
+    itself is shuffled once on doc_id for the ordered re-assembly.
+    The fixture has no real newlines, so the unit is a fixed token
+    block; the operator is unit-agnostic (swap the block expression
+    for split-on-newline in a real corpus)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    # materialize the token array FIRST: a HOF lambda re-evaluates
+    # referenced subexpressions per element, so slicing straight off
+    # split(text) would re-tokenize once per block (the r4 O(n^2)
+    # shingle lesson)
+    tk = t["documents"].select(
+        "doc_id", "source", _clean_tokens(F.col("text")).alias("__tk")
+    )
+    nb = F.floor(F.size("__tk") / _BLOCK_N).cast("int")
+    # filter BEFORE building the sequence: sequence(0, -1) would
+    # generate a descending range for block-less docs
+    blocks = tk.where(nb > 0).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__tk"), i * _BLOCK_N + 1, _BLOCK_N), " "
+                ),
+            )
+        ).alias("pos", "block"),
+    )
+    hashed = blocks.select(
+        "doc_id", "source", "pos", F.md5("block").alias("bh")
+    )
+    boiler = (
+        hashed.groupBy("bh")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= _BOILERPLATE_MIN_DOCS)
+        .select("bh")
+    )
+    flagged = hashed.join(
+        F.broadcast(boiler.withColumn("__is_boiler", F.lit(1))), "bh", "left"
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__is_boiler").isNull(),
+                    F.struct(F.col("pos"), F.col("bh")),
+                )
+            )
+        ),
+        lambda s: s["bh"],
+    )
+    return (
+        flagged.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.coalesce(F.col("__is_boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+            F.md5(F.array_join(kept_sorted, "|")).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BOILERPLATE = f"""
+WITH tk AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, source, tk,
+         unnest(range(0, CAST(floor(len(tk) / {_BLOCK_N}) AS BIGINT))) AS pos
+  FROM tk
+),
+blocks AS (
+  SELECT doc_id, source, pos,
+         md5(array_to_string(list_slice(tk, pos * {_BLOCK_N} + 1, pos * {_BLOCK_N} + {_BLOCK_N}), ' ')) AS bh
+  FROM positions
+),
+boiler AS (
+  SELECT bh FROM blocks GROUP BY bh
+  HAVING count(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DOCS}
+)
+SELECT b.doc_id, b.source,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(bo.bh) AS BIGINT) AS n_boilerplate,
+       md5(coalesce(string_agg(CASE WHEN bo.bh IS NULL THEN b.bh END, '|' ORDER BY b.pos), '')) AS kept_hash
+FROM blocks b LEFT JOIN boiler bo ON b.bh = bo.bh
+GROUP BY b.doc_id, b.source
+ORDER BY b.doc_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -488,5 +599,11 @@ def specs() -> list[QuerySpec]:
             q_corpus_filter_chain,
             ORACLE_FILTER_CHAIN,
             "first-match-wins rule filter with per-source accounting",
+        ),
+        QuerySpec(
+            "boilerplate_dedup",
+            q_boilerplate_dedup,
+            ORACLE_BOILERPLATE,
+            "corpus-wide repeated-block removal (paragraph-dedup step)",
         ),
     ]
