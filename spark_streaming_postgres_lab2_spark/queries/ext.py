@@ -548,7 +548,7 @@ FROM __th
 
 # DuckDB mirror of the portable md5 LSH family (functions/similarity
 # portable section).  Built by helpers because the signature/vote SQL
-# is loop-generated; every step (salted md5 mins, band keys, bucket
+# is loop-generated; every step (affine-permutation mins, band keys, bucket
 # join, exact verify) matches the Spark plan expression-for-expression.
 
 
