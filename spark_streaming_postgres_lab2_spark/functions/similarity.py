@@ -721,21 +721,23 @@ def connected_components(
     src: str = "doc_id_1",
     dst: str = "doc_id_2",
     max_iters: int = 30,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
     Scale-aware hybrid: LSH verification typically reduces a corpus to
     far fewer candidate edges than documents, so when the edge list
-    fits comfortably on the driver (< ``driver_threshold``) a single
+    fits comfortably on the driver (< ``driver_threshold``; 500k edges
+    is ~75 MB of Python tuples -- trivial for any real driver) a single
     collect + union-find is exact and avoids per-iteration jobs.  Above
     the threshold it falls back to distributed min-label propagation
     (one join + one groupBy per round, lineage cut per round, rounds =
     graph diameter).  Returns (doc_id, component) with component =
     min(doc_id) of the cluster."""
-    clean = edges.select(src, dst).dropna()
-    # one job decides the path AND feeds the driver algorithm (no
-    # second pass over the expensive upstream pair pipeline)
+    # checkpoint BEFORE the path probe: the probe collect materializes
+    # the (potentially expensive LSH+verify) pair pipeline, and without
+    # this the distributed fallback would re-execute all of it
+    clean = edges.select(src, dst).dropna().localCheckpoint(eager=False)
     pairs = [(r[0], r[1]) for r in clean.limit(driver_threshold + 1).collect()]
     if len(pairs) > driver_threshold:
         return _connected_components_distributed(clean, src, dst, max_iters)
