@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "boilerplate_dedup",
     "session_overlap_pairs",
     "session_concurrency",
+    "bpe_merge_candidates",
 ]
 
 

@@ -46,6 +46,7 @@ DRIVER_PRIORITY = [
     "boilerplate_dedup",       # corpus-wide repeated-block removal
     "session_overlap_pairs",   # grain-bucketed interval range join
     "session_concurrency",     # segmented sweep-line concurrency
+    "bpe_merge_candidates",    # BPE pair counting over the vocab table
     "canonical_docs",          # portable MinHash hash family changed (affine)
     # round 4, tier 0b: the curation family added late in round 4 --
     # six brand-new oracle queries with no driver row yet.
@@ -91,17 +92,17 @@ DRIVER_PRIORITY = [
     "top_supplier",
     "user_set_ops",
     "user_set_ops_all",
-    # tier 3: oracle queries last green in r2 (one round stale).  Ten
-    # unchanged r2-green entries (doc_array_ops, doc_fingerprints,
-    # embedding_norms, multimodal_meta, order_date_math, user_map_funcs,
-    # doc_clean, doc_repetition, grouping_sets_events,
-    # salted_distinct_users) rotated OUT to make room for tier 0; the
-    # local parity replica still covers them every round.
+    # tier 3: oracle queries last green in r2 (one round stale).
+    # Eleven unchanged r2-green entries (doc_array_ops,
+    # doc_fingerprints, embedding_norms, multimodal_meta,
+    # order_date_math, user_map_funcs, doc_clean, doc_repetition,
+    # grouping_sets_events, salted_distinct_users, multimodal_decode)
+    # rotated OUT to make room for tier 0; the local parity replica
+    # still covers them every round.
     # minhash_near_dup and near_dup_clusters stay: their hash family
     # changed this session (affine-permutation portable MinHash).
     "embedding_near_dup",
     "minhash_near_dup",
-    "multimodal_decode",
     "near_dup_clusters",
     "order_first_last_nth",
     "salted_nation_revenue",

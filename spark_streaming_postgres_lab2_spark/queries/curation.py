@@ -562,6 +562,67 @@ ORDER BY b.doc_id
 """
 
 
+# --- BPE merge-candidate counting --------------------------------------------
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training at corpus scale: count
+    adjacent character pairs weighted by word frequency and return the
+    top-50 merge candidates (the pair a BPE trainer would merge next,
+    plus the runners-up).
+
+    Scale shape is the textbook one: the corpus collapses to a WORD
+    FREQUENCY table first (one shuffle of slim (word, count) rows, a
+    few-thousand-row result at any corpus size -- vocabulary grows
+    ~log of corpus), and pair extraction runs over the VOCABULARY, not
+    the corpus.  100 TB of text never touches the pair stage."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = (
+        t["documents"]
+        .select(F.explode(_clean_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(50)
+    )
+
+
+ORACLE_BPE_MERGE = """
+WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+positions AS (
+  SELECT w, wc, unnest(range(1, CAST(length(w) AS BIGINT))) AS i
+  FROM words WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, wc FROM positions
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ
+FROM pairs
+GROUP BY pair
+ORDER BY n_occ DESC, pair
+LIMIT 50
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -605,5 +666,11 @@ def specs() -> list[QuerySpec]:
             q_boilerplate_dedup,
             ORACLE_BOILERPLATE,
             "corpus-wide repeated-block removal (paragraph-dedup step)",
+        ),
+        QuerySpec(
+            "bpe_merge_candidates",
+            q_bpe_merge_candidates,
+            ORACLE_BPE_MERGE,
+            "BPE merge-pair counting over the word-frequency table",
         ),
     ]

@@ -166,3 +166,31 @@ def test_exact_ngram_decon_planted_contamination(spark, sf_dir):
     assert [(r.train_doc_id, r.eval_doc_id, r.n_shared_ngrams) for r in rows] == [
         (1, 100, 1)
     ]
+
+
+def test_bpe_merge_candidates_counts(spark):
+    """Pair counts = adjacent char pairs weighted by word frequency;
+    top pair is the most frequent merge candidate."""
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # 'abab' x3 -> pairs ab, ba, ab (ab twice per occurrence)
+            Row(doc_id=1, text="abab abab abab cd", lang="en", source="s", n_chars=1),
+            Row(doc_id=2, text="cd x", lang="en", source="s", n_chars=1),  # 'x' too short
+        ]
+    )
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = q_bpe_merge_candidates(spark, "unused").collect()
+    finally:
+        cur.load_tables = orig
+    got = {r.pair: r.n_occ for r in rows}
+    assert got == {"ab": 6, "ba": 3, "cd": 2}
+    # ordering: count desc, then pair asc
+    assert [r.pair for r in rows] == ["ab", "ba", "cd"]
