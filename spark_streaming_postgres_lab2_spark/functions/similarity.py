@@ -1019,8 +1019,12 @@ _MH_PRIME = 2147483647
 
 def _mh_ab(i: int) -> tuple[int, int]:
     """Affine coefficients of permutation i -- mirrored literally into
-    the oracle SQL (queries/ext._sql_minhash_pairs)."""
-    return 2 * i + 1, 7919 * i + 13
+    the oracle SQL (queries/ext._sql_minhash_pairs).  Powers of the
+    MINSTD generators mod P: well-mixed multipliers in [1, P-1] (tiny
+    sequential a_i like 2i+1 correlate the permutations), still
+    < 2^31 so a*h' + b stays under 2^63 -- exact BIGINT everywhere."""
+    p = _MH_PRIME
+    return pow(48271, i + 1, p), pow(16807, i + 1, p)
 
 
 def _mh_hashes(shingle_arr: Column) -> Column:

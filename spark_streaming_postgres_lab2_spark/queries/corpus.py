@@ -451,9 +451,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decon_oracle() -> str:
+    from ..functions.similarity import _mh_ab
     from .ext import _SQL_SHINGLES
 
     ev = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
+    mins = ", ".join(
+        "list_min(list_transform(hs, x -> ({a} * x + {b}) % 2147483647))".format(
+            a=_mh_ab(i)[0], b=_mh_ab(i)[1]
+        )
+        for i in range(12)
+    )
     return (
         "WITH "
         + _SQL_SHINGLES
@@ -464,9 +471,7 @@ __hs AS (
   FROM __shd WHERE len(sh) > 0
 ),
 __sigs AS (
-  SELECT doc_id,
-         list_transform(range(0, 12),
-           i -> list_min(list_transform(hs, x -> ((2*i+1) * x + (7919*i+13)) % 2147483647))) AS sig
+  SELECT doc_id, [{mins}] AS sig
   FROM __hs
 ),
 __bands AS (

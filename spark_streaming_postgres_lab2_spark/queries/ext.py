@@ -556,13 +556,22 @@ def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 
     """CTE chain (after _SQL_SHINGLES) producing verified near-dup
     pairs (doc_id_1, doc_id_2, jaccard) -- the DuckDB recomputation of
     minhash_near_dupes_portable: one md5-prefix int per shingle mod
-    P=2^31-1, then min over k exact affine permutations
-    (2i+1)*h + (7919i+13) mod P (similarity._mh_ab) -- all BIGINT
-    arithmetic below 2^63, so both engines agree bit-for-bit."""
+    P=2^31-1, then min over k exact affine permutations a_i*h + b_i
+    mod P with the SAME MINSTD-power coefficients as similarity._mh_ab
+    (emitted as literals below) -- all BIGINT arithmetic below 2^63,
+    so both engines agree bit-for-bit."""
+    from ..functions.similarity import _mh_ab
+
     rows = num_hashes // num_bands
     band_key = " || '|' || ".join(
         f"CAST(sig[CAST(b.v * {rows} + {r + 1} AS INTEGER)] AS VARCHAR)"
         for r in range(rows)
+    )
+    mins = ", ".join(
+        "list_min(list_transform(h.hs, x -> ({a} * x + {b}) % 2147483647))".format(
+            a=_mh_ab(i)[0], b=_mh_ab(i)[1]
+        )
+        for i in range(num_hashes)
     )
     return f"""
 __hs AS (
@@ -571,9 +580,7 @@ __hs AS (
   FROM __shd WHERE len(sh) > 0
 ),
 __sigs AS (
-  SELECT h.doc_id,
-         list_transform(range(0, {num_hashes}),
-           i -> list_min(list_transform(h.hs, x -> ((2*i+1) * x + (7919*i+13)) % 2147483647))) AS sig
+  SELECT h.doc_id, [{mins}] AS sig
   FROM __hs h
 ),
 __bands AS (
