@@ -683,30 +683,45 @@ def embedding_near_dupes_lsh(
         # a pair can collide in several tables; dedup the slim id pairs
         # BEFORE the vector join so each candidate is scored once
         candidates = candidates.dropDuplicates(["vec_id_1", "vec_id_2"])
-    # Pre-normalize ONCE per vector so the per-pair verify is a single
-    # dot fold: cosine(a,b) == dot(a/|a|, b/|b|).  The naive per-pair
-    # cosine() runs three interpreted HOF aggregates (dot + two norms)
-    # per candidate; with #candidates >> #vectors the two norm folds
-    # dominate -- hoisting them to the base table cuts verify work ~3x.
-    nrm = norm(F.col(vec_col))
+    # Hoist the norm folds out of the per-pair verify: cosine() per
+    # candidate runs three interpreted HOF aggregates (dot + two
+    # norms); with #candidates >> #vectors the norm folds dominate.
+    # The norm is computed ONCE per vector as a scalar column carried
+    # through the join (the join exchange is a real evaluation
+    # barrier), leaving one dot fold + one division per pair.  NOT
+    # done by pre-normalizing the array: dividing inside a transform
+    # lambda re-evaluates the referenced norm() subtree per ELEMENT --
+    # O(d^2) per vector, the same HOF trap as the r4 shingle incident.
     vecs = emb.select(
         F.col(id_col).alias("__vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm).alias("__vec"),
+        F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
     )
     scored = (
         candidates.join(
-            vecs.select(F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")),
+            vecs.select(
+                F.col("__vid").alias("vec_id_1"),
+                F.col("__vec").alias("__v1"),
+                F.col("__nrm").alias("__n1"),
+            ),
             "vec_id_1",
         )
         .join(
-            vecs.select(F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")),
+            vecs.select(
+                F.col("__vid").alias("vec_id_2"),
+                F.col("__vec").alias("__v2"),
+                F.col("__nrm").alias("__n2"),
+            ),
             "vec_id_2",
         )
-        .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+        .select("vec_id_1", "vec_id_2", "__v1", "__v2", "__n1", "__n2")
     )
     return (
         scored.withColumn(
-            "cosine_sim", F.round(dot(F.col("__v1"), F.col("__v2")), 4)
+            "cosine_sim",
+            F.round(
+                dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2")), 4
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_id_1", "vec_id_2", "cosine_sim")

@@ -977,17 +977,13 @@ GROUP BY n_name
 _GRAIN_US = 3_600_000_000  # 1 hour
 
 
-def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-user session concurrency: which pairs of users were active
-    at the same time, how often, and for how long in total.  Sessions
-    are the same 30-min-gap islands as q_sessionization; a session
-    pair overlaps when s1 <= e2 AND s2 <= e1 (point-touch counts,
-    overlap_us 0).  Top-100 pairs by total overlap, BIGINT-exact so
-    ordering can never flip on float noise.
-
-    Grains use integer division (`DIV`), not floor(double /): epoch
-    micros ~1.7e15 survive a double round-trip today but the habit
-    does not scale past 2^53."""
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, sid, s, e) session intervals -- the 30-min-gap islands
+    of q_sessionization as [min ts, max ts] epoch-micro ranges, shared
+    by the range-join and sweep-line queries.  localCheckpoint: both
+    consumers reference the frame from more than one side of a
+    union/join, and without the cut the two-window sessionization
+    pipeline re-executes once per reference."""
     t = load_tables(spark, sf_dir, ["events"])
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = t["events"].select(
@@ -1005,13 +1001,50 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = flagged.select(
         "user_id",
         "ts",
-        F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("sid"),
+        F.sum("new_session").over(w).alias("sid"),
     )
-    iv = sess.groupBy("user_id", "sid").agg(
-        F.min(F.unix_micros("ts")).alias("s"), F.max(F.unix_micros("ts")).alias("e")
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+        )
+        .localCheckpoint(eager=False)
     )
+
+
+# the same pipeline as DuckDB CTEs, shared by both oracles below
+_SQL_SESSION_IV = """flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sid, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+  FROM sess GROUP BY user_id, sid
+)"""
+
+
+def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency: which pairs of users were active
+    at the same time, how often, and for how long in total.  Sessions
+    are the same 30-min-gap islands as q_sessionization; a session
+    pair overlaps when s1 <= e2 AND s2 <= e1 (point-touch counts,
+    overlap_us 0).  Top-100 pairs by total overlap, BIGINT-exact so
+    ordering can never flip on float noise.
+
+    Grains use integer division (`DIV`), not floor(double /): epoch
+    micros ~1.7e15 survive a double round-trip today but the habit
+    does not scale past 2^53."""
+    iv = _session_intervals(spark, sf_dir)
     grains = iv.select(
         "user_id",
         "sid",
@@ -1054,24 +1087,8 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SESSION_OVERLAP = """
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
-  FROM flagged
-),
-iv AS (
-  SELECT user_id, sid, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
-  FROM sess GROUP BY user_id, sid
-),
+ORACLE_SESSION_OVERLAP = f"""
+WITH {_SQL_SESSION_IV},
 pairs AS (
   SELECT a.user_id AS user_1, b.user_id AS user_2,
          least(a.e, b.e) - greatest(a.s, b.s) AS ov
@@ -1102,30 +1119,7 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry-in concurrency -> (3) the within-day running sum (window
     PARTITIONED by day, parallel across days) + carry-in.  Only the
     ~O(days) spine ever passes through a single partition."""
-    t = load_tables(spark, sf_dir, ["events"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = t["events"].select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("sid"),
-    )
-    iv = sess.groupBy("user_id", "sid").agg(
-        F.min(F.unix_micros("ts")).alias("s"), F.max(F.unix_micros("ts")).alias("e")
-    )
+    iv = _session_intervals(spark, sf_dir)
     points = iv.select(
         F.col("s").alias("t"), F.lit(1).alias("delta")
     ).unionAll(iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta")))
@@ -1166,24 +1160,8 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SESSION_CONCURRENCY = """
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-sess AS (
-  SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
-  FROM flagged
-),
-iv AS (
-  SELECT user_id, sid, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
-  FROM sess GROUP BY user_id, sid
-),
+ORACLE_SESSION_CONCURRENCY = f"""
+WITH {_SQL_SESSION_IV},
 points AS (
   SELECT s AS t, 1 AS delta FROM iv
   UNION ALL

@@ -451,29 +451,15 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decon_oracle() -> str:
-    from ..functions.similarity import _mh_ab
-    from .ext import _SQL_SHINGLES
+    from .ext import _SQL_SHINGLES, sql_hs_sigs
 
     ev = ", ".join(f"'{s}'" for s in _EVAL_SOURCES)
-    mins = ", ".join(
-        "list_min(list_transform(hs, x -> ({a} * x + {b}) % 2147483647))".format(
-            a=_mh_ab(i)[0], b=_mh_ab(i)[1]
-        )
-        for i in range(12)
-    )
     return (
         "WITH "
         + _SQL_SHINGLES
+        + ",\n"
+        + sql_hs_sigs(12)
         + f""",
-__hs AS (
-  SELECT doc_id,
-         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-  FROM __shd WHERE len(sh) > 0
-),
-__sigs AS (
-  SELECT doc_id, [{mins}] AS sig
-  FROM __hs
-),
 __bands AS (
   SELECT doc_id, b.v AS band,
          md5(CAST(sig[CAST(b.v * 3 + 1 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 2 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 3 AS INTEGER)] AS VARCHAR)) AS band_key

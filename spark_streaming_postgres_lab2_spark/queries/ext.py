@@ -552,6 +552,31 @@ FROM __th
 # join, exact verify) matches the Spark plan expression-for-expression.
 
 
+def sql_hs_sigs(num_hashes: int = 12) -> str:
+    """The `__hs`/`__sigs` CTE fragment (expects a `__shd(doc_id, sh)`
+    CTE upstream): one md5-prefix int per shingle mod P, MinHash
+    signature via the affine permutations of similarity._mh_ab --
+    the SINGLE source both the near-dup and the decontamination
+    oracles compose, so a hash-family change cannot diverge them."""
+    from ..functions.similarity import _mh_ab
+
+    mins = ", ".join(
+        "list_min(list_transform(h.hs, x -> ({a} * x + {b}) % 2147483647))".format(
+            a=_mh_ab(i)[0], b=_mh_ab(i)[1]
+        )
+        for i in range(num_hashes)
+    )
+    return f"""__hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
+  FROM __shd WHERE len(sh) > 0
+),
+__sigs AS (
+  SELECT h.doc_id, [{mins}] AS sig
+  FROM __hs h
+)"""
+
+
 def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 4) -> str:
     """CTE chain (after _SQL_SHINGLES) producing verified near-dup
     pairs (doc_id_1, doc_id_2, jaccard) -- the DuckDB recomputation of
@@ -560,29 +585,13 @@ def _sql_minhash_pairs(threshold: float, num_hashes: int = 12, num_bands: int = 
     mod P with the SAME MINSTD-power coefficients as similarity._mh_ab
     (emitted as literals below) -- all BIGINT arithmetic below 2^63,
     so both engines agree bit-for-bit."""
-    from ..functions.similarity import _mh_ab
-
     rows = num_hashes // num_bands
     band_key = " || '|' || ".join(
         f"CAST(sig[CAST(b.v * {rows} + {r + 1} AS INTEGER)] AS VARCHAR)"
         for r in range(rows)
     )
-    mins = ", ".join(
-        "list_min(list_transform(h.hs, x -> ({a} * x + {b}) % 2147483647))".format(
-            a=_mh_ab(i)[0], b=_mh_ab(i)[1]
-        )
-        for i in range(num_hashes)
-    )
     return f"""
-__hs AS (
-  SELECT doc_id,
-         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647) AS hs
-  FROM __shd WHERE len(sh) > 0
-),
-__sigs AS (
-  SELECT h.doc_id, [{mins}] AS sig
-  FROM __hs h
-),
+{sql_hs_sigs(num_hashes)},
 __bands AS (
   SELECT doc_id, b.v AS band, md5({band_key}) AS band_key
   FROM __sigs, range(0, {num_bands}) b(v)
