@@ -129,6 +129,12 @@ BENCH_QUERIES = [
     "session_overlap_pairs",
     "session_concurrency",
     "bpe_merge_candidates",
+    # round-4: TPC-H completion batch (all 22 shapes covered)
+    "important_parts",
+    "priority_linestatus",
+    "supplier_count_by_part",
+    "dominant_suppliers",
+    "sole_failed_supplier",
 ]
 
 

@@ -48,6 +48,13 @@ DRIVER_PRIORITY = [
     "session_concurrency",     # segmented sweep-line concurrency
     "bpe_merge_candidates",    # BPE pair counting over the vocab table
     "canonical_docs",          # portable MinHash hash family changed (affine)
+    # round 4, tier 0c: the TPC-H completion batch (q11/q12/q16/q20/q21
+    # shapes -- all 22 TPC-H query shapes now covered).
+    "important_parts",
+    "priority_linestatus",
+    "supplier_count_by_part",
+    "dominant_suppliers",
+    "sole_failed_supplier",
     # round 4, tier 0b: the curation family added late in round 4 --
     # six brand-new oracle queries with no driver row yet.
     "exact_ngram_decontaminate",
@@ -71,8 +78,10 @@ DRIVER_PRIORITY = [
     # first rows-evidence for the quantized ANN composition (item 6)
     "ann_ivf_topk_quantized",
     # tier 2: oracle queries whose only driver-green row is r1 (two
-    # rounds stale) -- refresh before the evidence ages further.
-    "big_orders",
+    # rounds stale) -- refresh before the evidence ages further.  Five
+    # stable r1-green entries (big_orders, market_share,
+    # min_cost_supplier, top_supplier, user_set_ops_all) rotated out
+    # for the TPC-H completion batch; parity still covers them.
     "doc_hof_stats",
     "doc_language",
     "doc_quality",
@@ -80,8 +89,6 @@ DRIVER_PRIORITY = [
     "doc_token_stats",
     "hourly_gapfill",
     "latest_event_per_user",
-    "market_share",
-    "min_cost_supplier",
     "nation_profit",
     "order_window_suite",
     "part_string_funcs",
@@ -89,9 +96,7 @@ DRIVER_PRIORITY = [
     "props_json",
     "rolling_7d_revenue",
     "top_spenders_lateral",
-    "top_supplier",
     "user_set_ops",
-    "user_set_ops_all",
     # tier 3: oracle queries last green in r2 (one round stale).
     # Eleven unchanged r2-green entries (doc_array_ops,
     # doc_fingerprints, embedding_norms, multimodal_meta,

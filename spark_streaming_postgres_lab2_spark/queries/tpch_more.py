@@ -379,6 +379,241 @@ ORDER BY o_orderpriority
 """
 
 
+# --- q11-shape: group agg vs scalar-subquery threshold -----------------------
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp table in the fixture, so revenue
+    share stands in for stock value): parts whose revenue exceeds
+    1.5x the average per-part share of total revenue.  The
+    characteristic plan is GROUP BY + HAVING > scalar subquery --
+    Catalyst evaluates the global aggregates once and broadcasts the
+    1-row result into the filter.
+
+    The threshold compare is INTEGER-exact: both sides stay in
+    fixed-point cents-of-a-basis-point BIGINTs (2 * rev_cents *
+    n_parts > 3 * total_cents, i.e. share > 1.5x average -- the p99 of
+    the fixture's near-uniform revenue distribution), so no float
+    boundary can flip a row between engines, and the relative form
+    self-scales with SF."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].select(
+        "l_partkey", F.floor(_rev() * 10000 + F.lit(0.5)).cast("long").alias("__cents")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("__cents").alias("__rev_cents"))
+    totals = per_part.agg(
+        F.sum("__rev_cents").alias("__total_cents"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            2 * F.col("__rev_cents") * F.col("__n_parts")
+            > 3 * F.col("__total_cents")
+        )
+        .select(
+            "l_partkey",
+            (F.col("__rev_cents") / F.lit(10000.0)).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(floor(({_SQL_REV}) * 10000 + 0.5) AS BIGINT)) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+totals AS (
+  SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM per_part
+)
+SELECT l_partkey,
+       CAST(rev_cents AS DOUBLE) / 10000.0 AS revenue
+FROM per_part, totals
+WHERE 2 * rev_cents * n_parts > 3 * total_cents
+ORDER BY revenue DESC, l_partkey
+"""
+
+
+# --- q12-shape: two-path conditional counts ----------------------------------
+
+
+def q_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for the fixture's
+    missing l_shipmode): per line status, how many lines belong to
+    critical-priority orders (1-URGENT / 2-HIGH) vs the rest.  One
+    fact-fact equi-join + a conditional two-way count -- the plan Q12
+    exists to exercise."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PRIORITY_LINESTATUS = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --- q16-shape: distinct-supplier counts with NOT IN exclusion ---------------
+
+
+def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type)
+    excluding one brand and a supplier blocklist (negative account
+    balance stands in for the original's complaint-comment scan).
+    The characteristic pieces: COUNT(DISTINCT) over a join, a NOT-IN
+    subquery Spark plans as a null-aware anti join, and a
+    high-cardinality group-by."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") != "Brand#1")
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+ORACLE_SUPPLIER_COUNT = """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# --- q20-shape: aggregate-on-aggregate semi-join chain -----------------------
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp availqty, so shipped share stands
+    in): suppliers who shipped MORE THAN 20% of some part's total
+    quantity (the fixture spreads each part over ~15 suppliers, so
+    20% is 3x the expected share; >50% matches nothing) -- an
+    aggregate compared against a second aggregate one level up, then
+    a DISTINCT semi-join back to the supplier dim.  Quantities are
+    integer-valued doubles, so the 5*pair > part compare is exact in
+    both engines regardless of sum order."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    pair = t["lineitem"].groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("__pair_qty")
+    )
+    part_tot = t["lineitem"].groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("__part_qty")
+    )
+    dominant = (
+        pair.join(part_tot, "l_partkey")
+        .filter(5 * F.col("__pair_qty") > F.col("__part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT pair.l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS pair_qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey) pair
+  JOIN (SELECT l_partkey, sum(l_quantity) AS part_qty
+        FROM lineitem GROUP BY l_partkey) tot
+    ON pair.l_partkey = tot.l_partkey
+  WHERE 5 * pair.pair_qty > tot.part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+# --- q21-shape: double-correlated EXISTS / NOT EXISTS ------------------------
+
+
+def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (l_returnflag='R' stands in for the missing
+    receipt-after-commit lateness): suppliers who were the ONLY
+    supplier with a returned line in a multi-supplier order --
+    EXISTS(another supplier in the order) AND NOT EXISTS(another
+    supplier with a returned line).  Expressed as the grouped-rewrite
+    Catalyst produces for Q21 anyway: per (order, supplier) failure
+    flags, per-order supplier/failure counts, then the
+    exactly-one-failed filter.  Top 20 by count."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    per_os = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__failed")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__failed").alias("__n_failed"),
+    )
+    culprits = (
+        per_os.filter(F.col("__failed") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_failed") == 1))
+    )
+    return (
+        culprits.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_SOLE_FAILED = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(failed) AS n_failed
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON s_suppkey = per_os.l_suppkey
+WHERE per_os.failed = 1 AND per_o.n_supp >= 2 AND per_o.n_failed = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("nation_volume", q_nation_volume, ORACLE_NATION_VOLUME,
@@ -401,4 +636,17 @@ def specs() -> list[QuerySpec]:
                   "fact-fact join control: shuffles both sides"),
         QuerySpec("fact_join_bucketed", q_fact_join_bucketed, ORACLE_FACT_JOIN,
                   "zero-exchange bucketed fact-fact join (same oracle)"),
+        QuerySpec("important_parts", q_important_parts, ORACLE_IMPORTANT_PARTS,
+                  "TPC-H Q11-shaped HAVING > scalar-subquery threshold"),
+        QuerySpec("priority_linestatus", q_priority_linestatus,
+                  ORACLE_PRIORITY_LINESTATUS,
+                  "TPC-H Q12-shaped two-path conditional counts"),
+        QuerySpec("supplier_count_by_part", q_supplier_count_by_part,
+                  ORACLE_SUPPLIER_COUNT,
+                  "TPC-H Q16-shaped COUNT DISTINCT + NOT IN anti join"),
+        QuerySpec("dominant_suppliers", q_dominant_suppliers,
+                  ORACLE_DOMINANT_SUPPLIERS,
+                  "TPC-H Q20-shaped aggregate-vs-aggregate semi join"),
+        QuerySpec("sole_failed_supplier", q_sole_failed_supplier, ORACLE_SOLE_FAILED,
+                  "TPC-H Q21-shaped double-EXISTS grouped rewrite"),
     ]
