@@ -242,13 +242,19 @@ def quantize_vectors(
     out = df.withColumn(
         scale_col, F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
     )
+    # the scale enters the element math via array_repeat + zip_with,
+    # NOT by referencing the scale column inside a transform lambda:
+    # CollapseProject inlines column aliases into lambdas, where the
+    # O(d) absmax fold would re-evaluate per ELEMENT (O(d^2) per
+    # vector); ArrayRepeat evaluates its element argument exactly once
+    # per row, and lambda variables are plain attribute reads.
+    rep = F.array_repeat(F.col(scale_col), F.size(F.col(vec_col)))
     return out.withColumn(
         qvec_col,
-        F.transform(
+        F.zip_with(
             F.col(vec_col),
-            lambda x: F.floor(x.cast("double") / F.col(scale_col) + 0.5).cast(
-                "tinyint"
-            ),
+            rep,
+            lambda x, s: F.floor(x.cast("double") / s + 0.5).cast("tinyint"),
         ),
     )
 
@@ -262,10 +268,13 @@ def dequantize_vectors(
     """Reconstruct float vectors from int8 + scale at scoring time
     (q_i * scale).  Projection-only -- fuses into whatever scan/join
     feeds the scorer, so the 4x payload saving survives every exchange
-    up to this point."""
+    up to this point.  Same array_repeat + zip_with shape as
+    quantize_vectors (scale evaluated once per row, never inside a
+    lambda)."""
+    rep = F.array_repeat(F.col(scale_col), F.size(F.col(qvec_col)))
     return df.withColumn(
         out_col,
-        F.transform(F.col(qvec_col), lambda v: v.cast("double") * F.col(scale_col)),
+        F.zip_with(F.col(qvec_col), rep, lambda v, s: v.cast("double") * s),
     )
 
 
@@ -539,8 +548,13 @@ def _hyperplane_buckets_arrow(
     VERDICT r3).  A dense sign-projection is exactly the case the
     PySpark guide reserves Arrow-batched Python for: BLAS does the 96
     dots in one vectorized pass, and only (vid, bucket) longs cross
-    back.  Dim mismatches raise inside the batch (same contract as the
-    raise_error guard on the expression path)."""
+    back.  Same input contract as the expression path's raise_error
+    guard: with static ``dim`` every row must match exactly; with
+    dim=None, MIXED dims are allowed (each row dots against planes
+    truncated to its own length -- rows are grouped by length inside
+    the batch so each group is still one matmul) and only rows longer
+    than the plane table raise.  NULL embeddings raise a descriptive
+    error either way."""
     import numpy as np
     import pandas as pd
 
@@ -557,28 +571,44 @@ def _hyperplane_buckets_arrow(
     offsets = (np.arange(n_tables, dtype=np.int64) * (1 << n_planes))
 
     def _buckets(batches):
+        max_dim = planes_full.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             vecs = pdf[vec_col].to_numpy()
-            lens = {len(v) for v in vecs}
-            want = {dim} if dim is not None else lens
-            if len(lens) != 1 or lens != want or next(iter(lens)) > planes_full.shape[1]:
+            ids = pdf[id_col].to_numpy()
+            lens = np.array([-1 if v is None else len(v) for v in vecs])
+            if (lens < 0).any():
+                bad = ids[lens < 0][:3].tolist()
                 raise ValueError(
-                    f"embedding dims {sorted(lens)} != "
-                    f"{'static dim ' + str(dim) if dim is not None else 'a single dim <= ' + str(planes_full.shape[1])}"
+                    f"NULL embedding cannot be hyperplane-bucketed (ids {bad})"
                 )
-            d_eff = next(iter(lens))
-            m = np.stack(vecs).astype(np.float64)  # (n, d_eff)
-            dots = m @ planes_full[:, :d_eff].T  # (n, L*k)
-            bits = (dots >= 0).astype(np.int64).reshape(len(pdf), n_tables, n_planes)
-            keys = (bits * weights).sum(axis=2) + offsets  # (n, L)
-            yield pd.DataFrame(
-                {
-                    "vid": np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "bucket": keys.ravel(),
-                }
-            )
+            if dim is not None:
+                if (lens != dim).any():
+                    seen = sorted(set(lens[lens != dim].tolist()))
+                    raise ValueError(f"embedding dims {seen} != static dim {dim}")
+            elif lens.max() > max_dim:
+                raise ValueError(
+                    f"embedding dim {int(lens.max())} exceeds hyperplane dim "
+                    f"{max_dim}; extend _HYPERPLANES"
+                )
+            # group rows by length: each group is one matmul, and a row
+            # dots against planes truncated to its own length -- the
+            # same per-row semantics as the expression path
+            for d_eff in np.unique(lens):
+                idx = np.nonzero(lens == d_eff)[0]
+                m = np.stack(vecs[idx]).astype(np.float64)  # (g, d_eff)
+                dots = m @ planes_full[:, :d_eff].T  # (g, L*k)
+                bits = (dots >= 0).astype(np.int64).reshape(
+                    len(idx), n_tables, n_planes
+                )
+                keys = (bits * weights).sum(axis=2) + offsets  # (g, L)
+                yield pd.DataFrame(
+                    {
+                        "vid": np.repeat(ids[idx], n_tables),
+                        "bucket": keys.ravel(),
+                    }
+                )
 
     return emb.select(id_col, vec_col).mapInPandas(_buckets, "vid long, bucket long")
 

@@ -234,14 +234,6 @@ def shingles_sampled(col: Column | str, n: int = 3, step: int = 4) -> Column:
     )
 
 
-def rolling_hash_fingerprint(col: Column | str, n: int = 3) -> Column:
-    """Document fingerprint: min of shingle hashes (one 64-bit value --
-    a 1-hash MinHash; cheap near-dup blocking key).  xxhash64 = the
-    scale flavor; use ``rolling_fingerprint_portable`` when the value
-    must be recomputable outside Spark."""
-    return F.array_min(F.transform(shingles(col, n), lambda s: F.xxhash64(s)))
-
-
 # Window-combination constants for the portable rolling fingerprint
 # (golden-ratio / xxhash64 primes as SIGNED 64-bit values; the DuckDB
 # oracle uses the same constants mod 2^64).

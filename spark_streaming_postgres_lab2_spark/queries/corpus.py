@@ -185,31 +185,31 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured, not assumed.  Pure array HOFs (transform/aggregate),
     no UDF; floor(x + 0.5) rounding keeps Spark and DuckDB
     bit-identical."""
+    from ..functions.similarity import dequantize_vectors, quantize_vectors
+
     t = load_tables(spark, sf_dir, ["embeddings"])
-    absmax = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    emb = t["embeddings"].withColumn(
-        "__scale", F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(1.0))
-    )
-    qvec = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / F.col("__scale") + 0.5).cast("int"),
+    # the SAME helpers the ANN path uses (functions/similarity) -- this
+    # oracle therefore certifies the shared quantization formula, not a
+    # private copy of it
+    emb = dequantize_vectors(
+        quantize_vectors(
+            t["embeddings"], vec_col="embedding", qvec_col="__qvec", scale_col="__scale"
+        ),
+        qvec_col="__qvec",
+        scale_col="__scale",
+        out_col="__deq",
     )
     err = F.aggregate(
         F.zip_with(
             F.col("embedding"),
-            F.col("__qvec"),
-            lambda x, q: F.pow(x.cast("double") - q * F.col("__scale"), F.lit(2.0)),
+            F.col("__deq"),
+            lambda x, d: F.pow(x.cast("double") - d, F.lit(2.0)),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     return (
-        emb.withColumn("__qvec", qvec)
-        .withColumn("__sqerr", err)
+        emb.withColumn("__sqerr", err)
         .withColumn("__qmax", F.array_max(F.col("__qvec")))
         .withColumn("__qmin", F.array_min(F.col("__qvec")))
         .groupBy("label")

@@ -1056,12 +1056,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k over an int8-quantized corpus (VERDICT r3 item 6):
-    vectors travel as array<tinyint> + one float scale (4x smaller
-    bucket payloads/shuffles), dequantized only at final scoring;
-    queries stay float (asymmetric search).  Rows-only; the quality
-    cost is pinned in tests/test_ann_recall.py (recall@10 >= 0.9 on
-    planted clusters)."""
+    """IVF top-k over an int8-quantized corpus (VERDICT r3 item 6) --
+    a QUALITY-COST demonstrator: the corpus is round-tripped through
+    the array<tinyint> + scale format a 100 TB deployment would
+    persist (4x smaller at rest and on scan), and ranking runs on the
+    reconstructed vectors; queries stay float (asymmetric search).
+    Honest plan note: ivf_topk broadcasts the probe set, so the
+    corpus never exchanges in-query either way -- the 4x saving is a
+    STORAGE property of the format, not a shuffle property of this
+    plan.  Rows-only; the 8-bit quality cost is pinned in
+    tests/test_ann_recall.py (recall@10 >= 0.9 on planted
+    clusters)."""
     from ..functions.similarity import dequantize_vectors, quantize_vectors
 
     t = load_tables(spark, sf_dir, ["embeddings"])
@@ -1069,7 +1074,7 @@ def q_ann_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = kmeans_lite(emb, k=8, iters=2)
     q8 = (
         dequantize_vectors(quantize_vectors(clustered))
-        .drop("embedding", "qvec")
+        .drop("embedding", "qvec", "qscale")
         .withColumnRenamed("embedding_dq", "embedding")
     )
     return ivf_topk(

@@ -478,9 +478,12 @@ def q_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per (brand, type)
     excluding one brand and a supplier blocklist (negative account
     balance stands in for the original's complaint-comment scan).
-    The characteristic pieces: COUNT(DISTINCT) over a join, a NOT-IN
-    subquery Spark plans as a null-aware anti join, and a
-    high-cardinality group-by."""
+    The characteristic pieces: COUNT(DISTINCT) over a join, a
+    blocklist anti join, and a high-cardinality group-by.  The oracle
+    uses NOT EXISTS, not Q16's literal NOT IN: left_anti matches
+    NOT-EXISTS null semantics, while a NULL in a NOT-IN blocklist
+    collapses the whole result (the same trap idle_customers'
+    oracle was converted for in ADVICE r3)."""
     t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
@@ -500,7 +503,8 @@ SELECT p_brand, p_type,
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
 GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand, p_type
 """

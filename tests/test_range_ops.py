@@ -30,41 +30,14 @@ def test_overlap_pairs_match_naive_theta_join(spark, sf_dir):
     not an approximation)."""
     out = q_session_overlap_pairs(spark, sf_dir)
     rows = {(r.user_1, r.user_2): (r.n_overlaps, r.overlap_us) for r in out.collect()}
-    # rebuild intervals exactly as the query does, then theta-join
-    from pyspark.sql import Window
+    # the PRODUCTION interval builder feeds the naive theta join: the
+    # test verifies the grain candidate generation, not a re-typed
+    # copy of the sessionization rule
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _session_intervals,
+    )
 
-    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
-
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(w).alias("sid"),
-    )
-    iv = (
-        sess.groupBy("user_id", "sid")
-        .agg(
-            F.min(F.unix_micros("ts")).alias("s"),
-            F.max(F.unix_micros("ts")).alias("e"),
-        )
-        .collect()
-    )
+    iv = _session_intervals(spark, sf_dir).collect()
     naive = {}
     for a in iv:
         for b in iv:
@@ -83,37 +56,12 @@ def test_concurrency_segmented_sweep_matches_global(spark, sf_dir):
     running sum (the segmentation is exact, not approximate)."""
     out = {r.day: r.max_concurrent for r in q_session_concurrency(spark, sf_dir).collect()}
     assert out, "no days produced"
-    # global sweep in plain python over the same intervals
-    from pyspark.sql import Window
+    # global sweep in plain python over the PRODUCTION intervals
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _session_intervals,
+    )
 
-    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
-
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(w).alias("sid"),
-    )
-    iv = sess.groupBy("user_id", "sid").agg(
-        F.min(F.unix_micros("ts")).alias("s"),
-        F.max(F.unix_micros("ts")).alias("e"),
-    )
+    iv = _session_intervals(spark, sf_dir)
     import datetime as dt
 
     points = []

@@ -340,3 +340,33 @@ def test_embedding_lsh_finds_planted_near_dups(spark):
     got = {(r.vec_id_1, r.vec_id_2) for r in out}
     expected = {(b * 10, b * 10 + 1) for b in range(5)}
     assert expected <= got, f"missed planted pairs: {expected - got}"
+
+
+def test_arrow_buckets_mixed_dims_and_nulls(spark):
+    """The arrow bucketing path matches the expression path's input
+    contract: dim=None accepts mixed dims (per-row plane truncation),
+    NULL embeddings raise a descriptive error, and a static-dim
+    mismatch names the offending dims."""
+    import pytest
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _hyperplane_buckets_arrow,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 16), (3, [-1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = _hyperplane_buckets_arrow(mixed, "vec_id", "embedding", 4, 2, None)
+    rows = out.collect()
+    assert len(rows) == 3 * 2  # every row bucketed in both tables
+    assert {r.vid for r in rows} == {1, 2, 3}
+
+    withnull = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        _hyperplane_buckets_arrow(withnull, "vec_id", "embedding", 4, 2, None).collect()
+
+    with pytest.raises(Exception, match="static dim"):
+        _hyperplane_buckets_arrow(mixed, "vec_id", "embedding", 4, 2, 8).collect()
