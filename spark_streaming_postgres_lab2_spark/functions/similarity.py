@@ -819,50 +819,86 @@ def _connected_components_distributed(
     dst: str = "doc_id_2",
     max_iters: int = 30,
 ) -> DataFrame:
-    """Distributed min-label propagation (the >driver_threshold path).
-    Converges in graph-diameter rounds; warns if max_iters was hit with
-    labels still moving (components would be silently split)."""
-    # cut the (potentially expensive LSH) edge lineage ONCE: every
-    # propagation round joins against sym, and without this the whole
-    # upstream pair pipeline re-executes per round
-    sym = (
+    """Distributed CC via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Each round: LARGE-STAR hangs every neighbor v > u off m(u) =
+    min(N(u) + {u}); SMALL-STAR hangs every neighbor v < u (and u
+    itself) off the minimum of that set.  The edge set converges to a
+    union of stars rooted at each component's minimum id in
+    O(log^2 n) rounds REGARDLESS of graph diameter -- the previous
+    min-label propagation needed diameter rounds, so a path-shaped
+    component longer than max_iters silently split.  Warns if
+    max_iters is still hit (needs ~2^sqrt(max_iters) diameter to
+    trigger now)."""
+
+    def sym(e: DataFrame) -> DataFrame:
+        # both orientations, self-loops dropped
+        return (
+            e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        ).distinct()
+
+    # cut the (potentially expensive LSH) edge lineage ONCE
+    first = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
         .localCheckpoint(eager=False)
     )
-    labels = (
-        sym.select(F.col("a").alias("doc_id"))
+    verts = (
+        first.select(F.col("a").alias("doc_id"))
+        .unionByName(first.select(F.col("b").alias("doc_id")))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=False)
     )
+    e = canon(first).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
-        neighbour_min = (
-            sym.join(labels, sym["b"] == labels["doc_id"])
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
+        s = sym(e)
+        # large-star: m(u) = min(neighbors + self); (v, m) for v > u
+        mins = s.groupBy("a").agg(F.min("b").alias("__mn"))
+        m_of = F.least(F.col("__mn"), F.col("a"))
+        large = (
+            s.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m_of.alias("b"))
         )
-        new_labels = (
-            labels.join(neighbour_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+        s2 = sym(large)
+        # small-star over the large-star output: among {v < u} + {u},
+        # hang everything off the minimum
+        lt = s2.filter(F.col("b") < F.col("a"))
+        mins_lt = lt.groupBy("a").agg(F.min("b").alias("__m"))
+        small = (
+            lt.join(mins_lt, "a")
+            .filter(F.col("b") != F.col("__m"))
+            .select(F.col("b").alias("a"), F.col("__m").alias("b"))
+            .unionByName(
+                mins_lt.select(F.col("a"), F.col("__m").alias("b"))
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        new_e = canon(small).localCheckpoint(eager=True)
+        unchanged = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
         )
-        labels = new_labels
-        if changed == 0:
+        e = new_e
+        if unchanged:
             converged = True
             break
+    # converged: every canonical edge is (root, child) with root the
+    # component min; map children to roots, roots (and any vertex that
+    # lost all edges) to themselves
+    child_root = e.select(F.col("b").alias("doc_id"), F.col("a").alias("component"))
+    labels = verts.join(child_root, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
     if not converged:
         import logging
 

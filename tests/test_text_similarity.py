@@ -269,12 +269,46 @@ def test_connected_components_long_chain_converges(spark):
         connected_components,
     )
 
+    # 200-node path: diameter 199 >> max_iters, which split components
+    # under the old min-label propagation; alternating star converges
+    # in O(log^2 n) rounds regardless of diameter
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(14)], "doc_id_1 long, doc_id_2 long"
+        [(i, i + 1) for i in range(199)], "doc_id_1 long, doc_id_2 long"
     )
-    # distributed path (threshold 0) on a 15-node chain: must fully merge
     comps = {r["doc_id"]: r["component"] for r in connected_components(chain, driver_threshold=0).collect()}
     assert set(comps.values()) == {0}
+    assert len(comps) == 200
+
+
+def test_connected_components_distributed_matches_union_find(spark):
+    """Randomized equivalence: the alternating-star distributed path
+    must produce exactly the union-find driver path's components on
+    arbitrary graphs (rings, stars, chains, random edges)."""
+    import random
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [(i, i + 1) for i in range(0, 12)]          # chain
+        edges += [(20 + i, 20 + (i + 1) % 8) for i in range(8)]  # ring
+        edges += [(40, 40 + i) for i in range(1, 6)]        # star
+        edges += [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(15)  # random
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        df = spark.createDataFrame(edges, "doc_id_1 long, doc_id_2 long")
+        driver = {
+            r["doc_id"]: r["component"] for r in connected_components(df).collect()
+        }
+        dist = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df, driver_threshold=0).collect()
+        }
+        assert driver == dist, f"trial {trial} diverged"
 
 
 def test_embedding_lsh_recall_vs_exact(spark):
