@@ -974,7 +974,23 @@ GROUP BY n_name
 # 1-hour grain gives <= 2 grains per session).
 # ---------------------------------------------------------------------------
 
-_GRAIN_US = 3_600_000_000  # 1 hour
+_GRAIN_US = 3_600_000_000  # 1 hour (fallback when auto-tune is off)
+
+
+def _tuned_grain_us(iv: DataFrame) -> int:
+    """Pick the range-join grain from the data: ~2x the median session
+    length, clamped to [15 min, 1 day].  Grain choice only shapes the
+    CANDIDATE set (exact verify filters it), so output is invariant --
+    this trades explode factor against per-grain density.  Too-small
+    grains explode long intervals into many rows; too-large grains
+    pack unrelated intervals into one bucket and the self-join
+    re-quadratizes.  One tiny agg job (median over the session table,
+    already a fraction of the events count)."""
+    row = iv.select(
+        F.percentile_approx(F.col("e") - F.col("s"), 0.5).alias("med")
+    ).first()
+    med = int(row["med"] or 0)
+    return max(900_000_000, min(86_400_000_000, 2 * med or _GRAIN_US))
 
 
 def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,8 +1059,11 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Grains use integer division (`DIV`), not floor(double /): epoch
     micros ~1.7e15 survive a double round-trip today but the habit
-    does not scale past 2^53."""
+    does not scale past 2^53.  The grain is auto-tuned from the
+    measured median session length (_tuned_grain_us) -- output is
+    grain-invariant, only candidate density depends on it."""
     iv = _session_intervals(spark, sf_dir)
+    grain = _tuned_grain_us(iv)
     grains = iv.select(
         "user_id",
         "sid",
@@ -1052,7 +1071,7 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e",
         F.explode(
             F.sequence(
-                F.expr(f"s DIV {_GRAIN_US}"), F.expr(f"e DIV {_GRAIN_US}")
+                F.expr(f"s DIV {grain}"), F.expr(f"e DIV {grain}")
             )
         ).alias("g"),
     )
