@@ -779,10 +779,15 @@ def connected_components(
     (one join + one groupBy per round, lineage cut per round, rounds =
     graph diameter).  Returns (doc_id, component) with component =
     min(doc_id) of the cluster."""
-    # checkpoint BEFORE the path probe: the probe collect materializes
-    # the (potentially expensive LSH+verify) pair pipeline, and without
-    # this the distributed fallback would re-execute all of it
-    clean = edges.select(src, dst).dropna().localCheckpoint(eager=False)
+    # EAGER checkpoint BEFORE the path probe.  The probe below lowers
+    # to CollectLimit, which may compute only a prefix of the
+    # partitions; a lazy checkpoint would then be only partially
+    # materialized and the >threshold fallback would re-execute the
+    # (potentially expensive LSH+verify) pair pipeline for the rest.
+    # Eager materialization costs nothing extra: the driver path reads
+    # every edge anyway (limit >= |E|), and the distributed path needs
+    # the full edge list too.
+    clean = edges.select(src, dst).dropna().localCheckpoint(eager=True)
     pairs = [(r[0], r[1]) for r in clean.limit(driver_threshold + 1).collect()]
     if len(pairs) > driver_threshold:
         return _connected_components_distributed(clean, src, dst, max_iters)
@@ -847,17 +852,18 @@ def _connected_components_distributed(
         ).distinct()
 
     # cut the (potentially expensive LSH) edge lineage ONCE
-    first = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .localCheckpoint(eager=False)
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # vertex set from the UNFILTERED edge list: a vertex whose only
+    # edges are self-loops must still appear in the output as its own
+    # singleton component, matching the driver union-find path (which
+    # keeps every endpoint of every collected pair, (x,x) included)
     verts = (
-        first.select(F.col("a").alias("doc_id"))
-        .unionByName(first.select(F.col("b").alias("doc_id")))
+        raw.select(F.col("a").alias("doc_id"))
+        .unionByName(raw.select(F.col("b").alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
+    first = raw.filter(F.col("a") != F.col("b")).localCheckpoint(eager=False)
     e = canon(first).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):

@@ -391,11 +391,16 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result into the filter.
 
     The threshold compare is INTEGER-exact: both sides stay in
-    fixed-point cents-of-a-basis-point BIGINTs (2 * rev_cents *
-    n_parts > 3 * total_cents, i.e. share > 1.5x average -- the p99 of
-    the fixture's near-uniform revenue distribution), so no float
+    fixed-point cents-of-a-basis-point (2 * rev_cents * n_parts >
+    3 * total_cents, i.e. share > 1.5x average -- the p99 of the
+    fixture's near-uniform revenue distribution), so no float
     boundary can flip a row between engines, and the relative form
-    self-scales with SF."""
+    self-scales with SF.  The cross-multiplied product is computed in
+    DECIMAL(38,0) on the Spark side and HUGEINT on the DuckDB side:
+    a plain BIGINT product would silently wrap in Spark (ANSI off)
+    once SF pushes rev_cents * n_parts past 2^63, exactly where
+    DuckDB promotes to HUGEINT -- 38 digits covers any realistic SF
+    (rev_cents ~1e18 x n_parts ~1e10 = 28 digits)."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     li = t["lineitem"].select(
         "l_partkey", F.floor(_rev() * 10000 + F.lit(0.5)).cast("long").alias("__cents")
@@ -408,8 +413,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(totals))
         .filter(
-            2 * F.col("__rev_cents") * F.col("__n_parts")
-            > 3 * F.col("__total_cents")
+            F.lit(2).cast("decimal(38,0)")
+            * F.col("__rev_cents").cast("decimal(38,0)")
+            * F.col("__n_parts").cast("decimal(38,0)")
+            > F.lit(3).cast("decimal(38,0)")
+            * F.col("__total_cents").cast("decimal(38,0)")
         )
         .select(
             "l_partkey",
@@ -433,7 +441,8 @@ totals AS (
 SELECT l_partkey,
        CAST(rev_cents AS DOUBLE) / 10000.0 AS revenue
 FROM per_part, totals
-WHERE 2 * rev_cents * n_parts > 3 * total_cents
+WHERE 2 * CAST(rev_cents AS HUGEINT) * CAST(n_parts AS HUGEINT)
+      > 3 * CAST(total_cents AS HUGEINT)
 ORDER BY revenue DESC, l_partkey
 """
 
@@ -570,7 +579,10 @@ def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier with a returned line).  Expressed as the grouped-rewrite
     Catalyst produces for Q21 anyway: per (order, supplier) failure
     flags, per-order supplier/failure counts, then the
-    exactly-one-failed filter.  Top 20 by count."""
+    exactly-one-failed filter.  Top 20 by count.  The final group key
+    is s_name on BOTH sides (names joined before the count), matching
+    the oracle exactly -- grouping Spark by l_suppkey and the oracle
+    by s_name would diverge if two suppliers ever shared a name."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
     per_os = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__failed")
@@ -585,13 +597,12 @@ def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__n_supp") >= 2) & (F.col("__n_failed") == 1))
     )
     return (
-        culprits.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .join(
+        culprits.join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .select("s_name", "numwait")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

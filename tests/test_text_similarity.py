@@ -251,6 +251,29 @@ def test_connected_components_both_paths_agree(spark):
     assert driver == dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_self_loop_singletons_agree(spark):
+    """A vertex whose only edge is a self-loop must appear as its own
+    singleton component on BOTH paths (ADVICE r4: the distributed path
+    used to build its vertex set after filtering self-loops, dropping
+    such vertices while the driver union-find kept them)."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (3, 3), (3, 4)],
+        "doc_id_1 long, doc_id_2 long",
+    )
+    expect = {1: 1, 2: 1, 3: 3, 4: 3, 7: 7}
+    driver = {r["doc_id"]: r["component"] for r in connected_components(edges).collect()}
+    dist = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert driver == expect
+    assert dist == expect
+
+
 def test_connected_components_string_ids_and_nulls(spark):
     from spark_streaming_postgres_lab2_spark.functions.similarity import (
         connected_components,
