@@ -41,81 +41,71 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 4, tier 0: operators added (or re-hashed) in round 4's
-    # final session -- no driver row yet / implementation changed.
-    "boilerplate_dedup",       # corpus-wide repeated-block removal
-    "session_overlap_pairs",   # grain-bucketed interval range join
-    "session_concurrency",     # segmented sweep-line concurrency
-    "bpe_merge_candidates",    # BPE pair counting over the vocab table
-    "canonical_docs",          # portable MinHash hash family changed (affine)
-    # round 4, tier 0c: the TPC-H completion batch (q11/q12/q16/q20/q21
-    # shapes -- all 22 TPC-H query shapes now covered).
-    "important_parts",
-    "priority_linestatus",
-    "supplier_count_by_part",
-    "dominant_suppliers",
-    "sole_failed_supplier",
-    # round 4, tier 0b: the curation family added late in round 4 --
-    # six brand-new oracle queries with no driver row yet.
-    "exact_ngram_decontaminate",
-    "pii_redaction",
-    "source_quota_sample",
-    "zipf_top_terms",
-    "tfidf_top_terms",
-    "corpus_filter_chain",
-    # round 4, tier 1: queries added or semantically changed this round
-    # (VERDICT r3 items 1-5 + ADVICE follow-ups) -- every one needs a
-    # fresh driver row.
-    "embedding_lsh_near_dup_portable",  # new: int-quantized LSH oracle (item 1)
-    "doc_rolling_fingerprint",          # oracle-ized via HUGEINT wrap (item 3)
-    "ngram_jaccard_pairs",              # blocking key now position-sampled (item 2)
-    "multimodal_features",              # re-based on real BMP payloads (item 4)
-    "multimodal_frames",                # re-based on real BMP payloads (item 4)
-    "fact_join_unbucketed",             # new: bucketing bench pair (item 5)
-    "fact_join_bucketed",               # new: bucketing bench pair (item 5)
-    "idle_customers",                   # oracle NOT IN -> NOT EXISTS (ADVICE)
-    "decontaminate",                    # candidate set now broadcast (ADVICE)
-    # first rows-evidence for the quantized ANN composition (item 6)
-    "ann_ivf_topk_quantized",
-    # tier 2: oracle queries whose only driver-green row is r1 (two
-    # rounds stale) -- refresh before the evidence ages further.  Five
-    # stable r1-green entries (big_orders, market_share,
-    # min_cost_supplier, top_supplier, user_set_ops_all) rotated out
-    # for the TPC-H completion batch; parity still covers them.
-    "doc_hof_stats",
-    "doc_language",
-    "doc_quality",
-    "doc_regex_extract",
-    "doc_token_stats",
-    "hourly_gapfill",
-    "latest_event_per_user",
-    "nation_profit",
-    "order_window_suite",
-    "part_string_funcs",
-    "parts_never_shipped",
-    "props_json",
-    "rolling_7d_revenue",
-    "top_spenders_lateral",
-    "user_set_ops",
-    # tier 3: oracle queries last green in r2 (one round stale).
-    # Eleven unchanged r2-green entries (doc_array_ops,
-    # doc_fingerprints, embedding_norms, multimodal_meta,
-    # order_date_math, user_map_funcs, doc_clean, doc_repetition,
-    # grouping_sets_events, salted_distinct_users, multimodal_decode)
-    # rotated OUT to make room for tier 0; the local parity replica
-    # still covers them every round.
-    # minhash_near_dup and near_dup_clusters stay: their hash family
-    # changed this session (affine-permutation portable MinHash).
-    "embedding_near_dup",
-    "minhash_near_dup",
-    "near_dup_clusters",
-    "order_first_last_nth",
-    "salted_nation_revenue",
-    "simhash_near_dup",
-    "similarity_topk",
-    "user_event_paths",
+    # round 5, tier 0: new or semantically changed this round -- no
+    # driver row yet / implementation or oracle changed.
+    "ann_ivf_lossless_audit",   # NEW: full IVF machinery vs brute-force oracle
+    "ann_recall_audit",         # NEW: pruned-IVF recall >= 0.9 under the oracle
+    "important_parts",          # threshold product now DECIMAL38/HUGEINT (ADVICE)
+    "sole_failed_supplier",     # group key unified to s_name both sides (ADVICE)
+    "near_dup_clusters",        # CC self-loop vertex-set fix (ADVICE)
+    "canonical_docs",           # CC consumer (same fix)
+    "simhash_near_dup",         # vote aggregate packed 8 lanes/long (r5 item 3)
+    # round 5, tier 1: the 16 oracles whose last driver-green row is
+    # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
+    "big_orders",
+    "market_share",
+    "min_cost_supplier",
+    "top_supplier",
+    "user_set_ops_all",
+    "doc_array_ops",
+    "doc_clean",
+    "doc_fingerprints",
+    "doc_repetition",
+    "embedding_norms",
+    "grouping_sets_events",
+    "multimodal_decode",
+    "multimodal_meta",
+    "order_date_math",
+    "salted_distinct_users",
+    "user_map_funcs",
+    # round 5, tier 2: re-green the oldest r3 rows with the remaining
+    # slots -- prefer the semantically rich / timestamp-sensitive ones.
+    # 15 r3-green entries (category_performance, customers_without_orders,
+    # event_distribution, hourly_event_summary, order_priority,
+    # regional_revenue, table_counts_union, top_customers,
+    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
+    # validation_summary, value_percentiles, value_stats) stay out this
+    # round; the local parity replica still covers them, and they
+    # rotate back in r6.
+    "sessionization",
+    "purchase_attribution",
+    "schema_migration",
+    "dlq_breakdown",
+    "late_arrivals",
+    "quality_hourly",
+    "enriched_events",
+    "multimodal_resize_real",
+    "embedding_quantize",
+    "doc_chunks",
+    "sequence_packing",
+    "training_mix_sample",
+    "quality_percentile_filter",
+    "dedup_exact",
+    "cube_events",
+    "event_pivot",
+    "event_unpivot",
+    "nation_pairs",
+    "nation_volume",
+    "order_count_distribution",
+    "promo_revenue",
+    "returned_revenue",
+    "rollup_revenue",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "above_avg_orders",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift.
+    # the cheapest canary for another fixture timestamp drift (VERDICT
+    # r5 item 8: keep it pinned here).
     "user_session_window",
 ]
 

@@ -1052,6 +1052,128 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF exactness audit (VERDICT r4 item 2): run the FULL IVF
+    machinery -- k-means-lite clustering, centroid routing, cluster-
+    scoped scoring, per-query ranking -- with nprobe = n_cells, where
+    IVF is algebraically identical to brute force (every vector lives
+    in exactly one cell, so probing all cells scores every vector
+    exactly once).  The oracle is the brute-force SQL itself
+    (ORACLE_SIMILARITY_TOPK), so the driver hash-verifies the whole
+    composition end-to-end: a cluster assignment that drops or
+    duplicates a vector, a routing bug, or a scoring divergence all
+    break the hash.  The quality-under-pruning evidence is
+    ann_recall_audit + tests/test_ann_recall.py."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    clustered = kmeans_lite(emb, k=8, iters=2)
+    return ivf_topk(
+        clustered,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        nprobe=8,
+        cluster_col="cluster",
+    )
+
+
+def _planted_embeddings(emb: DataFrame) -> DataFrame:
+    """Derived corpus with DETERMINISTIC planted cluster structure: add
+    a 5.0 spike at position (label % 64) to every vector.  The fixture's
+    raw embeddings are near-random (exact top-10 cosines ~0.24-0.49,
+    ~1/10 neighbors share a label), so no IVF can reach high recall on
+    them at low nprobe -- pruned-recall evidence needs real cluster
+    structure.  The spike is pure SQL arithmetic on (embedding, label),
+    so DuckDB recomputes the planted corpus bit-for-bit (double
+    addition of 5.0 is exact)."""
+    spike = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(i == F.col("label") % 64, F.lit(5.0)).otherwise(F.lit(0.0)),
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            F.col("embedding"), spike, lambda a, b: a.cast("double") + b
+        ).alias("embedding"),
+    )
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ANN recall gate (VERDICT r4 item 2): plant
+    cluster structure (see _planted_embeddings), run REAL pruned IVF
+    (k-means k=10, nprobe=2 -- only ~20% of cells scanned), and emit
+    per-probe rows (query_id, n_exact, exact_kth_cosine, recall_ok)
+    where recall_ok = 1 iff >= 9 of the exact top-10 survive pruning.
+    The oracle recomputes the ENTIRE exact side in SQL -- planted
+    vectors, brute-force cosine top-10, kth cosine -- and pins
+    recall_ok = 1, so a recall regression below 0.9 on any probe
+    flips a row and fails the driver hash."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    planted = _planted_embeddings(t["embeddings"])
+    probes = planted.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(planted, probes, k=10)
+    clustered = kmeans_lite(planted, k=10, iters=2)
+    approx = ivf_topk(clustered, probes, k=10, nprobe=2, cluster_col="cluster")
+    hits = (
+        exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.min("cosine_sim").alias("exact_kth_cosine"),
+    )
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            "exact_kth_cosine",
+            F.when(F.coalesce(F.col("__hits"), F.lit(0)) >= 9, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_SQL_PLANTED = """
+  SELECT vec_id,
+         list_transform(list_zip(embedding, range(0, 64)),
+             x -> CAST(x[1] AS DOUBLE)
+                  + CASE WHEN x[2] = label % 64 THEN 5.0 ELSE 0.0 END) AS pv
+  FROM embeddings
+"""
+
+ORACLE_ANN_RECALL_AUDIT = f"""
+WITH p AS ({_SQL_PLANTED}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cid,
+         list_aggregate(list_transform(list_zip(c.pv, q.pv),
+                                       x -> x[1] * x[2]), 'sum')
+         / (sqrt(list_aggregate(list_transform(c.pv, x -> x * x), 'sum'))
+            * sqrt(list_aggregate(list_transform(q.pv, x -> x * x), 'sum'))) AS cos
+  FROM p c
+  CROSS JOIN (SELECT * FROM p WHERE vec_id < 10) q
+  WHERE c.vec_id != q.vec_id
+),
+topk AS (
+  SELECT query_id, cid, round(cos, 4) AS cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rk
+  FROM scored
+  QUALIFY rk <= 10
+)
+SELECT query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       min(cs) AS exact_kth_cosine,
+       CAST(1 AS INTEGER) AS recall_ok
+FROM topk
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 
@@ -1347,6 +1469,14 @@ def specs() -> list[QuerySpec]:
                   "int-quantized hyperplane LSH, full algorithm oracle-recomputed"),
         QuerySpec("ann_ivf_topk", q_ann_ivf_topk, None,
                   "IVF-bucketed approximate top-k (rows-only)"),
+        QuerySpec("ann_ivf_lossless_audit", q_ann_ivf_lossless_audit,
+                  ORACLE_SIMILARITY_TOPK,
+                  "full IVF machinery at nprobe=n_cells hash-verified "
+                  "against the brute-force oracle"),
+        QuerySpec("ann_recall_audit", q_ann_recall_audit,
+                  ORACLE_ANN_RECALL_AUDIT,
+                  "pruned IVF (nprobe=2/10) recall >= 0.9 per probe, "
+                  "exact side recomputed by the oracle"),
         QuerySpec("ann_ivf_topk_quantized", q_ann_ivf_topk_quantized, None,
                   "IVF top-k over int8 corpus, dequantize-at-scoring "
                   "(rows-only; recall gate in tests)"),
