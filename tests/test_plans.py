@@ -29,6 +29,19 @@ def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
     assert checks.has_partial_aggregation(df)
 
 
+def test_codegen_spans_counted_on_executed_plan(spark, sf_dir):
+    """VERDICT r4 item 4: with AQE on, the pre-execution plan is an
+    AdaptiveSparkPlan skeleton with zero codegen info, so the span
+    counter must execute and read the final plan.  A scan->filter->agg
+    query is the canonical whole-stage-codegen shape: it must report
+    at least one span, or a codegen regression would be invisible."""
+    from spark_streaming_postgres_lab2_spark.queries.core import q_tpch_q6
+
+    df = q_tpch_q6(spark, sf_dir)
+    assert checks.wholestage_codegen_spans(df, execute=False) == 0  # AQE skeleton
+    assert checks.wholestage_codegen_spans(df) >= 1  # executed: spans visible
+
+
 def test_dim_joins_are_broadcast(spark, sf_dir):
     # part/customer/nation/region are small dims: they must broadcast,
     # never sort-merge (a sort-merge here would shuffle the fact table
