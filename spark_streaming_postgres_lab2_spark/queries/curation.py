@@ -153,22 +153,36 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     d = t["documents"].select("doc_id", dirty.alias("__dirty"))
+    cols = pii_redact_cols(F.col("__dirty"))
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["clean"]).alias("clean_hash"),
+    ).orderBy("doc_id")
+
+
+def pii_redact_cols(dirty) -> dict:
+    """The PII scrub as reusable Column expressions: match counts per
+    category and the redacted text (email -> ip -> phone, fixed
+    order).  Property-tested against a pure-Python re mirror on
+    adversarial inputs (tests/test_properties.py)."""
     clean = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("__dirty"), _PII_EMAIL, "[EMAIL]"),
+            F.regexp_replace(dirty, _PII_EMAIL, "[EMAIL]"),
             _PII_IP,
             "[IP]",
         ),
         _PII_PHONE,
         "[PHONE]",
     )
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("__dirty"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(F.col("__dirty"), F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
-        F.regexp_count(F.col("__dirty"), F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
-        F.md5(clean).alias("clean_hash"),
-    ).orderBy("doc_id")
+    return {
+        "n_emails": F.regexp_count(dirty, F.lit(_PII_EMAIL)).cast("bigint"),
+        "n_ips": F.regexp_count(dirty, F.lit(_PII_IP)).cast("bigint"),
+        "n_phones": F.regexp_count(dirty, F.lit(_PII_PHONE)).cast("bigint"),
+        "clean": clean,
+    }
 
 
 ORACLE_PII_REDACTION = f"""
@@ -388,25 +402,20 @@ _BAD_TERMS = ("slow", "dup")
 _BAD_TERM_LIMIT = 4  # >= this many policy-term hits drops the doc
 
 
-def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style rule-based corpus filter with first-match-wins drop
-    reasons (the curation analog of the reference's 12-tag validation
-    chain): too_short -> too_long -> low_diversity (distinct/total
-    token ratio) -> policy_terms (>= 4 hits on a term blocklist) ->
-    keep.  Per-source x reason accounting.
-
-    All features derive from ONE tokenization (the token array is a
-    single projected subexpression reused by each rule -- no repeated
-    split), then a map-side-combinable groupBy; no UDF, no window.
-    The division in the diversity rule is exact IEEE double on two
-    small ints, so the 0.35 comparison is engine-stable."""
-    t = load_tables(spark, sf_dir, ["documents"])
+def filter_chain_classify(docs: DataFrame) -> DataFrame:
+    """Per-document first-match-wins drop reason over a ``text``
+    column: too_short -> too_long -> low_diversity (distinct/total
+    token ratio) -> policy_terms (>= _BAD_TERM_LIMIT blocklist hits)
+    -> keep.  Adds a ``reason`` column; all features derive from ONE
+    tokenization.  Property-tested against a pure-Python spec mirror
+    (tests/test_properties.py)."""
     toks = _clean_tokens(F.col("text"))
-    d = t["documents"].select(
-        "source",
-        F.size(toks).alias("__n_tok"),
-        F.size(F.array_distinct(toks)).alias("__n_uniq"),
-        F.size(F.filter(toks, lambda x: x.isin(*_BAD_TERMS))).alias("__n_bad"),
+    d = docs.withColumns(
+        {
+            "__n_tok": F.size(toks),
+            "__n_uniq": F.size(F.array_distinct(toks)),
+            "__n_bad": F.size(F.filter(toks, lambda x: x.isin(*_BAD_TERMS))),
+        }
     )
     diversity = F.col("__n_uniq").cast("double") / F.col("__n_tok")
     reason = (
@@ -416,8 +425,20 @@ def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("__n_bad") >= _BAD_TERM_LIMIT, F.lit("policy_terms"))
         .otherwise(F.lit("keep"))
     )
+    return d.withColumn("reason", reason).drop("__n_tok", "__n_uniq", "__n_bad")
+
+
+def q_corpus_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule-based corpus filter with first-match-wins drop
+    reasons (the curation analog of the reference's 12-tag validation
+    chain): see filter_chain_classify.  Per-source x reason accounting.
+
+    One tokenization, then a map-side-combinable groupBy; no UDF, no
+    window.  The division in the diversity rule is exact IEEE double
+    on two small ints, so the 0.35 comparison is engine-stable."""
+    t = load_tables(spark, sf_dir, ["documents"])
     return (
-        d.withColumn("reason", reason)
+        filter_chain_classify(t["documents"].select("source", "text"))
         .groupBy("source", "reason")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("source", "reason")
@@ -475,11 +496,20 @@ def q_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block; the operator is unit-agnostic (swap the block expression
     for split-on-newline in a real corpus)."""
     t = load_tables(spark, sf_dir, ["documents"])
+    return boilerplate_doc_stats(t["documents"]).orderBy("doc_id")
+
+
+def boilerplate_doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document boilerplate accounting over (doc_id, source, text):
+    (n_blocks, n_boilerplate, kept_hash).  Documents with fewer than
+    _BLOCK_N tokens have no blocks and are absent from the output.
+    Property-tested against a pure-Python mirror
+    (tests/test_properties.py)."""
     # materialize the token array FIRST: a HOF lambda re-evaluates
     # referenced subexpressions per element, so slicing straight off
     # split(text) would re-tokenize once per block (the r4 O(n^2)
     # shingle lesson)
-    tk = t["documents"].select(
+    tk = docs.select(
         "doc_id", "source", _clean_tokens(F.col("text")).alias("__tk")
     )
     nb = F.floor(F.size("__tk") / _BLOCK_N).cast("int")
@@ -529,7 +559,6 @@ def q_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_boilerplate"),
             F.md5(F.array_join(kept_sorted, "|")).alias("kept_hash"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -127,3 +127,180 @@ def test_migration_always_yields_target_schema(spark):
     out = reg.auto_migrate(df)
     assert out.columns == [f.name for f in reg.get_schema("v2").fields]
     assert out.count() == 1
+
+
+# --- curation-family property tests (VERDICT r4 item 7) ----------------------
+#
+# The three newest oracle operators get randomized adversarial
+# coverage: each Spark implementation must agree with a pure-Python
+# spec mirror on arbitrary documents -- unicode tokens, empty docs,
+# all-boilerplate docs, PII-only docs, policy-term floods.
+
+import hashlib
+import re as _re
+
+from spark_streaming_postgres_lab2_spark.queries.curation import (
+    _BAD_TERM_LIMIT,
+    _BAD_TERMS,
+    _BLOCK_N,
+    _MAX_TOKENS,
+    _MIN_DIVERSITY,
+    _MIN_TOKENS,
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+    boilerplate_doc_stats,
+    filter_chain_classify,
+    pii_redact_cols,
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+# small vocab makes shared 8-grams (boilerplate) and low diversity
+# reachable; the unicode tokens exercise md5-over-UTF8 and regex
+# boundaries
+_VOCAB = ["alpha", "beta", "slow", "dup", "x", "héllo", "日本", "a1"]
+_token = st.sampled_from(_VOCAB)
+_doc_text = st.lists(_token, min_size=0, max_size=110).map(" ".join)
+
+
+def py_filter_reason(text: str) -> str:
+    toks = _py_tokens(text)
+    n, u = len(toks), len(set(toks))
+    bad = sum(1 for t in toks if t in _BAD_TERMS)
+    if n < _MIN_TOKENS:
+        return "too_short"
+    if n > _MAX_TOKENS:
+        return "too_long"
+    if u / n < _MIN_DIVERSITY:
+        return "low_diversity"
+    if bad >= _BAD_TERM_LIMIT:
+        return "policy_terms"
+    return "keep"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_text, min_size=1, max_size=20))
+def test_filter_chain_matches_python_spec(spark, texts):
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)], "doc_id int, source string, text string"
+    )
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in filter_chain_classify(df).select("doc_id", "reason").collect()
+    }
+    assert got == {i: py_filter_reason(t) for i, t in enumerate(texts)}
+
+
+_pii_snippet = st.sampled_from(
+    [
+        "bob@corp.com",
+        "x1@a.net",
+        "@.com",            # no local part -> not a match
+        "UPPER@CASE.COM",   # case-sensitive patterns -> not a match
+    
+        "1.2.3.4",
+        "999.999.999.999",  # still four dotted runs -> matches
+        "1.2.3",            # three runs -> no match
+        "555-0000",
+        "555-123",          # too short -> no match
+        "555-12345",        # first four digits match
+        "a@b.comx",         # trailing char after TLD still matches prefix
+        "é@x.com",          # non-ascii local part -> only if ascii run exists
+    ]
+)
+_pii_text = st.lists(st.one_of(_token, _pii_snippet), min_size=0, max_size=30).map(
+    " ".join
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_pii_text, min_size=1, max_size=15))
+def test_pii_redaction_matches_python_re(spark, texts):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    cols = pii_redact_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            cols["n_emails"].alias("e"),
+            cols["n_ips"].alias("i"),
+            cols["n_phones"].alias("p"),
+            cols["clean"].alias("clean"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        exp_e = sum(1 for _ in _re.finditer(_PII_EMAIL, t))
+        exp_clean = _re.sub(_PII_EMAIL, "[EMAIL]", t)
+        exp_i = sum(1 for _ in _re.finditer(_PII_IP, exp_clean))
+        exp_clean = _re.sub(_PII_IP, "[IP]", exp_clean)
+        exp_p = sum(1 for _ in _re.finditer(_PII_PHONE, exp_clean))
+        exp_clean = _re.sub(_PII_PHONE, "[PHONE]", exp_clean)
+        r = rows[i]
+        assert (r["e"], r["i"], r["p"]) == (exp_e, exp_i, exp_p), (i, t)
+        assert r["clean"] == exp_clean, (i, t)
+
+
+def py_boilerplate(docs: list[tuple[int, str]]) -> dict:
+    """Pure-Python mirror of boilerplate_doc_stats (docs: (id, text))."""
+    per_doc: dict[int, list[str]] = {}
+    for did, text in docs:
+        toks = _py_tokens(text)
+        per_doc[did] = [
+            hashlib.md5(
+                " ".join(toks[i * _BLOCK_N : (i + 1) * _BLOCK_N]).encode("utf-8")
+            ).hexdigest()
+            for i in range(len(toks) // _BLOCK_N)
+        ]
+    seen: dict[str, set[int]] = {}
+    for did, bhs in per_doc.items():
+        for bh in set(bhs):
+            seen.setdefault(bh, set()).add(did)
+    boiler = {bh for bh, ds in seen.items() if len(ds) >= 2}
+    out = {}
+    for did, bhs in per_doc.items():
+        if not bhs:
+            continue  # block-less docs are absent from the output
+        kept = [bh for bh in bhs if bh not in boiler]
+        out[did] = (
+            len(bhs),
+            sum(1 for bh in bhs if bh in boiler),
+            hashlib.md5("|".join(kept).encode("utf-8")).hexdigest(),
+        )
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_doc_text, min_size=1, max_size=14))
+def test_boilerplate_dedup_matches_python_spec(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in docs], "doc_id int, source string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_boilerplate"], r["kept_hash"])
+        for r in boilerplate_doc_stats(df).collect()
+    }
+    assert got == py_boilerplate(docs)
+
+
+def test_boilerplate_all_boilerplate_doc(spark):
+    """A document consisting ONLY of blocks shared with another doc
+    keeps nothing: kept_hash is md5 of the empty string on both paths."""
+    block = " ".join(["w"] * _BLOCK_N)
+    df = spark.createDataFrame(
+        [(1, "s", block), (2, "s", block)], "doc_id int, source string, text string"
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_doc_stats(df).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for did in (1, 2):
+        assert rows[did]["n_blocks"] == 1
+        assert rows[did]["n_boilerplate"] == 1
+        assert rows[did]["kept_hash"] == empty_md5
