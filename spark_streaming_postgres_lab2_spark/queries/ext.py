@@ -1114,8 +1114,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(planted, probes, k=10)
     clustered = kmeans_lite(planted, k=10, iters=2)
     approx = ivf_topk(clustered, probes, k=10, nprobe=2, cluster_col="cluster")
+    # both top-k outputs are (n_probes x k) rows -- bounded by the
+    # probe set (a benchmark suite), never by corpus size -- so the
+    # audit joins broadcast instead of sort-merging
     hits = (
-        exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+        exact.join(
+            F.broadcast(approx.select("query_id", "vec_id")),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("__hits"))
     )
@@ -1124,7 +1131,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cosine_sim").alias("exact_kth_cosine"),
     )
     return (
-        per_q.join(hits, "query_id", "left")
+        per_q.join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             "n_exact",
