@@ -1358,16 +1358,19 @@ def simhash_portable(
     ]
     nibbled = toks.select("doc_id", *nib_cols)
 
-    # Same packed-lane aggregation as simhash64 (VERDICT r4 item 3):
-    # 16 packed SUMs + 1 COUNT instead of 64 vote SUMs, cutting the
-    # whole-stage codegen compile ~4x.  The per-bit set-count extracted
-    # from a 16-bit lane is EXACTLY the old __v{j}, so the fingerprint
-    # (and therefore the DuckDB oracle, which recomputes votes its own
-    # way) is unchanged.  Lanes overflow only past 65535 distinct
-    # tokens per document -- far beyond any real document, and this
-    # flavor exists for oracle verifiability, not the 100 TB path.
-    # Wide expressions are SQL strings (one F.expr parse each), not
-    # py4j-composed Column trees -- see simhash64's docstring.
+    # Same packed-lane aggregation as simhash64 (VERDICT r4 item 3),
+    # but with 32-BIT lanes (2 per long, 32 packed SUMs + 1 COUNT):
+    # the per-bit set-count extracted from a lane is EXACTLY the old
+    # __v{j}, so the fingerprint (and therefore the DuckDB oracle,
+    # which recomputes votes UNPACKED) is unchanged -- and unlike a
+    # 16-bit lane, a 32-bit count cannot carry into its neighbor for
+    # any array Spark can physically hold (2^31 elements), so this
+    # flavor stays exact for arbitrary documents with no token cap
+    # (review finding r5: the fast flavor caps at 60000 distinct
+    # tokens; the verifiability flavor must not silently diverge from
+    # its oracle instead).  Wide expressions are SQL strings (one
+    # F.expr parse each), not py4j-composed Column trees -- see
+    # simhash64's docstring.
     def bit_sql(j: int) -> str:
         # mirrors the old (__n{j//4} / 2^(j%4)).cast(long) % 2 exactly:
         # int / int is DOUBLE in Spark SQL, CAST truncates
@@ -1378,21 +1381,21 @@ def simhash_portable(
         *[
             F.expr(
                 " + ".join(
-                    f"shiftleft({bit_sql(4 * g + lane)}, {16 * lane})"
-                    for lane in range(4)
+                    f"shiftleft({bit_sql(2 * g + lane)}, {32 * lane})"
+                    for lane in range(2)
                 )
             ).alias(f"__pk{g}")
-            for g in range(16)
+            for g in range(32)
         ],
     )
     votes = packed_rows.groupBy("doc_id").agg(
-        *[F.sum(f"__pk{g}").alias(f"__p{g}") for g in range(16)],
+        *[F.sum(f"__pk{g}").alias(f"__p{g}") for g in range(32)],
         F.count(F.lit(1)).alias("__n_tok"),
     )
 
     def bit_term(j: int, weight: int) -> str:
-        g, lane = divmod(j, 4)
-        cnt = f"(shiftrightunsigned(__p{g}, {16 * lane}) & 65535)"
+        g, lane = divmod(j, 2)
+        cnt = f"(shiftrightunsigned(__p{g}, {32 * lane}) & 4294967295)"
         return f"IF({cnt} * 2 > __n_tok, CAST({weight} AS BIGINT), CAST(0 AS BIGINT))"
 
     lo = F.expr(" + ".join(bit_term(j, 2**j) for j in range(32)))

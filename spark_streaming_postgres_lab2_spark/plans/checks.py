@@ -70,9 +70,12 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     against the SAME QueryExecution so AQE finalizes, then counts spans
     on the final plan."""
     if execute and "AdaptiveSparkPlan" in physical_plan(df):
-        # collect through df's own _jdf so ITS AdaptiveSparkPlanExec
-        # (not a child query's) reaches isFinalPlan=true
-        df._jdf.queryExecution().executedPlan().executeCollect()  # type: ignore[attr-defined]
+        # run df's OWN AdaptiveSparkPlanExec (a fresh count()/noop
+        # write would finalize a different QueryExecution) -- but
+        # count the RDD on the EXECUTORS instead of executeCollect(),
+        # which would materialize the full result set on the driver
+        # (an OOM hazard for multi-million-row inventory queries)
+        df._jdf.queryExecution().executedPlan().execute().count()  # type: ignore[attr-defined]
     # formatted mode marks codegen membership as "[codegen id : N]"
     # (the literal string "WholeStageCodegen" only appears in
     # simple/extended modes) -- count DISTINCT span ids

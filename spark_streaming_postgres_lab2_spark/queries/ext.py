@@ -1109,9 +1109,13 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_ok = 1, so a recall regression below 0.9 on any probe
     flips a row and fails the driver hash."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    planted = _planted_embeddings(t["embeddings"])
+    # planted feeds three consumers (exact scan, k-means, IVF) and
+    # exact feeds two (hits semi-join, per_q aggregate): checkpoint
+    # both so the expensive corpus-x-probes cosine scan runs once per
+    # action, not once per branch (r5 review finding)
+    planted = _planted_embeddings(t["embeddings"]).localCheckpoint(eager=False)
     probes = planted.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(planted, probes, k=10)
+    exact = cosine_topk(planted, probes, k=10).localCheckpoint(eager=False)
     clustered = kmeans_lite(planted, k=10, iters=2)
     approx = ivf_topk(clustered, probes, k=10, nprobe=2, cluster_col="cluster")
     # both top-k outputs are (n_probes x k) rows -- bounded by the
