@@ -33,12 +33,27 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return cols
 
 
+def _countable_plan_text(df: DataFrame) -> str:
+    """Plan text for node counting.  After an AQE query executes, the
+    formatted explain prints BOTH '== Final Plan ==' and '== Initial
+    Plan ==' trees plus a details section; counting the raw string
+    then double-counts (and counts runtime-replaced nodes: an SMJ that
+    AQE converted to broadcast still appears in the initial tree).
+    Slice to the final tree when present -- the operators that
+    actually ran."""
+    plan = physical_plan(df)
+    if "== Final Plan ==" in plan:
+        rest = plan.split("== Final Plan ==", 1)[1]
+        return rest.split("== Initial Plan ==", 1)[0]
+    return plan
+
+
 def broadcast_join_count(df: DataFrame) -> int:
-    return physical_plan(df).count("BroadcastHashJoin")
+    return _countable_plan_text(df).count("BroadcastHashJoin")
 
 
 def sort_merge_join_count(df: DataFrame) -> int:
-    return physical_plan(df).count("SortMergeJoin")
+    return _countable_plan_text(df).count("SortMergeJoin")
 
 
 def shuffle_count(df: DataFrame) -> int:

@@ -23,12 +23,17 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
+            # execute FIRST (the span counter runs the final plan on
+            # the executors): the join/exchange counters then reflect
+            # what AQE actually ran, not the static pre-AQE plan -- an
+            # SMJ the runtime converted to broadcast no longer counts
+            codegen = checks.wholestage_codegen_spans(df)
             plan = checks.physical_plan(df)
             print(
                 f"{name:24s} bhj={checks.broadcast_join_count(df)} "
                 f"smj={checks.sort_merge_join_count(df)} "
                 f"xchg={checks.shuffle_count(df)} "
-                f"codegen={checks.wholestage_codegen_spans(df)} "
+                f"codegen={codegen} "
                 f"pushed={'Y' if 'PushedFilters: [' in plan and 'PushedFilters: []' not in plan else '-'}"
             )
             if only:
