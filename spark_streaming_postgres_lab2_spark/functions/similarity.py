@@ -711,7 +711,13 @@ def embedding_near_dupes_lsh(
         )
     if n_tables > 1 or chain is not None:
         # a pair can collide in several tables; dedup the slim id pairs
-        # BEFORE the vector join so each candidate is scored once
+        # BEFORE the vector join so each candidate is scored once.
+        # (r5 note: moving this distinct AFTER the cosine filter -- the
+        # restructure that won for simhash banding -- was MEASURED 3x
+        # SLOWER here (4.6 -> 13.5 s warm at sf0.1) despite only 1.3x
+        # candidate multiplicity: the distinct's exchange is also the
+        # barrier that lets the two vector joins run broadcast over a
+        # compact, evenly-partitioned pair set.  Keep the barrier.)
         candidates = candidates.dropDuplicates(["vec_id_1", "vec_id_2"])
     # Hoist the norm folds out of the per-pair verify: cosine() per
     # candidate runs three interpreted HOF aggregates (dot + two
