@@ -137,11 +137,13 @@ BENCH_QUERIES = [
     "supplier_count_by_part",
     "dominant_suppliers",
     "sole_failed_supplier",
-    # round-5: ANN evidence queries + quantized IVF
+    # round-5: ANN evidence queries + quantized IVF + sketch audits
     "ann_ivf_topk_quantized",
     "ann_ivf_lossless_audit",
     "ann_recall_audit",
     "simhash_near_dup",
+    "approx_distinct_audit",
+    "stratified_sample_audit",
 ]
 
 

@@ -50,6 +50,8 @@ DRIVER_PRIORITY = [
     "near_dup_clusters",        # CC self-loop vertex-set fix (ADVICE)
     "canonical_docs",           # CC consumer (same fix)
     "simhash_near_dup",         # vote aggregate packed 8 lanes/long (r5 item 3)
+    "approx_distinct_audit",    # NEW: HLL++ error <= 15% under the oracle
+    "stratified_sample_audit",  # NEW: sampleBy fraction within 5 sd under the oracle
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -70,13 +72,13 @@ DRIVER_PRIORITY = [
     "user_map_funcs",
     # round 5, tier 2: re-green the oldest r3 rows with the remaining
     # slots -- prefer the semantically rich / timestamp-sensitive ones.
-    # 15 r3-green entries (category_performance, customers_without_orders,
-    # event_distribution, hourly_event_summary, order_priority,
-    # regional_revenue, table_counts_union, top_customers,
-    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
-    # validation_summary, value_percentiles, value_stats) stay out this
-    # round; the local parity replica still covers them, and they
-    # rotate back in r6.
+    # 17 r3-green entries (above_avg_orders, category_performance,
+    # customers_without_orders, disjunctive_revenue, event_distribution,
+    # hourly_event_summary, order_priority, regional_revenue,
+    # table_counts_union, top_customers, top_parts_per_brand, tpch_q1,
+    # tpch_q6, user_activity, validation_summary, value_percentiles,
+    # value_stats) stay out this round; the local parity replica still
+    # covers them, and they rotate back in r6.
     "sessionization",
     "purchase_attribution",
     "schema_migration",
@@ -101,8 +103,6 @@ DRIVER_PRIORITY = [
     "returned_revenue",
     "rollup_revenue",
     "small_quantity_revenue",
-    "disjunctive_revenue",
-    "above_avg_orders",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
     # r5 item 8: keep it pinned here).

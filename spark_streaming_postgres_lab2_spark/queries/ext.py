@@ -816,14 +816,119 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for the HLL++ sketch (same pattern
+    as ann_recall_audit): per event type, emit the EXACT distinct
+    count (oracle-recomputable) plus within_15pct = 1 iff the
+    approx_count_distinct estimate lands within 15% relative error.
+    Default rsd is 0.05, so 15% is a >=3-sigma bound (max observed
+    error across the fixtures: 6.7% at sf0.1) -- a sketch regression
+    flips the flag and fails the driver hash."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id").alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("within_15pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_APPROX_DISTINCT_AUDIT = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS INTEGER) AS within_15pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+_STRATA_FRACTIONS = {
+    "view": 0.1,
+    "click": 0.2,
+    "purchase": 0.5,
+    "signup": 0.5,
+    "error": 0.05,
+}
+
+
+def q_stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for seeded stratified sampling: per
+    stratum, emit the total row count (oracle-recomputable) plus
+    frac_ok = 1 iff the realized sample fraction is within 5 binomial
+    standard deviations of the target (sd = sqrt(f(1-f)/n), computed
+    from the same n the oracle recomputes -- max observed deviation
+    across fixtures: 2.9 sd at sf0.001).  A sampler bug that drops a
+    stratum, ignores its fraction, or duplicates rows flips the flag
+    and fails the driver hash; the exact sampled counts stay
+    engine-specific (rows-only q_stratified_sample)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_rows")
+    )
+    sampled = (
+        ev.sampleBy("event_type", _STRATA_FRACTIONS, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("__sampled"))
+    )
+    frac = F.create_map(
+        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
+    )[F.col("event_type")]
+    sd = F.sqrt(frac * (1 - frac) / F.col("total_rows"))
+    return (
+        totals.join(F.broadcast(sampled), "event_type", "left")
+        .select(
+            "event_type",
+            "total_rows",
+            F.when(
+                F.abs(
+                    F.coalesce(F.col("__sampled"), F.lit(0)) / F.col("total_rows")
+                    - frac
+                )
+                <= 5 * sd,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("frac_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STRATIFIED_AUDIT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(1 AS INTEGER) AS frac_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling via sampleBy (per-stratum Bernoulli, seeded
     and deterministic for a given Spark build; rows-only).  Returns
     per-stratum sampled counts; expected-fraction tolerance is
     asserted in tests."""
     t = load_tables(spark, sf_dir, ["events"])
-    fractions = {"view": 0.1, "click": 0.2, "purchase": 0.5, "signup": 0.5, "error": 0.05}
-    sample = t["events"].sampleBy("event_type", fractions, seed=42)
+    sample = t["events"].sampleBy("event_type", _STRATA_FRACTIONS, seed=42)
     return (
         sample.groupBy("event_type")
         .agg(
@@ -1464,8 +1569,15 @@ def specs() -> list[QuerySpec]:
                   "xxhash64 SimHash near-dup (scale/bench flavor, rows-only)"),
         QuerySpec("approx_distinct_users", q_approx_distinct_users, None,
                   "HLL++ approx distinct vs exact (rows-only)"),
+        QuerySpec("approx_distinct_audit", q_approx_distinct_audit,
+                  ORACLE_APPROX_DISTINCT_AUDIT,
+                  "HLL++ relative error <= 15% pinned under the oracle"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
+        QuerySpec("stratified_sample_audit", q_stratified_sample_audit,
+                  ORACLE_STRATIFIED_AUDIT,
+                  "sampleBy realized fraction within 5 binomial sd, "
+                  "pinned under the oracle"),
         QuerySpec("embedding_norms", q_embedding_norms, ORACLE_EMBEDDING_NORMS,
                   "array math: per-label norms"),
         QuerySpec("similarity_topk", q_similarity_topk, ORACLE_SIMILARITY_TOPK,
