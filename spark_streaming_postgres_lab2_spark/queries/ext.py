@@ -887,9 +887,15 @@ def q_stratified_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("__sampled"))
     )
-    frac = F.create_map(
-        *[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv]
-    )[F.col("event_type")]
+    # an event type absent from the fraction map samples at 0.0 (the
+    # sampleBy default) -- coalesce so such a stratum audits as
+    # trivially ok instead of null-propagating to frac_ok = 0
+    frac = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _STRATA_FRACTIONS.items() for x in kv])[
+            F.col("event_type")
+        ],
+        F.lit(0.0),
+    )
     sd = F.sqrt(frac * (1 - frac) / F.col("total_rows"))
     return (
         totals.join(F.broadcast(sampled), "event_type", "left")
