@@ -34,18 +34,20 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def _countable_plan_text(df: DataFrame) -> str:
-    """Plan text for node counting.  After an AQE query executes, the
-    formatted explain prints BOTH '== Final Plan ==' and '== Initial
-    Plan ==' trees plus a details section; counting the raw string
-    then double-counts (and counts runtime-replaced nodes: an SMJ that
-    AQE converted to broadcast still appears in the initial tree).
-    Slice to the final tree when present -- the operators that
-    actually ran."""
-    plan = physical_plan(df)
-    if "== Final Plan ==" in plan:
-        rest = plan.split("== Final Plan ==", 1)[1]
-        return rest.split("== Initial Plan ==", 1)[0]
-    return plan
+    """Plan text for node counting: the SIMPLE-mode explain, one tree
+    line per physical node (subquery trees included).  Formatted mode
+    is unusable for counting: it prints every node twice (tree line +
+    details header), and after an AQE query executes it additionally
+    prints the '== Initial Plan ==' tree, double-counting again AND
+    counting runtime-replaced nodes (an SMJ that AQE converted to
+    broadcast still appears in the initial tree).  Simple mode prints
+    exactly one tree pre-execution and exactly the FINAL tree
+    (isFinalPlan=true) post-execution, so counts stay on one scale --
+    the same methodology shuffle_count always used (r5 review
+    finding)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
 
 
 def broadcast_join_count(df: DataFrame) -> int:

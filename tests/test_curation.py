@@ -34,10 +34,15 @@ def test_exact_ngram_decon_broadcasts_eval_side(spark, sf_dir):
 
 
 def test_tfidf_broadcasts_df_table(spark, sf_dir):
-    # document frequencies are vocabulary-sized -> broadcast; corpus
-    # count is a broadcast 1-row frame
+    # document frequencies are vocabulary-sized -> BroadcastHashJoin;
+    # the corpus count is a broadcast 1-row cross
+    # (BroadcastNestedLoopJoin); nothing sort-merges.  (The old >= 2
+    # BHJ assertion only passed because formatted-mode counting
+    # double-counted the single hash join -- r5 review finding.)
     df = q_tfidf_top_terms(spark, sf_dir)
-    assert checks.broadcast_join_count(df) >= 2
+    assert checks.broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" in checks._countable_plan_text(df)
+    assert checks.sort_merge_join_count(df) == 0
 
 
 def test_zipf_topk_is_take_ordered_not_global_sort(spark, sf_dir):

@@ -132,32 +132,21 @@ def test_migration_always_yields_target_schema(spark):
 # --- curation-family property tests (VERDICT r4 item 7) ----------------------
 #
 # The three newest oracle operators get randomized adversarial
-# coverage: each Spark implementation must agree with a pure-Python
-# spec mirror on arbitrary documents -- unicode tokens, empty docs,
+# coverage: each Spark implementation must agree with the pure-Python
+# spec mirrors in tests/mirrors.py (shared with the opt-in deep-fuzz
+# tier) on arbitrary documents -- unicode tokens, empty docs,
 # all-boilerplate docs, PII-only docs, policy-term floods.
 
 import hashlib
-import re as _re
+
+from mirrors import py_boilerplate, py_filter_reason, py_pii
 
 from spark_streaming_postgres_lab2_spark.queries.curation import (
-    _BAD_TERM_LIMIT,
-    _BAD_TERMS,
     _BLOCK_N,
-    _MAX_TOKENS,
-    _MIN_DIVERSITY,
-    _MIN_TOKENS,
-    _PII_EMAIL,
-    _PII_IP,
-    _PII_PHONE,
     boilerplate_doc_stats,
     filter_chain_classify,
     pii_redact_cols,
 )
-
-
-def _py_tokens(text: str) -> list[str]:
-    return [t for t in text.split(" ") if t != ""]
-
 
 # small vocab makes shared 8-grams (boilerplate) and low diversity
 # reachable; the unicode tokens exercise md5-over-UTF8 and regex
@@ -165,21 +154,6 @@ def _py_tokens(text: str) -> list[str]:
 _VOCAB = ["alpha", "beta", "slow", "dup", "x", "héllo", "日本", "a1"]
 _token = st.sampled_from(_VOCAB)
 _doc_text = st.lists(_token, min_size=0, max_size=110).map(" ".join)
-
-
-def py_filter_reason(text: str) -> str:
-    toks = _py_tokens(text)
-    n, u = len(toks), len(set(toks))
-    bad = sum(1 for t in toks if t in _BAD_TERMS)
-    if n < _MIN_TOKENS:
-        return "too_short"
-    if n > _MAX_TOKENS:
-        return "too_long"
-    if u / n < _MIN_DIVERSITY:
-        return "low_diversity"
-    if bad >= _BAD_TERM_LIMIT:
-        return "policy_terms"
-    return "keep"
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -201,7 +175,6 @@ _pii_snippet = st.sampled_from(
         "x1@a.net",
         "@.com",            # no local part -> not a match
         "UPPER@CASE.COM",   # case-sensitive patterns -> not a match
-    
         "1.2.3.4",
         "999.999.999.999",  # still four dotted runs -> matches
         "1.2.3",            # three runs -> no match
@@ -239,48 +212,10 @@ def test_pii_redaction_matches_python_re(spark, texts):
         ).collect()
     }
     for i, t in enumerate(texts):
-        # counts are MATCHES IN THE RAW TEXT per category (that is the
-        # implementation's and the DuckDB oracle's spec: an IP that the
-        # earlier email rewrite already consumed still counts), while
-        # the redacted text applies the rewrites sequentially
-        exp_e = sum(1 for _ in _re.finditer(_PII_EMAIL, t))
-        exp_i = sum(1 for _ in _re.finditer(_PII_IP, t))
-        exp_p = sum(1 for _ in _re.finditer(_PII_PHONE, t))
-        exp_clean = _re.sub(_PII_EMAIL, "[EMAIL]", t)
-        exp_clean = _re.sub(_PII_IP, "[IP]", exp_clean)
-        exp_clean = _re.sub(_PII_PHONE, "[PHONE]", exp_clean)
+        exp_e, exp_i, exp_p, exp_clean = py_pii(t)
         r = rows[i]
         assert (r["e"], r["i"], r["p"]) == (exp_e, exp_i, exp_p), (i, t)
         assert r["clean"] == exp_clean, (i, t)
-
-
-def py_boilerplate(docs: list[tuple[int, str]]) -> dict:
-    """Pure-Python mirror of boilerplate_doc_stats (docs: (id, text))."""
-    per_doc: dict[int, list[str]] = {}
-    for did, text in docs:
-        toks = _py_tokens(text)
-        per_doc[did] = [
-            hashlib.md5(
-                " ".join(toks[i * _BLOCK_N : (i + 1) * _BLOCK_N]).encode("utf-8")
-            ).hexdigest()
-            for i in range(len(toks) // _BLOCK_N)
-        ]
-    seen: dict[str, set[int]] = {}
-    for did, bhs in per_doc.items():
-        for bh in set(bhs):
-            seen.setdefault(bh, set()).add(did)
-    boiler = {bh for bh, ds in seen.items() if len(ds) >= 2}
-    out = {}
-    for did, bhs in per_doc.items():
-        if not bhs:
-            continue  # block-less docs are absent from the output
-        kept = [bh for bh in bhs if bh not in boiler]
-        out[did] = (
-            len(bhs),
-            sum(1 for bh in bhs if bh in boiler),
-            hashlib.md5("|".join(kept).encode("utf-8")).hexdigest(),
-        )
-    return out
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))

@@ -12,6 +12,7 @@ from spark_streaming_postgres_lab2_spark.functions.similarity import (
     simhash_near_dupes,
 )
 from spark_streaming_postgres_lab2_spark.queries.ext import (
+    _STRATA_FRACTIONS,
     q_approx_distinct_users,
     q_stratified_sample,
 )
@@ -34,7 +35,7 @@ def test_stratified_sample_proportions(spark, sf_dir):
         r.event_type: r.n
         for r in t["events"].groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
-    fractions = {"view": 0.1, "click": 0.2, "purchase": 0.5, "signup": 0.5, "error": 0.05}
+    fractions = _STRATA_FRACTIONS  # the single source both queries sample with
     sampled = {r.event_type: r.sampled_rows for r in q_stratified_sample(spark, sf_dir).collect()}
     for etype, frac in fractions.items():
         if etype not in totals:
