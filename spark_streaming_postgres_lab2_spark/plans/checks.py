@@ -34,20 +34,34 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def _countable_plan_text(df: DataFrame) -> str:
-    """Plan text for node counting: the SIMPLE-mode explain, one tree
-    line per physical node (subquery trees included).  Formatted mode
-    is unusable for counting: it prints every node twice (tree line +
-    details header), and after an AQE query executes it additionally
-    prints the '== Initial Plan ==' tree, double-counting again AND
-    counting runtime-replaced nodes (an SMJ that AQE converted to
-    broadcast still appears in the initial tree).  Simple mode prints
-    exactly one tree pre-execution and exactly the FINAL tree
-    (isFinalPlan=true) post-execution, so counts stay on one scale --
-    the same methodology shuffle_count always used (r5 review
-    finding)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+    """Plan text for node counting: the SIMPLE-mode explain (one tree
+    line per node -- formatted mode prints every node twice, tree line
+    + details header), with '== Initial Plan ==' sections dropped.
+    After an AQE plan executes, BOTH explain modes print the final AND
+    the initial trees, so raw counting double-counts and counts
+    runtime-REPLACED nodes: an SMJ that AQE converted to broadcast at
+    runtime still sits in the initial tree (observed on
+    near_dup_clusters: final tree BroadcastHashJoin, initial tree
+    SortMergeJoin).  The line filter keeps final-plan sections,
+    pre-execution single trees, and subquery sections (each subquery's
+    own adaptive Final/Initial pair is handled by the same state
+    machine), so counts are 1x actually-planned/ran nodes in every
+    state (r5 review findings 1+2)."""
+    txt = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "simple"
     )
+    out: list[str] = []
+    skipping = False
+    for line in txt.splitlines():
+        if "== Initial Plan ==" in line:
+            skipping = True
+            continue
+        if "== Final Plan ==" in line or "Subqueries" in line:
+            skipping = False
+            continue
+        if not skipping:
+            out.append(line)
+    return "\n".join(out)
 
 
 def broadcast_join_count(df: DataFrame) -> int:
@@ -59,12 +73,10 @@ def sort_merge_join_count(df: DataFrame) -> int:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (broadcast exchanges excluded).
-    Counted on the simple-mode plan: formatted mode lists every node
-    twice (tree + details), which double-counts."""
-    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "simple"
-    )
+    """Number of shuffle exchanges (broadcast exchanges excluded),
+    counted on the same initial-plan-filtered simple-mode text as the
+    join counters (post-execution raw text double-counts)."""
+    plan = _countable_plan_text(df)
     return sum(
         plan.count(f"Exchange {kind}")
         for kind in (
