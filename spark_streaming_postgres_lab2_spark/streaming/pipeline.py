@@ -99,7 +99,18 @@ class StreamingPipeline:
             enriched = deduped_valid.unionByName(invalid)
         return enriched
 
-    def start(self, dedup: bool = True, trigger_once: bool = False) -> StreamingQuery:
+    def start(
+        self,
+        dedup: bool = True,
+        trigger_once: bool = False,
+        source: DataFrame | None = None,
+    ) -> StreamingQuery:
+        """Start the pipeline.  ``source`` injects an alternative
+        streaming frame (Python DataSource, kafka, memory, rate) in
+        place of the CSV directory watch -- the pipeline is
+        source-agnostic past the registry boundary check, and the
+        Python-DataSource path is executed end-to-end in
+        tests/test_streamjoin_pysource.py."""
         # session conf is sticky: set the provider explicitly on BOTH
         # branches, or a rocksdb pipeline would silently reconfigure
         # every later default-provider pipeline in the same session
@@ -123,7 +134,7 @@ class StreamingPipeline:
                 "HDFSBackedStateStoreProvider",
             )
         writer = (
-            self.transformed_stream(dedup)
+            self.transformed_stream(dedup, source=source)
             .writeStream.foreachBatch(self.router)
             .outputMode("append")
             .option("checkpointLocation", self.config.checkpoint_path)

@@ -91,3 +91,75 @@ def test_pydatasource_streaming(spark, tmp_path):
         assert n >= 50 and n % 50 == 0
     finally:
         q.stop()
+
+
+def test_full_pipeline_from_python_datasource(spark, tmp_path):
+    """The PRODUCTION pipeline (registry boundary check -> 12-rule
+    validation -> enrichment -> live watermarked dedup -> 3-table
+    BatchRouter sink) executed end-to-end from the custom Python
+    DataSource instead of the CSV directory watch: the ingest
+    abstraction is source-agnostic past the boundary check, which is
+    the same seam a Kafka frame would plug into (sources/kafka.py --
+    connector jar absent in this sandbox)."""
+    import time
+
+    from spark_streaming_postgres_lab2_spark.config import StreamingConfig
+    from spark_streaming_postgres_lab2_spark.streaming.pipeline import build_pipeline
+
+    register(spark)
+    stream = (
+        spark.readStream.format("events_gen")
+        .option("rows_per_batch", 200)
+        .option("seed", 7)
+        .load()
+    )
+    out = str(tmp_path / "out")
+    cfg = StreamingConfig(
+        input_path=str(tmp_path / "unused_in"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        output_path=out,
+    )
+    pipe = build_pipeline(spark, cfg)
+    q = pipe.start(source=stream)
+    # availableNow can't bound a generator source; run real micro-batches
+    # until at least two with rows completed, then stop
+    try:
+        import json as _json
+
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            done = [
+                p if not isinstance(p, str) else _json.loads(p)
+                for p in q.recentProgress
+            ]
+            if sum(1 for p in done if p.get("numInputRows", 0) > 0) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    events = spark.read.parquet(f"{out}/ecommerce_events")
+    dlq = spark.read.parquet(f"{out}/dead_letter_events")
+    metrics = spark.read.parquet(f"{out}/data_quality_metrics")
+    # stop() may interrupt the router mid-batch (events written, metrics
+    # not yet), so reconcile over the batches the METRICS table committed
+    # -- the same per-epoch unit (epoch= partition dirs) the replay-
+    # idempotency contract uses
+    done_ids = [r["batch_id"] for r in metrics.select("batch_id").collect()]
+    assert done_ids, "no fully committed batch"
+    ev_done = events.filter(F.col("epoch").isin(done_ids))
+    dlq_done = dlq.filter(F.col("epoch").isin(done_ids))
+    n_events, n_dlq = ev_done.count(), dlq_done.count()
+    assert n_events > 0 and n_dlq > 0
+    # every processed row landed in exactly one of the two tables, and
+    # the metrics rows reconcile with the table totals
+    totals = metrics.agg(
+        F.sum("total_rows").alias("t"), F.sum("valid_rows").alias("v")
+    ).first()
+    assert totals["t"] == n_events + n_dlq
+    assert totals["v"] == n_events
+    # full enrichment schema made it through the non-CSV source
+    assert {"total_amount", "event_year", "is_late_arrival", "processed_at"} <= set(
+        events.columns
+    )
+    assert dlq_done.filter(F.col("validation_errors").isNull()).count() == 0
