@@ -623,6 +623,7 @@ def embedding_near_dupes_lsh(
     max_bucket_size: int | None = None,
     dim: int | None = None,
     bucket_impl: str = "arrow",
+    verify_impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: random-hyperplane buckets ->
     within-bucket self-join -> exact cosine verify.
@@ -719,15 +720,68 @@ def embedding_near_dupes_lsh(
         # barrier that lets the two vector joins run broadcast over a
         # compact, evenly-partitioned pair set.  Keep the barrier.)
         candidates = candidates.dropDuplicates(["vec_id_1", "vec_id_2"])
-    # Hoist the norm folds out of the per-pair verify: cosine() per
-    # candidate runs three interpreted HOF aggregates (dot + two
-    # norms); with #candidates >> #vectors the norm folds dominate.
-    # The norm is computed ONCE per vector as a scalar column carried
-    # through the join (the join exchange is a real evaluation
-    # barrier), leaving one dot fold + one division per pair.  NOT
-    # done by pre-normalizing the array: dividing inside a transform
-    # lambda re-evaluates the referenced norm() subtree per ELEMENT --
-    # O(d^2) per vector, the same HOF trap as the r4 shingle incident.
+    # Verify the survivors.  Both flavors join the vector table back by
+    # id (distributed -- the vectors are never a driver structure, so
+    # the shape survives a 100 TB corpus); they differ only in where
+    # the per-pair dot product runs:
+    #  - 'arrow' (default): one numpy einsum per Arrow batch -- the
+    #    same dense-math-in-Arrow trade as the bucketer; measured 1.5x
+    #    faster than the expression path on 810k candidates at sf0.1.
+    #  - 'expr': pure JVM Column path with the norm folds HOISTED out
+    #    of the per-pair verify (norm once per vector as a scalar
+    #    column carried through the join -- the join exchange is a real
+    #    evaluation barrier), leaving one interpreted dot fold per
+    #    pair.  NOT done by pre-normalizing the array: dividing inside
+    #    a transform lambda re-evaluates the referenced norm() subtree
+    #    per ELEMENT (O(d^2), the r4 shingle trap).
+    if verify_impl == "arrow":
+        vecs = emb.select(
+            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+        )
+        joined = (
+            candidates.join(
+                vecs.select(
+                    F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")
+                ),
+                "vec_id_1",
+            )
+            .join(
+                vecs.select(
+                    F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")
+                ),
+                "vec_id_2",
+            )
+            .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+        )
+
+        def _verify(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v1 = np.stack(pdf["__v1"].to_numpy()).astype("float64")
+                v2 = np.stack(pdf["__v2"].to_numpy()).astype("float64")
+                cos = np.einsum("ij,ij->i", v1, v2) / (
+                    np.sqrt(np.einsum("ij,ij->i", v1, v1))
+                    * np.sqrt(np.einsum("ij,ij->i", v2, v2))
+                )
+                cos = np.round(cos, 4)
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
+                        "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
+                        "cosine_sim": cos[keep],
+                    }
+                )
+
+        return joined.mapInPandas(
+            _verify, "vec_id_1 long, vec_id_2 long, cosine_sim double"
+        )
+    if verify_impl != "expr":
+        raise ValueError(f"unknown verify_impl {verify_impl!r}; use 'arrow' or 'expr'")
     vecs = emb.select(
         F.col(id_col).alias("__vid"),
         F.col(vec_col).alias("__vec"),
