@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "approx_distinct_audit",
     "stratified_sample_audit",
+    "url_domain_filter",
 ]
 
 

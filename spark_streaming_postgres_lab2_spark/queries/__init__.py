@@ -52,6 +52,7 @@ DRIVER_PRIORITY = [
     "simhash_near_dup",         # vote aggregate packed 8 lanes/long (r5 item 3)
     "approx_distinct_audit",    # NEW: HLL++ error <= 15% under the oracle
     "stratified_sample_audit",  # NEW: sampleBy fraction within 5 sd under the oracle
+    "url_domain_filter",        # NEW: C4-style domain extraction + blocklist
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -72,12 +73,13 @@ DRIVER_PRIORITY = [
     "user_map_funcs",
     # round 5, tier 2: re-green the oldest r3 rows with the remaining
     # slots -- prefer the semantically rich / timestamp-sensitive ones.
-    # 17 r3-green entries (above_avg_orders, category_performance,
+    # 18 r3-green entries (above_avg_orders, category_performance,
     # customers_without_orders, disjunctive_revenue, event_distribution,
     # hourly_event_summary, order_priority, regional_revenue,
-    # table_counts_union, top_customers, top_parts_per_brand, tpch_q1,
-    # tpch_q6, user_activity, validation_summary, value_percentiles,
-    # value_stats) stay out this round; the local parity replica still
+    # small_quantity_revenue, table_counts_union, top_customers,
+    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
+    # validation_summary, value_percentiles, value_stats) stay out this
+    # round; the local parity replica still
     # covers them, and they rotate back in r6.
     "sessionization",
     "purchase_attribution",
@@ -102,7 +104,6 @@ DRIVER_PRIORITY = [
     "promo_revenue",
     "returned_revenue",
     "rollup_revenue",
-    "small_quantity_revenue",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
     # r5 item 8: keep it pinned here).

@@ -652,6 +652,91 @@ LIMIT 50
 """
 
 
+# --- URL/domain blocklist filtering -------------------------------------------
+
+# C4-style domain curation: a web corpus is filtered by source domain
+# before any content rule runs.  The fixture has no URL column, so --
+# exactly like pii_redaction -- the query SYNTHESIZES a deterministic
+# URL per document (pure arithmetic on doc_id) and then runs the real
+# operator (regex domain extraction -> blocklist join -> per-domain
+# accounting); the oracle re-derives both steps, so the hash match
+# proves the extraction and the filter, not fixture luck.
+_URL_DOMAINS = [
+    "news.example", "blog.example", "docs.example", "forum.example",
+    "wiki.example", "shop.example", "spam.example", "ads.example",
+]
+_URL_BLOCKLIST = ("spam.example", "ads.example")
+
+
+def q_url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting with a domain blocklist: synthesize
+    ``https://<domain>/p/<doc_id>`` (domain = pool[doc_id % 8]), extract
+    the registrable domain back out with a regex (the operator under
+    test -- a real pipeline gets a raw ``url`` column), flag blocklisted
+    domains, and emit per-domain (n_docs, total_chars, blocked).
+
+    Scale shape: one codegen'd projection (regexp_extract + an 8-way
+    CASE) and one map-side-combinable groupBy on domain -- at 100 TB
+    this is a scan-speed pass; the blocklist is a literal IN (a real
+    deployment broadcasts a blocklist dimension, the same shape as
+    exact_ngram_decontaminate's broadcast probe)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    domain_expr = F.element_at(
+        F.array(*[F.lit(d) for d in _URL_DOMAINS]),
+        (F.col("doc_id") % len(_URL_DOMAINS)).cast("int") + 1,
+    )
+    d = t["documents"].select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("https://"), domain_expr, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("__url"),
+    )
+    extracted = d.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(F.col("__url"), r"https://([^/]+)/", 1).alias("domain"),
+    )
+    return (
+        extracted.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .withColumn(
+            "blocked",
+            F.when(F.col("domain").isin(*_URL_BLOCKLIST), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .orderBy("domain")
+    )
+
+
+_DOMAINS_SQL = ", ".join(f"'{d}'" for d in _URL_DOMAINS)
+_BLOCK_SQL = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+
+ORACLE_URL_DOMAIN_FILTER = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'https://' || ([{_DOMAINS_SQL}][CAST(doc_id % 8 AS INTEGER) + 1])
+                    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_chars, regexp_extract(url, 'https://([^/]+)/', 1) AS domain
+  FROM d
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(CASE WHEN domain IN ({_BLOCK_SQL}) THEN 1 ELSE 0 END AS INTEGER) AS blocked
+FROM x
+GROUP BY domain
+ORDER BY domain
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -701,5 +786,11 @@ def specs() -> list[QuerySpec]:
             q_bpe_merge_candidates,
             ORACLE_BPE_MERGE,
             "BPE merge-pair counting over the word-frequency table",
+        ),
+        QuerySpec(
+            "url_domain_filter",
+            q_url_domain_filter,
+            ORACLE_URL_DOMAIN_FILTER,
+            "regex domain extraction + blocklist accounting (C4-style)",
         ),
     ]
