@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "approx_distinct_audit",
     "stratified_sample_audit",
     "url_domain_filter",
+    "html_text_extract",
 ]
 
 

@@ -53,6 +53,7 @@ DRIVER_PRIORITY = [
     "approx_distinct_audit",    # NEW: HLL++ error <= 15% under the oracle
     "stratified_sample_audit",  # NEW: sampleBy fraction within 5 sd under the oracle
     "url_domain_filter",        # NEW: C4-style domain extraction + blocklist
+    "html_text_extract",        # NEW: HTML -> text extraction under the oracle
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -73,13 +74,13 @@ DRIVER_PRIORITY = [
     "user_map_funcs",
     # round 5, tier 2: re-green the oldest r3 rows with the remaining
     # slots -- prefer the semantically rich / timestamp-sensitive ones.
-    # 18 r3-green entries (above_avg_orders, category_performance,
+    # 19 r3-green entries (above_avg_orders, category_performance,
     # customers_without_orders, disjunctive_revenue, event_distribution,
     # hourly_event_summary, order_priority, regional_revenue,
-    # small_quantity_revenue, table_counts_union, top_customers,
-    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
-    # validation_summary, value_percentiles, value_stats) stay out this
-    # round; the local parity replica still
+    # rollup_revenue, small_quantity_revenue, table_counts_union,
+    # top_customers, top_parts_per_brand, tpch_q1, tpch_q6,
+    # user_activity, validation_summary, value_percentiles,
+    # value_stats) stay out this round; the local parity replica still
     # covers them, and they rotate back in r6.
     "sessionization",
     "purchase_attribution",
@@ -103,7 +104,6 @@ DRIVER_PRIORITY = [
     "order_count_distribution",
     "promo_revenue",
     "returned_revenue",
-    "rollup_revenue",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
     # r5 item 8: keep it pinned here).

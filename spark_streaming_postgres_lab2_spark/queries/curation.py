@@ -652,6 +652,71 @@ LIMIT 50
 """
 
 
+# --- HTML text extraction ------------------------------------------------------
+
+# The first stage of any web-corpus pipeline: strip markup down to
+# text.  Same synthesize-then-process oracle pattern as pii_redaction:
+# the fixture text is wrapped in deterministic HTML (script block,
+# heading, attributed paragraph, comment -- all arithmetic on doc_id),
+# then the extractor strips it back; the oracle re-derives both steps,
+# so the hash pins the extraction rules themselves.
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction: drop <script> blocks WITH their
+    contents, strip remaining tags/comments, collapse runs of spaces,
+    trim.  Emits per-doc (n_tags, extracted md5) -- a diverging rule
+    (e.g. leaking script bodies into the text) breaks the hash.
+
+    One codegen'd regex projection per partition, no shuffle, no UDF:
+    at 100 TB this is the scan-speed pass it must be (a real pipeline
+    swaps the regex chain for a proper HTML parser in mapInPandas when
+    fidelity demands it -- the Spark-side shape is identical)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    html = F.concat(
+        F.lit("<html><head><script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><h1>Title "),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p class="c'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit("</p><!-- footer --></body></html>"),
+    )
+    d = t["documents"].select("doc_id", html.alias("__html"))
+    no_script = F.regexp_replace(
+        F.col("__html"), r"<script>[^<]*</script>", " "
+    )
+    no_tags = F.regexp_replace(no_script, r"<[^>]+>", " ")
+    clean = F.trim(F.regexp_replace(no_tags, r" +", " "))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("__html"), F.lit(r"<[^>]+>")).cast("int").alias("n_tags"),
+        F.md5(clean).alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HTML_TEXT_EXTRACT = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><script>var x=' || CAST(doc_id AS VARCHAR)
+         || ';</script></head><body><h1>Title ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="c' || CAST(doc_id % 7 AS VARCHAR) || '">'
+         || text || '</p><!-- footer --></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER) AS n_tags,
+       md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             html, '<script>[^<]*</script>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+             ' +', ' ', 'g'))) AS text_hash
+FROM d
+ORDER BY doc_id
+"""
+
+
 # --- URL/domain blocklist filtering -------------------------------------------
 
 # C4-style domain curation: a web corpus is filtered by source domain
@@ -792,5 +857,11 @@ def specs() -> list[QuerySpec]:
             q_url_domain_filter,
             ORACLE_URL_DOMAIN_FILTER,
             "regex domain extraction + blocklist accounting (C4-style)",
+        ),
+        QuerySpec(
+            "html_text_extract",
+            q_html_text_extract,
+            ORACLE_HTML_TEXT_EXTRACT,
+            "HTML -> text extraction (script-drop, tag-strip, collapse)",
         ),
     ]
