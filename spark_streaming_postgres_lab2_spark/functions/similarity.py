@@ -761,21 +761,54 @@ def embedding_near_dupes_lsh(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                v1 = np.stack(pdf["__v1"].to_numpy()).astype("float64")
-                v2 = np.stack(pdf["__v2"].to_numpy()).astype("float64")
-                cos = np.einsum("ij,ij->i", v1, v2) / (
-                    np.sqrt(np.einsum("ij,ij->i", v1, v1))
-                    * np.sqrt(np.einsum("ij,ij->i", v2, v2))
-                )
-                cos = np.round(cos, 4)
-                keep = cos >= threshold
-                yield pd.DataFrame(
-                    {
-                        "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
-                        "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
-                        "cosine_sim": cos[keep],
-                    }
-                )
+                a1, a2 = pdf["__v1"].to_numpy(), pdf["__v2"].to_numpy()
+                n = len(a1)
+
+                def score(idx):
+                    v1 = np.stack(a1[idx].tolist()).astype("float64")
+                    v2 = np.stack(a2[idx].tolist()).astype("float64")
+                    cos = np.einsum("ij,ij->i", v1, v2) / (
+                        np.sqrt(np.einsum("ij,ij->i", v1, v1))
+                        * np.sqrt(np.einsum("ij,ij->i", v2, v2))
+                    )
+                    # HALF-AWAY-FROM-ZERO to match F.round / DuckDB
+                    # (np.round is banker's half-to-even: 0.44995 would
+                    # round differently across the two verify flavors)
+                    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+                    keep = cos >= threshold
+                    return pd.DataFrame(
+                        {
+                            "vec_id_1": pdf["vec_id_1"].to_numpy()[idx][keep],
+                            "vec_id_2": pdf["vec_id_2"].to_numpy()[idx][keep],
+                            "cosine_sim": cos[keep],
+                        }
+                    )
+
+                if dim is not None:
+                    # static dim: the bucketer already raise-checked
+                    # every row == dim, so stack directly -- no
+                    # per-row length scan on the hot path
+                    yield score(np.arange(n))
+                    continue
+                # dim=None allows mixed dims (r5 review finding):
+                # np.stack over a batch mixing vector lengths raises,
+                # so group rows by length first (same trick as
+                # _hyperplane_buckets_arrow).  Cross-dim pairs are
+                # DROPPED, matching the expr flavor exactly (zip_with
+                # null-pads the shorter side and the null propagates
+                # through the fold, so those pairs never pass the
+                # threshold filter there either).
+                l1 = np.fromiter((len(x) for x in a1), dtype=np.int64, count=n)
+                l2 = np.fromiter((len(x) for x in a2), dtype=np.int64, count=n)
+                if l1.min() == l1.max() == l2.min() == l2.max():
+                    # uniform-dim fast path: one stack
+                    yield score(np.arange(n))
+                    continue
+                same = l1 == l2
+                for d in np.unique(l1[same]):
+                    idx = np.nonzero(same & (l1 == d))[0]
+                    if len(idx):
+                        yield score(idx)
 
         return joined.mapInPandas(
             _verify, "vec_id_1 long, vec_id_2 long, cosine_sim double"

@@ -50,17 +50,39 @@ def _countable_plan_text(df: DataFrame) -> str:
     txt = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "simple"
     )
+
+    def content_pos(line: str) -> int:
+        # column where the node text starts, past the tree prefix
+        # ("   :  +- " etc.) -- the depth metric treeString encodes
+        return len(line) - len(line.lstrip(" :+-*"))
+
     out: list[str] = []
-    skipping = False
+    skip_below = None  # content-pos of the active Initial-Plan marker
     for line in txt.splitlines():
-        if "== Initial Plan ==" in line:
-            skipping = True
-            continue
-        if "== Final Plan ==" in line or "Subqueries" in line:
-            skipping = False
-            continue
-        if not skipping:
+        if not line.strip():
             out.append(line)
+            continue
+        pos = content_pos(line)
+        if skip_below is not None:
+            # the section's ROOT line prints at the marker's own
+            # content-pos (only its descendants indent deeper), so the
+            # subtree is every line at pos >= marker; the enclosing
+            # tree resumes strictly shallower
+            if pos >= skip_below:
+                continue  # still inside the Initial-Plan subtree
+            skip_below = None  # subtree ended -- process this line
+        if "== Initial Plan ==" in line:
+            # skip everything deeper than this marker.  Depth-based,
+            # not flag-based: an adaptively-executed SUBQUERY prints
+            # its own nested Final/Initial pair INSIDE the main tree,
+            # and a naive skip-until-next-marker flag would drop the
+            # main-tree nodes that follow the subquery block (r5 review
+            # finding, verified against live Spark 4.1.2 output)
+            skip_below = pos
+            continue
+        if "== Final Plan ==" in line:
+            continue  # marker only; its subtree is kept
+        out.append(line)
     return "\n".join(out)
 
 

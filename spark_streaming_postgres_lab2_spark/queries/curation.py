@@ -784,7 +784,7 @@ _BLOCK_SQL = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
 ORACLE_URL_DOMAIN_FILTER = f"""
 WITH d AS (
   SELECT doc_id, n_chars,
-         'https://' || ([{_DOMAINS_SQL}][CAST(doc_id % 8 AS INTEGER) + 1])
+         'https://' || ([{_DOMAINS_SQL}][CAST(doc_id % {len(_URL_DOMAINS)} AS INTEGER) + 1])
                     || '/p/' || CAST(doc_id AS VARCHAR) AS url
   FROM documents
 ),
