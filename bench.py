@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "stratified_sample_audit",
     "url_domain_filter",
     "html_text_extract",
+    "semantic_dedup",
+    "url_canonical_dedup",
 ]
 
 

@@ -54,6 +54,8 @@ DRIVER_PRIORITY = [
     "stratified_sample_audit",  # NEW: sampleBy fraction within 5 sd under the oracle
     "url_domain_filter",        # NEW: C4-style domain extraction + blocklist
     "html_text_extract",        # NEW: HTML -> text extraction under the oracle
+    "semantic_dedup",           # NEW: SemDeDup-style embedding dedup (LSH+CC+keep-one)
+    "url_canonical_dedup",      # NEW: URL canonicalization + keep-one dedup
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -99,8 +101,9 @@ DRIVER_PRIORITY = [
     "cube_events",
     "event_pivot",
     "event_unpivot",
-    "nation_pairs",
-    "nation_volume",
+    # nation_pairs / nation_volume (r3-green, plain stable joins) rotated
+    # out to make room for the two new tier-0 oracles; they rejoin in r6
+    # with the other held-out r3 entries.
     "order_count_distribution",
     "promo_revenue",
     "returned_revenue",

@@ -171,6 +171,9 @@ def specs() -> list[QuerySpec]:
                   "512-token greedy packing accounting per source"),
         QuerySpec("decontaminate", q_decontaminate, _decon_oracle(),
                   "train/eval cross-corpus near-dup, broadcast eval side"),
+        QuerySpec("semantic_dedup", q_semantic_dedup, _semantic_dedup_oracle(),
+                  "SemDeDup-style embedding dedup: LSH pairs -> CC -> "
+                  "keep-one, kept id-set hash pinned"),
     ]
 
 
@@ -485,5 +488,92 @@ SELECT train_doc_id, eval_doc_id, jaccard
 FROM __verified
 WHERE jaccard >= 0.4
 ORDER BY train_doc_id, eval_doc_id
+"""
+    )
+
+
+# --- semantic (embedding-space) dedup -----------------------------------------
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: embedding-cosine
+    near-dup pairs -> connected components -> keep exactly one
+    representative per component (minimum vec_id) -> per-label
+    kept/dropped accounting + an md5 over the KEPT id set, so the
+    driver hash pins exactly WHICH vectors survive, not just how many.
+
+    This is the embedding analog of canonical_docs: where SemDeDup
+    (Abbas et al. 2023) restricts the pairwise-cosine search with
+    k-means cells, this build restricts it with the integer-quantized
+    hyperplane LSH already oracle-proven by
+    embedding_lsh_near_dup_portable -- the same role (never all-pairs;
+    candidates only within a bucket), but deterministic, so DuckDB
+    recomputes candidate generation bit-for-bit.  Scale shape: slim
+    (vid, bucket) explode -> payload-free bucket self-join ->
+    survivors-only vector join (the proven LSH plan), alternating-star
+    CC (O(log^2 n) rounds, no diameter bound), and keep-selection as a
+    comparison against the component id -- no corpus-wide window, no
+    driver loop beyond the size-gated CC path."""
+    from ..functions.similarity import embedding_near_dupes_lsh_portable
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    pairs = embedding_near_dupes_lsh_portable(
+        emb, threshold=0.4, n_planes=4, n_tables=16, dim=64
+    )
+    clustered = dedup_clusters(
+        emb, pairs, id_col="vec_id", pair_src="vec_id_1", pair_dst="vec_id_2"
+    )
+    member = emb.select("vec_id", "label").join(
+        clustered.select("vec_id", "is_canonical"), "vec_id"
+    )
+    kept_ids = F.array_sort(
+        F.collect_list(F.when(F.col("is_canonical"), F.col("vec_id")))
+    )
+    return (
+        member.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("is_canonical"), 1)).alias("kept_vecs"),
+            F.count(F.when(~F.col("is_canonical"), 1)).alias("dropped_vecs"),
+            F.md5(
+                F.concat_ws(",", F.transform(kept_ids, lambda x: x.cast("string")))
+            ).alias("kept_ids_hash"),
+        )
+        .orderBy("label")
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    from .ext import sql_emb_lsh_pair_ctes
+
+    return (
+        "WITH RECURSIVE "
+        + sql_emb_lsh_pair_ctes(threshold=0.4)
+        + """,
+__edges AS (
+  SELECT vec_id_1 AS a, vec_id_2 AS b FROM __vpairs
+  UNION ALL
+  SELECT vec_id_2, vec_id_1 FROM __vpairs
+),
+__reach AS (
+  SELECT vec_id AS src, vec_id AS node FROM embeddings
+  UNION
+  SELECT r.src, e.b FROM __reach r JOIN __edges e ON e.a = r.node
+),
+__comp AS (SELECT src AS vec_id, min(node) AS cluster_id FROM __reach GROUP BY src),
+__member AS (
+  SELECT e.label, c.vec_id, (c.vec_id = c.cluster_id) AS kept
+  FROM embeddings e JOIN __comp c ON e.vec_id = c.vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS kept_vecs,
+       CAST(count(CASE WHEN NOT kept THEN 1 END) AS BIGINT) AS dropped_vecs,
+       md5(coalesce(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
+                    FILTER (WHERE kept), '')) AS kept_ids_hash
+FROM __member
+GROUP BY label
+ORDER BY label
 """
     )

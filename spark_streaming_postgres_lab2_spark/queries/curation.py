@@ -22,6 +22,11 @@ no UDF anywhere) and every one carries a DuckDB oracle:
   per-reason accounting -- the corpus-curation analog of the
   reference's 12-tag validation chain
   (/root/reference/src/streaming_job.py validation semantics).
+
+Later additions (same oracle discipline): ``boilerplate_dedup``,
+``bpe_merge_candidates``, ``url_domain_filter``,
+``html_text_extract``, and ``url_canonical_dedup`` (URL
+canonicalization + keep-one dedup, the other half of URL curation).
 """
 
 from __future__ import annotations
@@ -802,6 +807,127 @@ ORDER BY domain
 """
 
 
+# --- URL canonicalization + dedup ----------------------------------------------
+
+# The other half of URL curation (url_domain_filter is the blocklist
+# half): a crawl sees the same page under many surface forms -- scheme/
+# host case, explicit default port, tracking parameters, fragments,
+# trailing slash.  Canonicalize, then keep one document per canonical
+# URL.  The fixture has no URL column, so -- same pattern as
+# pii_redaction / url_domain_filter -- each doc synthesizes one of
+# three deterministic messy variants of a shared base URL (base =
+# doc_id // 3, so consecutive id-triples collide iff canonicalization
+# is right), and the oracle re-derives both the mess and the cleanup.
+_CANON_DOMAINS = ["news.example", "blog.example", "docs.example", "wiki.example"]
+
+
+def canonicalize_url(col: F.Column) -> F.Column:
+    """The canonicalization chain under test, as a reusable Column
+    expression: strip fragment -> strip utm_* tracking params -> strip
+    the explicit :443 default port -> lowercase -> strip the trailing
+    slash.  Every step is a codegen'd string primitive; the DuckDB
+    mirror in ORACLE_URL_CANONICAL_DEDUP applies the identical chain."""
+    canon = F.regexp_replace(col, r"#.*$", "")                     # fragment
+    canon = F.regexp_replace(canon, r"[?&]utm_[a-z]+=[^&#]*", "")  # tracking params
+    canon = F.replace(canon, F.lit(":443/"), F.lit("/"))           # default https port
+    canon = F.lower(canon)                                         # scheme+host case
+    return F.regexp_replace(canon, r"/$", "")                      # trailing slash
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: strip fragment, strip utm_* tracking
+    params, strip the explicit :443 default port, lowercase, strip the
+    trailing slash; group by canonical URL and keep the minimum doc_id.
+    (The grammar keeps paths digit-only, so whole-string lower() equals
+    the scheme+host-only lowering a general canonicalizer does.)
+
+    Scale shape: the canonicalization is a chain of codegen'd
+    regexp_replace/replace/lower projections (scan-speed, no UDF), and
+    the dedup is ONE map-side-combinable groupBy on the canonical
+    string -- the same shape as exact hash-dedup, because after
+    canonicalization that is exactly what URL dedup is."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = F.expr("doc_id DIV 3")
+    domain = F.element_at(
+        F.array(*[F.lit(d) for d in _CANON_DOMAINS]),
+        (base % len(_CANON_DOMAINS)).cast("int") + 1,
+    )
+    variant = (F.col("doc_id") % 3).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://"), domain, F.lit("/p/"), base.cast("string")),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://"),
+                F.upper(domain),
+                F.lit(":443/p/"),
+                base.cast("string"),
+                F.lit("?utm_source=feed#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                domain,
+                F.lit("/p/"),
+                base.cast("string"),
+                F.lit("/?utm_campaign=x&utm_medium=y"),
+            )
+        )
+    )
+    d = t["documents"].select("doc_id", url.alias("__url"))
+    return (
+        d.select("doc_id", canonicalize_url(F.col("__url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+_CANON_DOMAINS_SQL = ", ".join(f"'{d}'" for d in _CANON_DOMAINS)
+
+ORACLE_URL_CANONICAL_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id // 3 AS base,
+         [{_CANON_DOMAINS_SQL}][CAST((doc_id // 3) % {len(_CANON_DOMAINS)} AS INTEGER) + 1] AS domain,
+         CAST(doc_id % 3 AS INTEGER) AS variant
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CASE variant
+           WHEN 0 THEN 'https://' || domain || '/p/' || CAST(base AS VARCHAR)
+           WHEN 1 THEN 'HTTPS://' || upper(domain) || ':443/p/' || CAST(base AS VARCHAR)
+                       || '?utm_source=feed#frag'
+           ELSE 'https://' || domain || '/p/' || CAST(base AS VARCHAR)
+                       || '/?utm_campaign=x&utm_medium=y'
+         END AS url
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(lower(replace(
+           regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                          '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+           ':443/', '/')), '/$', '', 'g') AS canonical_url
+  FROM u
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_doc_id
+FROM c
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -863,5 +989,11 @@ def specs() -> list[QuerySpec]:
             q_html_text_extract,
             ORACLE_HTML_TEXT_EXTRACT,
             "HTML -> text extraction (script-drop, tag-strip, collapse)",
+        ),
+        QuerySpec(
+            "url_canonical_dedup",
+            q_url_canonical_dedup,
+            ORACLE_URL_CANONICAL_DEDUP,
+            "URL canonicalization (case/port/utm/fragment/slash) + keep-one dedup",
         ),
     ]

@@ -1090,12 +1090,15 @@ def q_embedding_lsh_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataF
     ).orderBy("vec_id_1", "vec_id_2")
 
 
-def _sql_emb_lsh_portable(
+def sql_emb_lsh_pair_ctes(
     threshold: float = 0.4, n_planes: int = 4, n_tables: int = 16, dim: int = 64
 ) -> str:
-    """DuckDB recomputation of embedding_near_dupes_lsh_portable: the
-    same integer plane literals are emitted into SQL, so bucket keys
-    match Spark's bit-for-bit (int math has no engine-dependent
+    """DuckDB recomputation of embedding_near_dupes_lsh_portable as a
+    composable CTE chain ending in ``__vpairs`` (vec_id_1, vec_id_2,
+    cosine_sim) -- the embedding analog of _sql_minhash_pairs, composed
+    by both ORACLE_EMB_LSH_PORTABLE and corpus.semantic_dedup's oracle.
+    The same integer plane literals are emitted into SQL, so bucket
+    keys match Spark's bit-for-bit (int math has no engine-dependent
     rounding); candidate join + exact cosine verify mirror the Spark
     plan expression-for-expression."""
     bucket_exprs = []
@@ -1120,30 +1123,36 @@ def _sql_emb_lsh_portable(
         "x -> CAST(x AS DOUBLE) * x), 'sum'))"
     )
     return f"""
-WITH q AS (
+__q AS (
   SELECT vec_id,
          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 16384) AS BIGINT)) AS qv
   FROM embeddings
 ),
-b AS (
-  SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM q
+__b AS (
+  SELECT vec_id, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM __q
 ),
-cand AS (
+__ecand AS (
   SELECT DISTINCT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  FROM __b a JOIN __b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 ),
-scored AS (
-  SELECT cand.vec_id_1, cand.vec_id_2,
+__scored AS (
+  SELECT __ecand.vec_id_1, __ecand.vec_id_2,
          round({dot} / ({nrm.format(e="e1")} * {nrm.format(e="e2")}), 4) AS cosine_sim
-  FROM cand
-  JOIN embeddings e1 ON e1.vec_id = cand.vec_id_1
-  JOIN embeddings e2 ON e2.vec_id = cand.vec_id_2
+  FROM __ecand
+  JOIN embeddings e1 ON e1.vec_id = __ecand.vec_id_1
+  JOIN embeddings e2 ON e2.vec_id = __ecand.vec_id_2
+),
+__vpairs AS (
+  SELECT vec_id_1, vec_id_2, cosine_sim FROM __scored WHERE cosine_sim >= {threshold}
 )
-SELECT vec_id_1, vec_id_2, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
 """
 
 
-ORACLE_EMB_LSH_PORTABLE = _sql_emb_lsh_portable()
+ORACLE_EMB_LSH_PORTABLE = (
+    "WITH "
+    + sql_emb_lsh_pair_ctes()
+    + "SELECT vec_id_1, vec_id_2, cosine_sim FROM __vpairs"
+)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

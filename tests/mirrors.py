@@ -84,3 +84,17 @@ def py_pii(text: str) -> tuple[int, int, int, str]:
     clean = re.sub(_PII_IP, "[IP]", clean)
     clean = re.sub(_PII_PHONE, "[PHONE]", clean)
     return n_e, n_i, n_p, clean
+
+
+def py_canonical_url(url: str) -> str:
+    """Pure-Python mirror of queries.curation.canonicalize_url (same
+    rule chain, same order).  Inputs are newline-free URL-alphabet
+    strings -- the property strategy guarantees that, keeping Java and
+    Python regex '.'/'$' semantics identical."""
+    import re
+
+    u = re.sub(r"#.*$", "", url)
+    u = re.sub(r"[?&]utm_[a-z]+=[^&#]*", "", u)
+    u = u.replace(":443/", "/")
+    u = u.lower()
+    return re.sub(r"/$", "", u)

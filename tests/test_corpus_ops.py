@@ -111,3 +111,58 @@ def test_sequence_packing_fill_ratio_overflow_semantics(spark):
     )
     got = {r["doc_id"]: r["__pack_id"] for r in packed.collect()}
     assert got == {1: 0, 2: 2, 3: 2}
+
+
+# --- semantic (embedding) dedup -------------------------------------------------
+
+
+def test_semantic_dedup_collapses_exact_duplicates(spark):
+    """Three identical vectors (two labels) collapse to one kept vector
+    (the minimum id); distinct one-hot vectors all survive.  Drives the
+    same composition q_semantic_dedup uses: portable LSH pairs ->
+    dedup_clusters keep-one."""
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        dedup_clusters,
+        embedding_near_dupes_lsh_portable,
+    )
+
+    dup = [0.5] * 64
+    def onehot(i):
+        v = [0.0] * 64
+        v[i] = 1.0
+        return v
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, label=0, embedding=dup),
+            Row(vec_id=2, label=0, embedding=dup),
+            Row(vec_id=3, label=1, embedding=dup),
+            Row(vec_id=4, label=1, embedding=onehot(0)),
+            Row(vec_id=5, label=2, embedding=onehot(7)),
+            Row(vec_id=6, label=2, embedding=onehot(13)),
+        ]
+    )
+    pairs = embedding_near_dupes_lsh_portable(emb, threshold=0.4)
+    clustered = dedup_clusters(
+        emb, pairs, id_col="vec_id", pair_src="vec_id_1", pair_dst="vec_id_2"
+    )
+    kept = {r.vec_id for r in clustered.filter("is_canonical").collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_semantic_dedup_accounting_invariants(spark, sf_dir):
+    """kept + dropped == n_vecs per label, totals cover the corpus,
+    the dedup is non-vacuous on the fixtures, and the kept-id hash is
+    deterministic across runs."""
+    from spark_streaming_postgres_lab2_spark.queries.corpus import q_semantic_dedup
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    n_emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"].count()
+    assert all(r.kept_vecs + r.dropped_vecs == r.n_vecs for r in rows)
+    assert sum(r.n_vecs for r in rows) == n_emb
+    assert sum(r.dropped_vecs for r in rows) > 0
+    again = {r.label: r.kept_ids_hash for r in q_semantic_dedup(spark, sf_dir).collect()}
+    assert {r.label: r.kept_ids_hash for r in rows} == again

@@ -199,3 +199,55 @@ def test_bpe_merge_candidates_counts(spark):
     assert got == {"ab": 6, "ba": 3, "cd": 2}
     # ordering: count desc, then pair asc
     assert [r.pair for r in rows] == ["ab", "ba", "cd"]
+
+
+# --- URL canonicalization dedup ------------------------------------------------
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule, exercised on crafted URLs: fragment,
+    utm params (leading and chained), explicit :443 port, scheme+host
+    case, trailing slash -- and a URL that needs none of them."""
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        canonicalize_url,
+    )
+
+    cases = [
+        ("https://a.example/p/1", "https://a.example/p/1"),
+        ("https://a.example/p/1#frag", "https://a.example/p/1"),
+        ("https://a.example/p/1?utm_source=x", "https://a.example/p/1"),
+        (
+            "https://a.example/p/1/?utm_campaign=x&utm_medium=y",
+            "https://a.example/p/1",
+        ),
+        ("HTTPS://A.Example:443/p/1", "https://a.example/p/1"),
+        ("HTTPS://A.EXAMPLE:443/p/1?utm_source=f#z", "https://a.example/p/1"),
+    ]
+    df = spark.createDataFrame([Row(url=u) for u, _ in cases]).select(
+        "url", canonicalize_url(F.col("url")).alias("canon")
+    )
+    got = {r.url: r.canon for r in df.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_canonical_dedup_groups_triples(spark, sf_dir):
+    """The synthesized grammar makes consecutive doc_id triples collide
+    iff canonicalization is right: every group has <= 3 variants, group
+    sizes sum to the corpus size, and the kept id is the group minimum
+    (variant 0's id, which is divisible by 3 whenever present)."""
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_url_canonical_dedup,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    rows = q_url_canonical_dedup(spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir, ["documents"])["documents"].count()
+    assert sum(r.n_variants for r in rows) == n_docs
+    assert all(1 <= r.n_variants <= 3 for r in rows)
+    assert any(r.n_variants == 3 for r in rows)  # collisions actually happen
+    # canonical URL embeds base = keep_doc_id DIV 3 for the minimum id
+    for r in rows:
+        assert r.canonical_url.endswith(f"/p/{r.keep_doc_id // 3}")

@@ -245,3 +245,41 @@ def test_boilerplate_all_boilerplate_doc(spark):
         assert rows[did]["n_blocks"] == 1
         assert rows[did]["n_boilerplate"] == 1
         assert rows[did]["kept_hash"] == empty_md5
+
+
+# --- URL canonicalizer vs pure-Python mirror (r5) ------------------------------
+
+from mirrors import py_canonical_url
+
+_seg = st.from_regex(r"[A-Za-z0-9][A-Za-z0-9._-]{0,8}", fullmatch=True)
+_param = st.one_of(
+    st.from_regex(r"utm_[a-z]{1,8}=[A-Za-z0-9_-]{0,6}", fullmatch=True),
+    st.from_regex(r"[a-su-z][a-z]{0,5}=[A-Za-z0-9_-]{0,6}", fullmatch=True),
+)
+
+
+@st.composite
+def _url(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTPS", "HtTp"]))
+    host = ".".join(draw(st.lists(_seg, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":443", ":8080"]))
+    path = "".join("/" + draw(_seg) for _ in range(draw(st.integers(0, 3))))
+    slash = draw(st.sampled_from(["", "/"]))
+    params = draw(st.lists(_param, min_size=0, max_size=3))
+    query = ("?" + "&".join(params)) if params else ""
+    frag = draw(st.sampled_from(["", "#frag", "#a/b?c"]))
+    return f"{scheme}://{host}{port}{path}{slash}{query}{frag}"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_url(), min_size=1, max_size=25))
+def test_canonicalize_url_matches_python_mirror(spark, urls):
+    from pyspark.sql import functions as F
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", canonicalize_url(F.col("url")).alias("canon")
+    )
+    got = [r["canon"] for r in df.collect()]  # createDataFrame preserves order
+    assert got == [py_canonical_url(u) for u in urls]
