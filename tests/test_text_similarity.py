@@ -427,3 +427,46 @@ def test_arrow_buckets_mixed_dims_and_nulls(spark):
 
     with pytest.raises(Exception, match="static dim"):
         _hyperplane_buckets_arrow(mixed, "vec_id", "embedding", 4, 2, 8).collect()
+
+
+def test_portable_lsh_arrow_flavors_match_expr(spark, sf_dir):
+    """The portable family's Arrow bucketer (exact int64 matmul) and
+    Arrow verifier (sequential-order vectorized accumulation) produce
+    BIT-identical output -- ids AND rounded cosines -- to the pure
+    expr formulation that mirrors the DuckDB oracle."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        embedding_near_dupes_lsh_portable,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    arrow = sorted(
+        map(tuple, embedding_near_dupes_lsh_portable(emb, threshold=0.4).collect())
+    )
+    expr = sorted(
+        map(
+            tuple,
+            embedding_near_dupes_lsh_portable(
+                emb, threshold=0.4, bucket_impl="expr", verify_impl="expr"
+            ).collect(),
+        )
+    )
+    assert arrow == expr
+    assert len(arrow) > 0
+
+
+def test_int_bucketer_rejects_bad_dims(spark):
+    """The portable Arrow bucketer enforces the static-dim contract the
+    expr raise_error guard enforces: mismatched dims raise naming the
+    offending sizes."""
+    import pytest
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _int_hyperplane_buckets_arrow,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="static dim"):
+        _int_hyperplane_buckets_arrow(bad, "vec_id", "embedding", 4, 16, 64).collect()
