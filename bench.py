@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "url_domain_filter",
     "html_text_extract",
     "semantic_dedup",
+    "semantic_dedup_fast",
     "url_canonical_dedup",
 ]
 
