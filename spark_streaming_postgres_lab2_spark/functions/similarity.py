@@ -851,6 +851,43 @@ def embedding_near_dupes_lsh(
     )
 
 
+def adaptive_lsh_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """The production LSH at its ADAPTIVE operating point -- the one
+    rule both scale consumers (queries.ext.q_embedding_lsh_near_dup,
+    queries.corpus.q_semantic_dedup_fast) share, so a retuning lands in
+    one place (review finding: the formula had been copy-pasted).
+
+    k = clamp(round(log2(n/128)), 4..6): 500 -> 4, 2k -> 4, 20k -> 6.
+    Target ~128 vectors/bucket -- measured cheaper to verify a somewhat
+    larger candidate set than to run 16 extra projections per row (k=5
+    at sf0.1 benched SLOWER than k=4 despite 2x fewer candidates); the
+    fixed-(k,L) version went quadratic on /tmp/sf1 (313 s).  96 planes
+    cap k*L; max_bucket_size degrades mass-duplication blobs to
+    spanning chains (connectivity preserved, self-join linear).  The
+    count() probe is metadata-only on parquet."""
+    import math
+
+    n = emb.count()
+    k = min(6, max(4, round(math.log2(max(n, 128) / 128))))
+    return embedding_near_dupes_lsh(
+        emb,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_planes=k,
+        n_tables=min(16, 96 // k),
+        max_bucket_size=max_bucket_size,
+        dim=dim,
+    )
+
+
 # --- near-dup clustering (connected components) ------------------------------
 
 
@@ -1604,6 +1641,11 @@ def _int_hyperplane_buckets_arrow(
             vecs = pdf[vec_col].to_numpy()
             ids = pdf[id_col].to_numpy()
             lens = np.array([-1 if v is None else len(v) for v in vecs])
+            if (lens < 0).any():
+                bad = ids[lens < 0][:3].tolist()
+                raise ValueError(
+                    f"NULL embedding cannot be hyperplane-bucketed (ids {bad})"
+                )
             if (lens != dim).any():
                 bad = sorted(set(lens[lens != dim].tolist()))
                 raise ValueError(f"embedding dims {bad} != static dim {dim}")
@@ -1725,7 +1767,7 @@ def embedding_near_dupes_lsh_portable(
         # the documented worst case), which made the per-pair
         # interpreted HOF fold the dominant cost of the portable family
         # (~6 s of the sf0.1 run); this path cuts it to ~192 vectorized
-        # ops per Arrow batch."""
+        # ops per Arrow batch.
         import numpy as np
         import pandas as pd
 
@@ -1744,11 +1786,20 @@ def embedding_near_dupes_lsh_portable(
                     accd = accd + x * y
                     acc1 = acc1 + x * x
                     acc2 = acc2 + y * y
+                den = np.sqrt(acc1) * np.sqrt(acc2)
+                # zero-norm guard (review finding): the expr flavor
+                # computes 0.0/0.0 -> NULL (Spark division), and the
+                # threshold filter drops the NULL; numpy would yield
+                # NaN, and Spark orders NaN ABOVE every double, so the
+                # pair would be wrongly EMITTED.  Dropping the rows
+                # here is exactly the expr behavior: a zero-norm pair
+                # never appears.
+                keep = den != 0.0
                 yield pd.DataFrame(
                     {
-                        "vec_id_1": pdf["vec_id_1"].to_numpy(),
-                        "vec_id_2": pdf["vec_id_2"].to_numpy(),
-                        "__raw_cos": accd / (np.sqrt(acc1) * np.sqrt(acc2)),
+                        "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
+                        "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
+                        "__raw_cos": accd[keep] / den[keep],
                     }
                 )
 

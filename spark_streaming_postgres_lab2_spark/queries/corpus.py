@@ -567,23 +567,11 @@ def q_semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates as n grows (measured 124 s at sf1 vs 6.5 s for this
     flavor), exactly the incident the adaptive rule was built for
     (see q_embedding_lsh_near_dup)."""
-    import math
-
-    from ..functions.similarity import embedding_near_dupes_lsh
+    from ..functions.similarity import adaptive_lsh_pairs
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    n = emb.count()
-    k = min(6, max(4, round(math.log2(max(n, 128) / 128))))
-    pairs = embedding_near_dupes_lsh(
-        emb,
-        threshold=0.4,
-        n_planes=k,
-        n_tables=min(16, 96 // k),
-        max_bucket_size=200,
-        dim=64,
-    )
-    return semantic_dedup_accounting(emb, pairs)
+    return semantic_dedup_accounting(emb, adaptive_lsh_pairs(emb, threshold=0.4))
 
 
 def _semantic_dedup_oracle() -> str:

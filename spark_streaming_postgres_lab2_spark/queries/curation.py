@@ -823,14 +823,30 @@ _CANON_DOMAINS = ["news.example", "blog.example", "docs.example", "wiki.example"
 
 def canonicalize_url(col: F.Column) -> F.Column:
     """The canonicalization chain under test, as a reusable Column
-    expression: strip fragment -> strip utm_* tracking params -> strip
-    the explicit :443 default port -> lowercase -> strip the trailing
-    slash.  Every step is a codegen'd string primitive; the DuckDB
-    mirror in ORACLE_URL_CANONICAL_DEDUP applies the identical chain."""
+    expression: strip fragment -> lowercase -> strip utm_* tracking
+    params -> repair the query separator -> strip the explicit :443
+    default port (https only, anchored to the authority) -> strip the
+    trailing slash.  Every step is a codegen'd string primitive; the
+    DuckDB mirror in ORACLE_URL_CANONICAL_DEDUP and the pure-Python
+    mirror in tests/mirrors.py apply the identical chain.
+
+    Review-hardened rules: the port strip is anchored to
+    ``^https://<authority>`` so a ':443' inside a path or on an http
+    URL (where 443 is NOT the default) is preserved, and it fires with
+    or without a following path; stripping a leading utm param leaves
+    '&' where '?' belongs, so the first separator is promoted back
+    ('^([^?]*)&' fires at most once by anchoring).  Caveat (by
+    design): the final lower() lowercases the whole string, which is
+    exact for scheme+host and for this operator's digit-path grammar;
+    a deployment with case-significant paths would scope it to the
+    authority."""
     canon = F.regexp_replace(col, r"#.*$", "")                     # fragment
-    canon = F.regexp_replace(canon, r"[?&]utm_[a-z]+=[^&#]*", "")  # tracking params
-    canon = F.replace(canon, F.lit(":443/"), F.lit("/"))           # default https port
     canon = F.lower(canon)                                         # scheme+host case
+    canon = F.regexp_replace(canon, r"[?&]utm_[a-z]+=[^&#]*", "")  # tracking params
+    canon = F.regexp_replace(canon, r"^([^?]*)&", "$1?")           # separator repair
+    canon = F.regexp_replace(
+        canon, r"^(https://[^/?#]+):443([/?#]|$)", "$1$2"          # default https port
+    )
     return F.regexp_replace(canon, r"/$", "")                      # trailing slash
 
 
@@ -892,7 +908,7 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANON_DOMAINS_SQL = ", ".join(f"'{d}'" for d in _CANON_DOMAINS)
 
-ORACLE_URL_CANONICAL_DEDUP = f"""
+ORACLE_URL_CANONICAL_DEDUP = rf"""
 WITH d AS (
   SELECT doc_id,
          doc_id // 3 AS base,
@@ -913,10 +929,14 @@ u AS (
 ),
 c AS (
   SELECT doc_id,
-         regexp_replace(lower(replace(
-           regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
-                          '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
-           ':443/', '/')), '/$', '', 'g') AS canonical_url
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(regexp_replace(url, '#.*$', '', 'g')),
+                              '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+               '^([^?]*)&', '\1?'),
+             '^(https://[^/?#]+):443([/?#]|$)', '\1\2'),
+           '/$', '', 'g') AS canonical_url
   FROM u
 )
 SELECT canonical_url,

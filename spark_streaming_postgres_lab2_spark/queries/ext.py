@@ -1053,27 +1053,17 @@ def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped MinHash family, SCALING.md r2 incident).  Static dim=64
     (TESTDATA.md embedding shape) truncates plane literals at
     plan-build time.  The count() probe is metadata-only on parquet."""
-    import math
+    from ..functions.similarity import adaptive_lsh_pairs
 
     t = load_tables(spark, sf_dir, ["embeddings"])
-    n = t["embeddings"].count()
-    # k = clamp(round(log2(n/128)), 4..6): 500 -> 4, 2k -> 4, 20k -> 6.
-    # target ~128 vectors/bucket -- measured cheaper to verify a
-    # somewhat larger candidate set than to run 16 extra projections
-    # per row (k=5 at sf0.1 benched SLOWER than k=4 despite 2x fewer
-    # candidates; the cap below still bounds the degenerate corpora)
-    # r4: bucket projection now one numpy matmul per Arrow batch
-    # (bucket_impl='arrow' default): 16.3 s -> ~6 s at sf0.1; the
-    # remainder is candidate dedup + the survivors-only verify join.
-    k = min(6, max(4, round(math.log2(max(n, 128) / 128))))
-    return embedding_near_dupes_lsh(
-        t["embeddings"],
-        threshold=0.4,
-        n_planes=k,
-        n_tables=min(16, 96 // k),
-        max_bucket_size=200,
-        dim=64,
-    ).orderBy("vec_id_1", "vec_id_2")
+    # parameter rule + rationale live in similarity.adaptive_lsh_pairs
+    # (shared with q_semantic_dedup_fast).  r4: bucket projection is
+    # one numpy matmul per Arrow batch (bucket_impl='arrow' default):
+    # 16.3 s -> ~6 s at sf0.1; the remainder is candidate dedup + the
+    # survivors-only verify join.
+    return adaptive_lsh_pairs(t["embeddings"], threshold=0.4).orderBy(
+        "vec_id_1", "vec_id_2"
+    )
 
 
 def q_embedding_lsh_near_dup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,7 +94,8 @@ def py_canonical_url(url: str) -> str:
     import re
 
     u = re.sub(r"#.*$", "", url)
-    u = re.sub(r"[?&]utm_[a-z]+=[^&#]*", "", u)
-    u = u.replace(":443/", "/")
     u = u.lower()
+    u = re.sub(r"[?&]utm_[a-z]+=[^&#]*", "", u)
+    u = re.sub(r"^([^?]*)&", r"\1?", u, count=1)
+    u = re.sub(r"^(https://[^/?#]+):443([/?#]|$)", r"\1\2", u, count=1)
     return re.sub(r"/$", "", u)

@@ -224,6 +224,19 @@ def test_canonicalize_url_rules(spark):
         ),
         ("HTTPS://A.Example:443/p/1", "https://a.example/p/1"),
         ("HTTPS://A.EXAMPLE:443/p/1?utm_source=f#z", "https://a.example/p/1"),
+        # review-hardened rules: the port strip is anchored to the
+        # https authority, and stripping a LEADING utm param repairs
+        # the '?' separator for the surviving params
+        ("https://a.example/doc:443/x", "https://a.example/doc:443/x"),
+        ("http://a.example:443/x", "http://a.example:443/x"),
+        ("https://a.example:443?q=1", "https://a.example?q=1"),
+        ("https://a.example:443", "https://a.example"),
+        ("https://a.example/p/1?utm_source=x&page=2", "https://a.example/p/1?page=2"),
+        ("https://a.example/p/1?page=2&utm_source=x", "https://a.example/p/1?page=2"),
+        (
+            "https://a.example/p/1?utm_a=x&utm_b=y&page=2",
+            "https://a.example/p/1?page=2",
+        ),
     ]
     df = spark.createDataFrame([Row(url=u) for u, _ in cases]).select(
         "url", canonicalize_url(F.col("url")).alias("canon")

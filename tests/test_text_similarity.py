@@ -470,3 +470,38 @@ def test_int_bucketer_rejects_bad_dims(spark):
     )
     with pytest.raises(Exception, match="static dim"):
         _int_hyperplane_buckets_arrow(bad, "vec_id", "embedding", 4, 16, 64).collect()
+
+
+def test_portable_verify_drops_zero_norm_pairs(spark):
+    """Two all-zero vectors share every LSH bucket (all sign bits set)
+    but have undefined cosine: the expr flavor's 0.0/0.0 -> NULL is
+    dropped by the threshold filter, and the Arrow flavor must do the
+    same instead of emitting NaN (Spark orders NaN above every double,
+    so an unguarded NaN would pass the filter -- review finding)."""
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        embedding_near_dupes_lsh_portable,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.0] * 64),
+            Row(vec_id=2, embedding=[0.0] * 64),
+            Row(vec_id=3, embedding=[0.5] * 64),
+            Row(vec_id=4, embedding=[0.5] * 64),
+        ]
+    )
+    arrow = sorted(map(tuple, embedding_near_dupes_lsh_portable(emb).collect()))
+    expr = sorted(
+        map(
+            tuple,
+            embedding_near_dupes_lsh_portable(
+                emb, bucket_impl="expr", verify_impl="expr"
+            ).collect(),
+        )
+    )
+    assert arrow == expr
+    pair_ids = {(a, b) for a, b, _ in arrow}
+    assert (1, 2) not in pair_ids  # zero-norm pair dropped
+    assert (3, 4) in pair_ids      # true duplicates still found
