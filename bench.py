@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "semantic_dedup_fast",
     "url_canonical_dedup",
+    "intra_doc_dedup",
+    "training_mix_upsample",
 ]
 
 

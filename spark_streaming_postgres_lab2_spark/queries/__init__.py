@@ -56,6 +56,8 @@ DRIVER_PRIORITY = [
     "html_text_extract",        # NEW: HTML -> text extraction under the oracle
     "semantic_dedup",           # NEW: SemDeDup-style embedding dedup (LSH+CC+keep-one)
     "url_canonical_dedup",      # NEW: URL canonicalization + keep-one dedup
+    "intra_doc_dedup",          # NEW: within-doc repeated-block removal (keep-first)
+    "training_mix_upsample",    # NEW: fractional upsampling (epochs-per-dataset)
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -105,8 +107,9 @@ DRIVER_PRIORITY = [
     # out to make room for the two new tier-0 oracles; they rejoin in r6
     # with the other held-out r3 entries.
     "order_count_distribution",
-    "promo_revenue",
-    "returned_revenue",
+    # promo_revenue / returned_revenue (r3-green, stable single-agg
+    # shapes) rotated out for the intra_doc_dedup / training_mix_upsample
+    # tier-0 slots; they rejoin in r6 with the other held-out entries.
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
     # r5 item 8: keep it pinned here).

@@ -152,6 +152,92 @@ ORDER BY lang
 """
 
 
+# Per-language upsampling rates: the "epochs per dataset" half of
+# corpus mixing (training_mix_sample covers rates <= 1).  rate = 2.5
+# means every doc appears twice and md5-selected half of them a third
+# time -- deterministic fractional replication, reproducible across
+# engines and resumable across runs exactly like the downsampling
+# flavor.
+_UPSAMPLE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 2.5,
+    "fr": 2.0,
+    "es": 0.5,
+    "zh": 3.25,
+}
+
+
+def q_training_mix_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-weighted UPsampling: each document gets
+    floor(rate) copies plus one more iff the first 8 hex chars of
+    md5(doc_id) fall under the fractional-part cutoff (for rate < 1
+    this degenerates to the training_mix_sample rule).  Emits per-lang
+    (n_docs, total_copies, realized_rate) -- the corpus-assembly
+    manifest a mixing stage feeds the shuffler.
+
+    Scale shape: one scan, one md5 + CASE projection, one map-side-
+    combinable groupBy on lang; the replication itself (explode over
+    sequence(1, n_copies)) is row-local when materialized -- no
+    shuffle is ever keyed on the copy multiplicity."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    # unknown languages default to exactly one copy (neutral weight)
+    copies = F.lit(1)
+    for lang, rate in _UPSAMPLE_RATES.items():
+        whole, frac = int(rate), rate - int(rate)
+        extra = (
+            F.lit(0)
+            if frac == 0.0
+            else F.when(prefix < _cutoff_hex(frac), 1).otherwise(0)
+        )
+        copies = F.when(F.col("lang") == lang, F.lit(whole) + extra).otherwise(
+            copies
+        )
+    return (
+        t["documents"]
+        .withColumn("__copies", copies)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__copies").cast("bigint").alias("total_copies"),
+            F.round(
+                F.sum("__copies").cast("double") / F.count(F.lit(1)), 4
+            ).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _upsample_case_sql() -> str:
+    arms = []
+    for lang, rate in _UPSAMPLE_RATES.items():
+        whole, frac = int(rate), rate - int(rate)
+        extra = (
+            "0"
+            if frac == 0.0
+            else (
+                "CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+                f"'{_cutoff_hex(frac)}' THEN 1 ELSE 0 END"
+            )
+        )
+        arms.append(f"WHEN lang = '{lang}' THEN {whole} + {extra}")
+    return " ".join(arms)
+
+
+ORACLE_TRAINING_MIX_UPSAMPLE = f"""
+WITH d AS (
+  SELECT lang, (CASE {_upsample_case_sql()} ELSE 1 END) AS copies FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(copies) AS BIGINT) AS total_copies,
+       round(CAST(sum(copies) AS DOUBLE) / count(*), 4) AS realized_rate
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("canonical_docs", q_canonical_docs, ORACLE_CANONICAL_DOCS,
@@ -177,6 +263,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("semantic_dedup_fast", q_semantic_dedup_fast, None,
                   "semantic dedup over the adaptive production LSH "
                   "(scale flavor, rows-only)"),
+        QuerySpec("training_mix_upsample", q_training_mix_upsample,
+                  ORACLE_TRAINING_MIX_UPSAMPLE,
+                  "deterministic fractional upsampling (epochs-per-dataset mix)"),
     ]
 
 

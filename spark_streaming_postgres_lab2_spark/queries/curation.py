@@ -596,6 +596,113 @@ ORDER BY b.doc_id
 """
 
 
+# --- within-document repeated-block removal ----------------------------------
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-unit removal (the intra-doc complement
+    of boilerplate_dedup; CCNet runs both): split each document into
+    non-overlapping 8-token blocks and drop every repeat of a block
+    already seen EARLIER IN THE SAME DOCUMENT (keep-first), emitting
+    per-doc (n_blocks, n_repeats, kept_hash) with the kept hash over
+    surviving blocks in position order.  The fixture corpus has no
+    guaranteed intra-doc repetition, so -- same synthesize-then-process
+    pattern as pii_redaction -- each document is first truncated to its
+    block-aligned prefix and augmented with a copy of its own first 8
+    tokens (alignment matters: an unaligned append straddles a block
+    boundary and produces no repeated block), guaranteeing >= 1 repeat
+    for every document with a full block; the oracle re-derives both
+    steps, so the hash pins the keep-first rule itself.
+
+    Scale shape: unlike boilerplate_dedup there is NO corpus-wide
+    structure at all -- the min-position window partitions by
+    (doc_id, block-hash), so every bit of work is per-document and the
+    operator is embarrassingly parallel at any corpus size."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    # materialize tokens once, then augment (HOF-slice off the same
+    # projection is fine here -- no lambda re-evaluation is involved)
+    t0 = t["documents"].select(
+        "doc_id", _clean_tokens(F.col("text")).alias("__t0")
+    )
+    aligned = (F.floor(F.size("__t0") / _BLOCK_N) * _BLOCK_N).cast("int")
+    tk = t0.select(
+        "doc_id",
+        F.concat(
+            F.slice(F.col("__t0"), 1, aligned),
+            F.slice(F.col("__t0"), 1, _BLOCK_N),
+        ).alias("__tk"),
+    )
+    nb = F.floor(F.size("__tk") / _BLOCK_N).cast("int")
+    blocks = tk.where(nb > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__tk"), i * _BLOCK_N + 1, _BLOCK_N), " "
+                ),
+            )
+        ).alias("pos", "block"),
+    )
+    hashed = blocks.select("doc_id", "pos", F.md5("block").alias("bh"))
+    w = Window.partitionBy("doc_id", "bh")
+    flagged = hashed.withColumn("__keep", F.col("pos") == F.min("pos").over(w))
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__keep"), F.struct(F.col("pos"), F.col("bh")))
+            )
+        ),
+        lambda s: s["bh"],
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.count(F.when(~F.col("__keep"), 1)).cast("bigint").alias("n_repeats"),
+            F.md5(F.concat_ws("|", kept_sorted)).alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_INTRA_DOC_DEDUP = f"""
+WITH t0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t0
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         list_concat(
+           list_slice(t0, 1, CAST(floor(len(t0) / {_BLOCK_N}) * {_BLOCK_N} AS BIGINT)),
+           list_slice(t0, 1, {_BLOCK_N})) AS tk
+  FROM t0
+),
+positions AS (
+  SELECT doc_id, tk,
+         unnest(range(0, CAST(floor(len(tk) / {_BLOCK_N}) AS BIGINT))) AS pos
+  FROM tk
+),
+blocks AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(tk, pos * {_BLOCK_N} + 1, pos * {_BLOCK_N} + {_BLOCK_N}), ' ')) AS bh
+  FROM positions
+),
+flagged AS (
+  SELECT doc_id, pos, bh,
+         pos = min(pos) OVER (PARTITION BY doc_id, bh) AS keep
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_repeats,
+       md5(coalesce(string_agg(CASE WHEN keep THEN bh END, '|' ORDER BY pos), '')) AS kept_hash
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- BPE merge-candidate counting --------------------------------------------
 
 
@@ -1015,5 +1122,11 @@ def specs() -> list[QuerySpec]:
             q_url_canonical_dedup,
             ORACLE_URL_CANONICAL_DEDUP,
             "URL canonicalization (case/port/utm/fragment/slash) + keep-one dedup",
+        ),
+        QuerySpec(
+            "intra_doc_dedup",
+            q_intra_doc_dedup,
+            ORACLE_INTRA_DOC_DEDUP,
+            "within-document repeated-block removal (keep-first), per-doc hash",
         ),
     ]

@@ -181,3 +181,29 @@ def test_semantic_dedup_fast_invariants(spark, sf_dir):
     assert all(r.kept_vecs + r.dropped_vecs == r.n_vecs for r in rows)
     assert sum(r.n_vecs for r in rows) == n_emb
     assert sum(r.dropped_vecs for r in rows) > 0
+
+
+def test_training_mix_upsample_rates(spark, sf_dir):
+    """Whole-rate languages replicate exactly; fractional rates land
+    within 5 binomial standard deviations of the target; unknown
+    languages (none in the fixture) would default to 1 copy."""
+    import math
+
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _UPSAMPLE_RATES,
+        q_training_mix_upsample,
+    )
+
+    rows = {r.lang: r for r in q_training_mix_upsample(spark, sf_dir).collect()}
+    for lang, rate in _UPSAMPLE_RATES.items():
+        if lang not in rows:
+            continue
+        r = rows[lang]
+        whole, frac = int(rate), rate - int(rate)
+        if frac == 0.0:
+            assert r.total_copies == whole * r.n_docs
+        else:
+            extras = r.total_copies - whole * r.n_docs
+            sd = math.sqrt(r.n_docs * frac * (1 - frac))
+            assert abs(extras - frac * r.n_docs) <= 5 * sd + 1e-9
+        assert abs(r.realized_rate - r.total_copies / r.n_docs) < 1e-3

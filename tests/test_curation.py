@@ -264,3 +264,56 @@ def test_url_canonical_dedup_groups_triples(spark, sf_dir):
     # canonical URL embeds base = keep_doc_id DIV 3 for the minimum id
     for r in rows:
         assert r.canonical_url.endswith(f"/p/{r.keep_doc_id // 3}")
+
+
+# --- within-document repeated-block removal -------------------------------------
+
+
+def test_intra_doc_dedup_keep_first_semantics(spark):
+    """Crafted doc: 16 tokens = block A twice -> after augmentation
+    (aligned prefix + first block) the doc is [A, A, A]: 3 blocks,
+    2 repeats, kept hash == md5 of A's hash alone.  A 7-token doc has
+    no full block and is absent."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_intra_doc_dedup,
+    )
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+
+    block = "w0 w1 w2 w3 w4 w5 w6 w7"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{block} {block}", lang="en", source="s", n_chars=1),
+            Row(doc_id=2, text="a b c d e f g", lang="en", source="s", n_chars=1),
+        ]
+    )
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = {r.doc_id: r for r in q_intra_doc_dedup(spark, "unused").collect()}
+    finally:
+        cur.load_tables = orig
+    assert set(rows) == {1}  # the 7-token doc has no blocks
+    r = rows[1]
+    assert (r.n_blocks, r.n_repeats) == (3, 2)
+    bh = hashlib.md5(block.encode()).hexdigest()
+    assert r.kept_hash == hashlib.md5(bh.encode()).hexdigest()
+
+
+def test_intra_doc_dedup_fixture_invariants(spark, sf_dir):
+    """Every full-block document gains >= 1 repeat from the aligned
+    augmentation, repeats never exceed blocks, and the result is
+    deterministic."""
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_intra_doc_dedup,
+    )
+
+    rows = q_intra_doc_dedup(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_repeats >= 1 for r in rows)
+    assert all(r.n_repeats < r.n_blocks for r in rows)
+    again = {r.doc_id: r.kept_hash for r in q_intra_doc_dedup(spark, sf_dir).collect()}
+    assert {r.doc_id: r.kept_hash for r in rows} == again
