@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "intra_doc_dedup",
     "training_mix_upsample",
+    "quality_classifier_filter",
 ]
 
 

@@ -58,6 +58,7 @@ DRIVER_PRIORITY = [
     "url_canonical_dedup",      # NEW: URL canonicalization + keep-one dedup
     "intra_doc_dedup",          # NEW: within-doc repeated-block removal (keep-first)
     "training_mix_upsample",    # NEW: fractional upsampling (epochs-per-dataset)
+    "quality_classifier_filter",  # NEW: hashing-trick linear quality scorer
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -106,9 +107,9 @@ DRIVER_PRIORITY = [
     # nation_pairs / nation_volume (r3-green, plain stable joins) rotated
     # out to make room for the two new tier-0 oracles; they rejoin in r6
     # with the other held-out r3 entries.
-    "order_count_distribution",
-    # promo_revenue / returned_revenue (r3-green, stable single-agg
-    # shapes) rotated out for the intra_doc_dedup / training_mix_upsample
+    # order_count_distribution / promo_revenue / returned_revenue
+    # (r3-green, stable single-agg shapes) rotated out for the
+    # intra_doc_dedup / training_mix_upsample / quality_classifier_filter
     # tier-0 slots; they rejoin in r6 with the other held-out entries.
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT

@@ -703,6 +703,97 @@ ORDER BY doc_id
 """
 
 
+# --- model-based quality filtering -------------------------------------------
+
+# Weight range [-1000, 1000] milli-units; decision rule score > 0.
+_QC_MOD = 2001
+
+
+def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-based quality filtering -- the fastText-classifier stage
+    of CCNet/GPT-3-style pipelines, complementing the rule-based
+    corpus_filter_chain.  The scorer is a hashing-trick linear model:
+    weight(token) = md5-prefix-int % 2001 - 1000 (fastText's hashing
+    trick with the weight table REPLACED by a hash function, so the
+    'pretrained model' is fully deterministic and the DuckDB oracle
+    recomputes every weight); a document's score is the exact BIGINT
+    sum over its DISTINCT tokens (integer summation is order-free, so
+    no engine can disagree on ties), keep iff score > 0.  Emits
+    per-source (n_docs, kept_docs, dropped_docs, avg_score) plus an md5
+    over the kept doc-id set, pinning exactly which documents survive.
+    Token-less documents never reach the classifier (no feature, no
+    row) -- both engines agree by construction.
+
+    Scale shape: a real deployment swaps the hash for a broadcast
+    weight table (vocabulary-sized) -- the plan is identical: slim
+    (doc_id, token) explode -> per-token weight projection (scan-speed,
+    codegen'd) -> ONE map-side-combinable sum per doc -> per-source
+    rollup.  100 TB of text crosses the wire once, as longs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_clean_tokens(F.col("text")))).alias("__tok"),
+    )
+    w = (
+        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long") % _QC_MOD
+        - (_QC_MOD - 1) // 2
+    )
+    scored = (
+        toks.withColumn("__w", w)
+        .groupBy("doc_id", "source")
+        .agg(F.sum("__w").alias("__score"))
+    )
+    kept_ids = F.array_sort(
+        F.collect_list(F.when(F.col("__score") > 0, F.col("doc_id")))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("__score") > 0, 1)).cast("bigint").alias("kept_docs"),
+            F.count(F.when(F.col("__score") <= 0, 1)).cast("bigint").alias(
+                "dropped_docs"
+            ),
+            F.round(F.sum("__score").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_score"
+            ),
+            F.md5(
+                F.concat_ws(",", F.transform(kept_ids, lambda x: x.cast("string")))
+            ).alias("kept_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_QC_MOD} - {(_QC_MOD - 1) // 2}) AS w
+  FROM tk
+),
+s AS (
+  SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+  FROM w GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN score > 0 THEN 1 END) AS BIGINT) AS kept_docs,
+       CAST(count(CASE WHEN score <= 0 THEN 1 END) AS BIGINT) AS dropped_docs,
+       round(CAST(sum(score) AS DOUBLE) / count(*), 2) AS avg_score,
+       md5(coalesce(string_agg(CASE WHEN score > 0 THEN CAST(doc_id AS VARCHAR) END,
+                               ',' ORDER BY doc_id), '')) AS kept_hash
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- BPE merge-candidate counting --------------------------------------------
 
 
@@ -1128,5 +1219,11 @@ def specs() -> list[QuerySpec]:
             q_intra_doc_dedup,
             ORACLE_INTRA_DOC_DEDUP,
             "within-document repeated-block removal (keep-first), per-doc hash",
+        ),
+        QuerySpec(
+            "quality_classifier_filter",
+            q_quality_classifier_filter,
+            ORACLE_QUALITY_CLASSIFIER,
+            "hashing-trick linear quality classifier (model-based filter)",
         ),
     ]

@@ -317,3 +317,58 @@ def test_intra_doc_dedup_fixture_invariants(spark, sf_dir):
     assert all(r.n_repeats < r.n_blocks for r in rows)
     again = {r.doc_id: r.kept_hash for r in q_intra_doc_dedup(spark, sf_dir).collect()}
     assert {r.doc_id: r.kept_hash for r in rows} == again
+
+
+# --- model-based quality filtering ----------------------------------------------
+
+
+def test_quality_classifier_decision_boundary(spark):
+    """The hashing-trick scorer's decision rule is pinned on crafted
+    docs: a doc's score is the exact integer sum of its distinct token
+    weights, keep iff > 0 -- verified against an independent Python
+    recomputation of the same md5 arithmetic."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _QC_MOD,
+        q_quality_classifier_filter,
+    )
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+
+    def w(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _QC_MOD - (
+            _QC_MOD - 1
+        ) // 2
+
+    texts = {1: "alpha beta gamma", 2: "delta epsilon", 3: "zeta eta theta iota"}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=1) for i, t in texts.items()]
+    )
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = q_quality_classifier_filter(spark, "unused").collect()
+    finally:
+        cur.load_tables = orig
+    assert len(rows) == 1
+    r = rows[0]
+    scores = {i: sum(w(tok) for tok in set(t.split())) for i, t in texts.items()}
+    expect_kept = sorted(i for i, s in scores.items() if s > 0)
+    assert r.kept_docs == len(expect_kept)
+    assert r.dropped_docs == 3 - len(expect_kept)
+    kept_str = ",".join(str(i) for i in expect_kept)
+    assert r.kept_hash == hashlib.md5(kept_str.encode()).hexdigest()
+
+
+def test_quality_classifier_fixture_nonvacuous(spark, sf_dir):
+    """On the fixtures the classifier both keeps and drops documents
+    (a filter that never fires proves nothing)."""
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_quality_classifier_filter,
+    )
+
+    rows = q_quality_classifier_filter(spark, sf_dir).collect()
+    assert sum(r.kept_docs for r in rows) > 0
+    assert sum(r.dropped_docs for r in rows) > 0
