@@ -1041,7 +1041,7 @@ def canonicalize_url(col: F.Column) -> F.Column:
     canon = F.regexp_replace(col, r"#.*$", "")                     # fragment
     canon = F.lower(canon)                                         # scheme+host case
     canon = F.regexp_replace(canon, r"[?&]utm_[a-z]+=[^&#]*", "")  # tracking params
-    canon = F.regexp_replace(canon, r"^([^?]*)&", "$1?")           # separator repair
+    canon = F.regexp_replace(canon, r"^([^?&]*)&", "$1?")           # separator repair
     canon = F.regexp_replace(
         canon, r"^(https://[^/?#]+):443([/?#]|$)", "$1$2"          # default https port
     )
@@ -1132,7 +1132,7 @@ c AS (
              regexp_replace(
                regexp_replace(lower(regexp_replace(url, '#.*$', '', 'g')),
                               '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
-               '^([^?]*)&', '\1?'),
+               '^([^?&]*)&', '\1?'),
              '^(https://[^/?#]+):443([/?#]|$)', '\1\2'),
            '/$', '', 'g') AS canonical_url
   FROM u

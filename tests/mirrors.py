@@ -96,6 +96,6 @@ def py_canonical_url(url: str) -> str:
     u = re.sub(r"#.*$", "", url)
     u = u.lower()
     u = re.sub(r"[?&]utm_[a-z]+=[^&#]*", "", u)
-    u = re.sub(r"^([^?]*)&", r"\1?", u, count=1)
+    u = re.sub(r"^([^?&]*)&", r"\1?", u, count=1)
     u = re.sub(r"^(https://[^/?#]+):443([/?#]|$)", r"\1\2", u, count=1)
     return re.sub(r"/$", "", u)

@@ -237,6 +237,13 @@ def test_canonicalize_url_rules(spark):
             "https://a.example/p/1?utm_a=x&utm_b=y&page=2",
             "https://a.example/p/1?page=2",
         ),
+        # TWO surviving params after a stripped leading utm: the repair
+        # must promote the FIRST '&' (a greedy [^?]* promoted the last
+        # one -- review finding)
+        (
+            "https://a.example/p/1?utm_source=x&page=2&q=3",
+            "https://a.example/p/1?page=2&q=3",
+        ),
     ]
     df = spark.createDataFrame([Row(url=u) for u, _ in cases]).select(
         "url", canonicalize_url(F.col("url")).alias("canon")
