@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "intra_doc_dedup",
     "training_mix_upsample",
     "quality_classifier_filter",
+    "funnel_conversion",
 ]
 
 

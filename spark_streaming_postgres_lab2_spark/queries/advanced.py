@@ -1198,8 +1198,121 @@ ORDER BY day
 """
 
 
+_FUNNEL_WINDOW_S = 86_400  # each step must land within 24 h of the previous
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED, WINDOWED funnel analysis (signup -> view ->
+    purchase, the fixture's event vocabulary): a user reaches step N
+    only via an event strictly after their step-(N-1) timestamp AND
+    within the 24 h conversion window -- sequence matching, not mere
+    presence (contrast user_sessions' conditional counts and
+    purchase_attribution's as-of lookback; without the window every
+    step saturates on this fixture, so the window is what makes the
+    funnel discriminate: 150 -> 39 -> 15 users at sf0.01).  Emits one
+    summary row: per-step user counts and step-to-step conversion
+    rates.
+
+    Scale shape: each step is a filtered map-side-combinable MIN per
+    user; the step joins are keyed on user_id, so after the first
+    shuffle every stage is co-partitioned (Exchange reuse), and each
+    step's frame SHRINKS (funnels only narrow).  The final assembly
+    cross-joins four 1-row aggregates -- broadcast scalar anchors, the
+    same pattern as table_counts_union.  Timestamps compare at
+    microsecond precision on both engines (Spark loads micros; the
+    oracle compares epoch_us), so strictly-after ties cannot diverge."""
+    t = load_tables(spark, sf_dir, ["events"])
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_S} SECOND")
+    ev = t["events"].select("user_id", "event_type", "ts").where(
+        F.col("user_id").isNotNull()
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_any = ev.agg(F.countDistinct("user_id").cast("bigint").alias("users_any"))
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("signed_up"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("viewed_within_window"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("purchased_within_window"))
+    return (
+        n_any.crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "users_any",
+            "signed_up",
+            "viewed_within_window",
+            "purchased_within_window",
+            F.round(
+                F.col("viewed_within_window").cast("double")
+                / F.nullif(F.col("signed_up"), F.lit(0)),
+                4,
+            ).alias("signup_to_view_rate"),
+            F.round(
+                F.col("purchased_within_window").cast("double")
+                / F.nullif(F.col("viewed_within_window"), F.lit(0)),
+                4,
+            ).alias("view_to_purchase_rate"),
+        )
+    )
+
+
+_FUNNEL_WINDOW_US = _FUNNEL_WINDOW_S * 1_000_000
+
+ORACLE_FUNNEL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id IS NOT NULL
+),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts_us) AS t2
+  FROM ev e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view'
+    AND e.ts_us > s1.t1 AND e.ts_us <= s1.t1 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts_us) AS t3
+  FROM ev e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts_us > s2.t2 AND e.ts_us <= s2.t2 + {_FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS users_any,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS signed_up,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS viewed_within_window,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS purchased_within_window,
+       round(CAST((SELECT count(*) FROM s2) AS DOUBLE)
+             / nullif((SELECT count(*) FROM s1), 0), 4) AS signup_to_view_rate,
+       round(CAST((SELECT count(*) FROM s3) AS DOUBLE)
+             / nullif((SELECT count(*) FROM s2), 0), 4) AS view_to_purchase_rate
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,
+                  "strict ordered funnel (view -> cart -> purchase) with "
+                  "step conversion rates"),
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
                   "TPC-H Q2-shaped correlated-min subquery"),
         QuerySpec("nation_profit", q_nation_profit, ORACLE_NATION_PROFIT,

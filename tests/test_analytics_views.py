@@ -68,3 +68,42 @@ def test_data_quality_summary_24h_filter(spark):
     assert row["total_rows"] == 200
     assert row["invalid_rows"] == 15
     assert abs(row["avg_validity_rate"] - 0.925) < 1e-9
+
+
+def test_funnel_conversion_order_and_window_rules(spark):
+    """Crafted users pin the funnel semantics: a pre-signup view does
+    not count (strict order), a view 25 h after signup does not count
+    (24 h window), and a purchase 26 h after the qualifying view does
+    not count."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_funnel_conversion,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, etype, hours):
+        return Row(user_id=uid, event_type=etype, ts=t0 + timedelta(hours=hours))
+
+    rows = [
+        ev(1, "signup", 0), ev(1, "view", 1), ev(1, "purchase", 2),
+        ev(2, "view", -1), ev(2, "signup", 0),
+        ev(3, "signup", 0), ev(3, "view", 25),
+        ev(4, "signup", 0), ev(4, "view", 1), ev(4, "purchase", 26),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        r = q_funnel_conversion(spark, "unused").collect()[0]
+    finally:
+        adv.load_tables = orig
+    assert (r.users_any, r.signed_up) == (4, 4)
+    assert r.viewed_within_window == 2       # users 1 and 4
+    assert r.purchased_within_window == 1    # user 1 only
+    assert r.signup_to_view_rate == 0.5
+    assert r.view_to_purchase_rate == 0.5
