@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "training_mix_upsample",
     "quality_classifier_filter",
     "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -1308,8 +1308,94 @@ SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS users_any,
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis -- the other classic product-analytics
+    table (funnel_conversion's sibling): users are cohorted by their
+    FIRST-seen day and counted again in each later week they return,
+    yielding the (cohort_day x offset_week) retention matrix with
+    per-cell retention rates.  All calendar arithmetic happens on
+    integer day numbers (epoch-microseconds DIV 86.4e9), so the two
+    engines cannot disagree on timezone or date-boundary semantics --
+    the same epoch_us trick as funnel_conversion.
+
+    Scale shape: one (user_id, day_num) DISTINCT projection of the
+    event stream, a per-user MIN for the cohort day, one join back
+    keyed on user_id (co-partitioned with the distinct's exchange),
+    and a map-side-combinable count per (cohort_day, offset_week) --
+    cells are bounded by days x weeks, never by event volume."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = (
+        t["events"]
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(f"CAST(unix_micros(ts) DIV {_DAY_US} AS BIGINT)").alias(
+                "day_num"
+            ),
+        )
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("day_num").alias("cohort_day"))
+    retained = (
+        ev.join(first, "user_id")
+        .withColumn(
+            "offset_week",
+            ((F.col("day_num") - F.col("cohort_day")) / 7).cast("bigint"),
+        )
+        .groupBy("cohort_day", "offset_week")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("retained_users"))
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        retained.join(sizes, "cohort_day")
+        .select(
+            "cohort_day",
+            "offset_week",
+            "cohort_size",
+            "retained_users",
+            F.round(
+                F.col("retained_users").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_day", "offset_week")
+    )
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day_num
+  FROM events WHERE user_id IS NOT NULL
+),
+first AS (
+  SELECT user_id, min(day_num) AS cohort_day FROM ev GROUP BY user_id
+),
+retained AS (
+  SELECT f.cohort_day,
+         CAST((e.day_num - f.cohort_day) // 7 AS BIGINT) AS offset_week,
+         CAST(count(DISTINCT e.user_id) AS BIGINT) AS retained_users
+  FROM ev e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_day
+)
+SELECT r.cohort_day, r.offset_week, s.cohort_size, r.retained_users,
+       round(CAST(r.retained_users AS DOUBLE) / s.cohort_size, 4) AS retention_rate
+FROM retained r JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, offset_week
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
+                  "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,
                   "strict ordered funnel (view -> cart -> purchase) with "
                   "step conversion rates"),

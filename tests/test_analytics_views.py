@@ -107,3 +107,46 @@ def test_funnel_conversion_order_and_window_rules(spark):
     assert r.purchased_within_window == 1    # user 1 only
     assert r.signup_to_view_rate == 0.5
     assert r.view_to_purchase_rate == 0.5
+
+
+def test_cohort_retention_matrix(spark):
+    """Crafted users pin the cohort semantics: day-number cohorts from
+    first-seen, weekly offsets floor-divided, per-cell distinct users
+    over cohort size."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_cohort_retention,
+    )
+
+    t0 = datetime(2024, 1, 1, 5, 0, 0)
+
+    def ev(uid, days):
+        return Row(user_id=uid, event_type="view", ts=t0 + timedelta(days=days))
+
+    rows = [
+        ev(1, 0), ev(1, 8),          # cohort d0, offsets 0 and 1
+        ev(2, 0),                    # cohort d0, offset 0 only
+        ev(3, 3), ev(3, 3), ev(3, 17),  # cohort d3, offsets 0 and 2 (dup day collapses)
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            (r.cohort_day, r.offset_week): (r.cohort_size, r.retained_users, r.retention_rate)
+            for r in q_cohort_retention(spark, "unused").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    d0 = min(k[0] for k in got)
+    d3 = d0 + 3
+    assert got == {
+        (d0, 0): (2, 2, 1.0),
+        (d0, 1): (2, 1, 0.5),
+        (d3, 0): (1, 1, 1.0),
+        (d3, 2): (1, 1, 1.0),
+    }
