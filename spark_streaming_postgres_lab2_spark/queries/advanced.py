@@ -1343,7 +1343,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(first, "user_id")
         .withColumn(
             "offset_week",
-            ((F.col("day_num") - F.col("cohort_day")) / 7).cast("bigint"),
+            # pure integer arithmetic, mirroring the oracle's '// 7'
+            # (day_num >= cohort_day by construction, so DIV == floor)
+            F.expr("(day_num - cohort_day) DIV 7"),
         )
         .groupBy("cohort_day", "offset_week")
         .agg(F.count_distinct("user_id").cast("bigint").alias("retained_users"))
@@ -1397,7 +1399,7 @@ def specs() -> list[QuerySpec]:
         QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
                   "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,
-                  "strict ordered funnel (view -> cart -> purchase) with "
+                  "strict ordered 24h-window funnel (signup -> view -> purchase) with "
                   "step conversion rates"),
         QuerySpec("min_cost_supplier", q_min_cost_supplier, _MIN_COST_SQL,
                   "TPC-H Q2-shaped correlated-min subquery"),
