@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "quality_classifier_filter",
     "funnel_conversion",
     "cohort_retention",
+    "event_transitions",
 ]
 
 

@@ -61,6 +61,7 @@ DRIVER_PRIORITY = [
     "quality_classifier_filter",  # NEW: hashing-trick linear quality scorer
     "funnel_conversion",        # NEW: strict ordered+windowed funnel analysis
     "cohort_retention",         # NEW: first-seen cohorts x weekly retention matrix
+    "event_transitions",        # NEW: per-user event-type transition matrix
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -103,7 +104,8 @@ DRIVER_PRIORITY = [
     "training_mix_sample",
     "quality_percentile_filter",
     "dedup_exact",
-    "cube_events",
+    # cube_events (r3-green rollup) rotated out for event_transitions'
+    # tier-0 slot; rejoins in r6.
     # event_pivot / event_unpivot (r3-green reshapes) rotated out for the
     # funnel_conversion / cohort_retention tier-0 slots; rejoin in r6.
     # nation_pairs / nation_volume (r3-green, plain stable joins) rotated

@@ -1394,8 +1394,83 @@ ORDER BY cohort_day, offset_week
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain / Sankey
+    source): for each user's event stream in (ts, event_id) order,
+    count consecutive (from_type -> to_type) pairs and the per-from
+    transition probability.  The tiebreak matters twice: event_id
+    totals the order under equal timestamps, and the oracle orders by
+    epoch_us so the parquet nano-vs-micro precision gap cannot reorder
+    two same-microsecond events differently across engines.
+
+    Scale shape: ONE window pass partitioned by user_id (per-user
+    state, embarrassingly parallel) emitting slim (from, to) pairs,
+    then a map-side-combinable count over the |types|^2-bounded matrix;
+    the probability join touches |types| rows.  Event volume crosses
+    the wire exactly once, keyed on user_id."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].where(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("__from_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("__from_total"), 4
+            ).alias("transition_prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE user_id IS NOT NULL
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+         ) AS to_type
+  FROM ev
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
+  FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       round(CAST(c.n_transitions AS DOUBLE) / t.from_total, 4) AS transition_prob
+FROM counts c JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("event_transitions", q_event_transitions,
+                  ORACLE_EVENT_TRANSITIONS,
+                  "per-user event-type transition matrix with probabilities"),
         QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
                   "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,

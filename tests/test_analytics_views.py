@@ -150,3 +150,47 @@ def test_cohort_retention_matrix(spark):
         (d3, 0): (1, 1, 1.0),
         (d3, 2): (1, 1, 1.0),
     }
+
+
+def test_event_transitions_counts_and_probs(spark):
+    """Crafted streams pin the transition semantics: per-user ordered
+    pairs only (no cross-user transition), equal-timestamp order broken
+    by event_id, probabilities normalized per from-type."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_event_transitions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(uid, etype, mins, eid):
+        return Row(
+            user_id=uid, event_type=etype, ts=t0 + timedelta(minutes=mins), event_id=eid
+        )
+
+    rows = [
+        # user 1: view -> click -> view  (ties on ts broken by event_id)
+        ev(1, "view", 0, "a"), ev(1, "click", 1, "b"), ev(1, "view", 1, "c"),
+        # user 2: view -> purchase; the user boundary must NOT create
+        # a purchase -> view transition
+        ev(2, "view", 0, "d"), ev(2, "purchase", 5, "e"),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            (r.from_type, r.to_type): (r.n_transitions, r.transition_prob)
+            for r in q_event_transitions(spark, "unused").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "purchase"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
