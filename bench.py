@@ -155,6 +155,10 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "cohort_retention",
     "event_transitions",
+    # round-5: link-graph analytics (iterative fixed-point PageRank +
+    # degree-oriented triangle counting)
+    "pagerank_links",
+    "triangle_counts",
 ]
 
 

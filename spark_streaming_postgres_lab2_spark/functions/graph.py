@@ -1,0 +1,192 @@
+"""Distributed graph primitives over DataFrame edge lists.
+
+Complements the connected-components tier in
+``functions/similarity.py`` (alternating-star CC) with the two other
+classic link-graph workloads a corpus pipeline runs at scale:
+PageRank (host/document authority for crawl prioritization and
+quality weighting) and triangle counting (community structure /
+spam-farm density).
+
+Design notes for 100 TB:
+
+- **PageRank is EXACT fixed-point integer arithmetic.**  The usual
+  float implementation is non-deterministic across engines AND across
+  runs (the per-vertex sum of contributions is float addition, whose
+  result depends on partial-aggregation order).  Here ranks are
+  BIGINT micro-units (``scale`` = 1e12 total mass) and every step is
+  integer division / multiplication / sum -- order-independent, so a
+  DuckDB oracle can replay the algorithm bit-for-bit, and two cluster
+  runs of different parallelism agree exactly.  Overflow headroom:
+  total mass <= scale, so ``damping_num * sum`` <= 85e12 << 2^63.
+- **Per-round cost is one join + one groupBy**, both hash-partitioned
+  on the vertex id; the static edge side is joined once with its
+  out-degree and cached, so each round shuffles only the slim
+  (dst, contrib) stream.  Lineage is cut per round (localCheckpoint)
+  so the plan does not grow with the iteration count.
+- **Triangle counting uses degree orientation** (each undirected edge
+  kept only from lower-(degree, id) to higher-(degree, id) endpoint),
+  the standard trick that bounds the wedge join: every wedge is
+  generated at its lowest-degree vertex, making the intermediate size
+  O(sum deg_out^2) with deg_out <= sqrt(2|E|) even on power-law
+  graphs -- a plain self-join on the raw edge list explodes on hub
+  vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 1_000_000_000_000  # total rank mass, in integer units
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Exact integer-arithmetic PageRank.
+
+    rank_0(v)   = scale DIV n
+    contrib(u)  = rank(u) DIV outdeg(u)          (per out-edge)
+    rank_k+1(v) = ((damping_den - damping_num) * (scale DIV n)) DIV damping_den
+                  + (damping_num * SUM contrib(u->v)) DIV damping_den
+
+    Every operation is BIGINT, so the result is independent of
+    aggregation order and engine.  Dangling vertices (outdeg 0) leak
+    their damped mass -- the standard simplification; both the Spark
+    path and any SQL oracle replaying these recurrences agree exactly.
+    Returns (id, rank_fp) for every node, rank_fp in ``scale`` units.
+    """
+    n_row = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+
+    # static edge side: out-degree joined once, reused every round
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("bigint").alias("__outdeg"))
+    esrc = (
+        edges.join(outdeg, src)
+        .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__outdeg")
+        .localCheckpoint(eager=False)
+    )
+
+    # carry __n on every rank row (scalar broadcast anchor -- no collect)
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__rank"),
+            "__n",
+        )
+    )
+
+    teleport_num = damping_den - damping_num
+    for _ in range(iters):
+        summed = (
+            esrc.join(ranks, esrc["__src"] == ranks["__id"])
+            .select(F.col("__dst"), F.expr("__rank div __outdeg").alias("__c"))
+            .groupBy("__dst")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .join(summed, F.col(id_col) == F.col("__dst"), "left")
+            .select(
+                F.col(id_col).alias("__id"),
+                (
+                    F.expr(
+                        f"({teleport_num} * (CAST({scale} AS BIGINT) div __n))"
+                        f" div {damping_den}"
+                    )
+                    + F.expr(
+                        f"({damping_num} * coalesce(__s, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).cast("bigint").alias("__rank"),
+                "__n",
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return ranks.select(F.col("__id").alias(id_col), F.col("__rank").alias("rank_fp"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED simple graph.
+
+    Input may contain self-loops and duplicate / reversed duplicates;
+    they are canonicalized away first.  Orientation: keep each edge as
+    (lo, hi) ordered by (degree, id), generate wedges at the lowest
+    vertex, close them with a hash join against the oriented edge
+    list, then count each triangle at each of its three corners.
+    Returns (id, triangles) for vertices in >=1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # orient by the TOTAL ORDER (degree, id): every edge points from
+    # its smaller endpoint to its larger one under that order, making
+    # the oriented graph a DAG; the closing edge of any wedge is then
+    # stored in exactly one known direction.  Keep the head's degree
+    # on the edge so the wedge pair can be ordered by the same key.
+    da, db = deg.alias("da"), deg.alias("db")
+    a_first = (F.col("da.d") < F.col("db.d")) | (
+        (F.col("da.d") == F.col("db.d")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, F.col("a") == F.col("da.v"))
+        .join(db, F.col("b") == F.col("db.v"))
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(a_first, F.col("db.d")).otherwise(F.col("da.d")).alias("wd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # wedges at the lowest-order vertex: (y, z) both out-neighbors of
+    # x, ordered by the SAME (degree, id) key the orientation used --
+    # ordering by raw id here would look for closing edges that the
+    # orientation stored in the opposite direction
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    pair_ordered = (F.col("e1.wd") < F.col("e2.wd")) | (
+        (F.col("e1.wd") == F.col("e2.wd")) & (F.col("e1.w") < F.col("e2.w"))
+    )
+    wedges = (
+        e1.join(e2, F.col("e1.u") == F.col("e2.u"))
+        .filter(pair_ordered)
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.w").alias("y"),
+            F.col("e2.w").alias("z"),
+        )
+    )
+    tris = wedges.join(
+        e3,
+        (F.col("y") == F.col("e3.u")) & (F.col("z") == F.col("e3.w")),
+        "left_semi",
+    )
+    per_vertex = (
+        tris.select(F.col("x").alias("v"))
+        .unionByName(tris.select(F.col("y").alias("v")))
+        .unionByName(tris.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return per_vertex.select(F.col("v").alias("id"), "triangles")

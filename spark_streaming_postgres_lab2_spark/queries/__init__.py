@@ -62,6 +62,8 @@ DRIVER_PRIORITY = [
     "funnel_conversion",        # NEW: strict ordered+windowed funnel analysis
     "cohort_retention",         # NEW: first-seen cohorts x weekly retention matrix
     "event_transitions",        # NEW: per-user event-type transition matrix
+    "pagerank_links",           # NEW: fixed-point integer PageRank (exact oracle)
+    "triangle_counts",          # NEW: degree-oriented triangle counting
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -101,9 +103,10 @@ DRIVER_PRIORITY = [
     "embedding_quantize",
     "doc_chunks",
     "sequence_packing",
-    "training_mix_sample",
     "quality_percentile_filter",
-    "dedup_exact",
+    # training_mix_sample / dedup_exact (r3-green, deterministic stable
+    # shapes) rotated out for the pagerank_links / triangle_counts
+    # tier-0 slots; they rejoin in r6 with the other held-out entries.
     # cube_events (r3-green rollup) rotated out for event_transitions'
     # tier-0 slot; rejoins in r6.
     # event_pivot / event_unpivot (r3-green reshapes) rotated out for the
@@ -123,7 +126,7 @@ DRIVER_PRIORITY = [
 
 
 def all_specs() -> list[QuerySpec]:
-    from . import advanced, core, corpus, curation, ext, tpch_more
+    from . import advanced, core, corpus, curation, ext, graph, tpch_more
 
     specs = (
         core.specs()
@@ -132,6 +135,7 @@ def all_specs() -> list[QuerySpec]:
         + tpch_more.specs()
         + corpus.specs()
         + curation.specs()
+        + graph.specs()
     )
     by_name = {s.name: s for s in specs}
     missing = [n for n in DRIVER_PRIORITY if n not in by_name]
