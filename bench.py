@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "pagerank_links",
     "triangle_counts",
     "approx_quantiles_audit",
+    "bm25_search",
 ]
 
 

@@ -398,6 +398,135 @@ ORDER BY doc_id, term_rank
 """
 
 
+# --- BM25 keyword search ------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+# (query_id, term) pairs -- a benchmark query set over the corpus
+# vocabulary, literal on both engines
+_BM25_QUERIES = (
+    ("q_hash_join", "hash"), ("q_hash_join", "join"),
+    ("q_vector_scan", "vector"), ("q_vector_scan", "scan"),
+    ("q_slow_merge", "slow"), ("q_slow_merge", "merge"), ("q_slow_merge", "batch"),
+    ("q_customer_order", "customer"), ("q_customer_order", "order"),
+    ("q_filter_column", "filter"), ("q_filter_column", "column"),
+)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 documents per keyword query (Robertson/Sparck-Jones
+    with the Lucene non-negative idf): the retrieval stage of a
+    search / RAG pipeline over the corpus.
+
+    score(q,d) = sum over query terms t in d of
+      ln(1 + (N - df + 0.5)/(df + 0.5))
+      * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the (doc, term) tf frame is corpus-sized but touched
+    by one shuffle (its own groupBy); the df table is
+    vocabulary-sized and the query set is literal -- both broadcast,
+    so scoring is a map-side join over tf.  Per-query top-k is one
+    window over the scored frame (|queries| partitions).  Ranking
+    uses the ROUNDED score on both engines (tfidf_top_terms
+    precedent) so sub-ulp ln()/summation differences cannot reorder
+    ties; residual ties break on doc_id ASC."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = t["documents"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl")
+    )
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, term string"
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (F.col("tf") * (1 + _BM25_K1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(idf * norm_tf), 4).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score", "n_terms_hit")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_oracle() -> str:
+    values = ",\n    ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+WITH qterms(query_id, term) AS (VALUES
+    {values}
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1 + {_BM25_K1}))
+             / (tf.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * dl.dl / ad.avgdl))
+         ), 4) AS score,
+         CAST(count(*) AS INTEGER) AS n_terms_hit
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id), n, ad
+  GROUP BY qterms.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score, n_terms_hit
+FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_BM25 = _bm25_oracle()
+
+
 # --- rule-based filter chain --------------------------------------------------
 
 _MIN_TOKENS = 20
@@ -1177,6 +1306,12 @@ def specs() -> list[QuerySpec]:
             q_tfidf_top_terms,
             ORACLE_TFIDF_TOP_TERMS,
             "per-doc top-3 TF-IDF terms, broadcast df table",
+        ),
+        QuerySpec(
+            "bm25_search",
+            q_bm25_search,
+            ORACLE_BM25,
+            "BM25 top-5 docs per keyword query, broadcast query/df tables",
         ),
         QuerySpec(
             "corpus_filter_chain",

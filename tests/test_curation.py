@@ -379,3 +379,57 @@ def test_quality_classifier_fixture_nonvacuous(spark, sf_dir):
     rows = q_quality_classifier_filter(spark, sf_dir).collect()
     assert sum(r.kept_docs for r in rows) > 0
     assert sum(r.dropped_docs for r in rows) > 0
+
+
+def test_bm25_matches_python_mirror(spark, sf_dir):
+    """BM25 scores and ranking match an independent pure-Python
+    implementation of the same formula on the fixture corpus."""
+    import math
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        q_bm25_search,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    docs = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in load_tables(spark, sf_dir, ["documents"])["documents"].collect()
+    }
+    n = len(docs)
+    dl = {d: len(ts) for d, ts in docs.items()}
+    avgdl = sum(dl.values()) / n
+    df: dict = {}
+    for ts in docs.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    by_q: dict = {}
+    for q, t in _BM25_QUERIES:
+        by_q.setdefault(q, []).append(t)
+    expect = {}
+    for q, terms in by_q.items():
+        scored = []
+        for d, ts in docs.items():
+            s, hits = 0.0, 0
+            for t in terms:
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (1 + _BM25_K1)) / (
+                    tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[d] / avgdl)
+                )
+            if hits:
+                scored.append((round(s, 4), d, hits))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (s, d, hits) in enumerate(scored[:_BM25_TOPK], 1):
+            expect[(q, rank)] = (d, s, hits)
+
+    got = q_bm25_search(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert expect[(r.query_id, r.rank)] == (r.doc_id, r.score, r.n_terms_hit)
