@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "triangle_counts",
     "approx_quantiles_audit",
     "bm25_search",
+    "sorted_neighborhood_dedup",
 ]
 
 

@@ -12,7 +12,7 @@ is benchmarked under the ``*_fast`` names with rows-only checks."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -910,6 +910,142 @@ ORDER BY event_type
 """
 
 
+# --- sorted-neighborhood dedup (SNM) -----------------------------------------
+
+_SNM_WINDOW = 3        # compare each record to the next w-1 in sort order
+_SNM_KEY_LEN = 16      # blocking sort key: first 16 chars of the text
+# Jaccard threshold 4/5 as an exact integer cross-multiply -- no float
+# boundary compare anywhere
+_SNM_NUM, _SNM_DEN = 4, 5
+
+
+def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup detection (Hernandez &
+    Stolfo's merge/purge) -- the SORT-based blocking family,
+    complementing the hash (MinHash/SimHash/embedding-LSH) and
+    fingerprint (ngram_jaccard) families: sort by a cheap key,
+    compare each record only to its w-1 successors.
+
+    Scale shape: the sort window is PARTITIONED by the key's leading
+    character, never a global single-partition ordering -- the price
+    is missed neighbors across partition boundaries, and the standard
+    literature fix is applied: a SECOND pass with an independent sort
+    key (the reversed text), pair sets unioned.  The window carries
+    only (doc_id, key); token sets join back onto the slim candidate
+    pairs afterwards.  The duplicate test is token-set Jaccard >= 4/5
+    via exact integer cross-multiply (5*|A&B| >= 4*|A|B|), so no
+    float threshold compare exists; the reported jac is rounded for
+    display only."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    d = t["documents"].select("doc_id", F.col("text"), toks.alias("__toks"))
+    tok_sets = d.select("doc_id", "__toks")
+
+    def pass_pairs(key_col):
+        keyed = d.select("doc_id", key_col.alias("__key"))
+        w = Window.partitionBy(F.substring("__key", 1, 1)).orderBy(
+            "__key", "doc_id"
+        )
+        cands = None
+        for k in range(1, _SNM_WINDOW):
+            p = keyed.select(
+                F.col("doc_id").alias("__a"),
+                F.lead("doc_id", k).over(w).alias("__b"),
+            ).filter(F.col("__b").isNotNull())
+            cands = p if cands is None else cands.unionByName(p)
+        return cands
+
+    key1 = F.substring("text", 1, _SNM_KEY_LEN)
+    key2 = F.substring(F.reverse(F.col("text")), 1, _SNM_KEY_LEN)
+    cands = (
+        pass_pairs(key1)
+        .unionByName(pass_pairs(key2))
+        .select(
+            F.least("__a", "__b").alias("__a"),
+            F.greatest("__a", "__b").alias("__b"),
+        )
+        .distinct()
+    )
+    ta, tb = tok_sets.alias("ta"), tok_sets.alias("tb")
+    joined = (
+        cands.join(ta, F.col("__a") == F.col("ta.doc_id"))
+        .join(tb, F.col("__b") == F.col("tb.doc_id"))
+        .select(
+            F.col("__a").alias("doc_id_1"),
+            F.col("__b").alias("doc_id_2"),
+            F.size(F.array_intersect("ta.__toks", "tb.__toks"))
+            .cast("bigint")
+            .alias("__i"),
+            F.size(F.array_union("ta.__toks", "tb.__toks"))
+            .cast("bigint")
+            .alias("__u"),
+        )
+    )
+    return (
+        joined.filter(_SNM_DEN * F.col("__i") >= _SNM_NUM * F.col("__u"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(F.col("__i").cast("double") / F.col("__u"), 4).alias("jac"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+ORACLE_SNM_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS toks
+  FROM documents
+),
+k1 AS (SELECT doc_id, substr(text, 1, {_SNM_KEY_LEN}) AS key FROM d),
+k2 AS (SELECT doc_id, substr(reverse(text), 1, {_SNM_KEY_LEN}) AS key FROM d),
+p1 AS (
+  SELECT doc_id AS a,
+         lead(doc_id, 1) OVER (PARTITION BY substr(key, 1, 1)
+                               ORDER BY key, doc_id) AS b
+  FROM k1
+  UNION ALL
+  SELECT doc_id,
+         lead(doc_id, 2) OVER (PARTITION BY substr(key, 1, 1)
+                               ORDER BY key, doc_id)
+  FROM k1
+),
+p2 AS (
+  SELECT doc_id AS a,
+         lead(doc_id, 1) OVER (PARTITION BY substr(key, 1, 1)
+                               ORDER BY key, doc_id) AS b
+  FROM k2
+  UNION ALL
+  SELECT doc_id,
+         lead(doc_id, 2) OVER (PARTITION BY substr(key, 1, 1)
+                               ORDER BY key, doc_id)
+  FROM k2
+),
+cands AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+  WHERE b IS NOT NULL
+),
+scored AS (
+  SELECT c.a AS doc_id_1, c.b AS doc_id_2,
+         CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS i,
+         CAST(len(list_distinct(list_concat(da.toks, db.toks))) AS BIGINT) AS u
+  FROM cands c
+  JOIN d da ON da.doc_id = c.a
+  JOIN d db ON db.doc_id = c.b
+)
+SELECT doc_id_1, doc_id_2,
+       round(CAST(i AS DOUBLE) / u, 4) AS jac
+FROM scored
+WHERE {_SNM_DEN} * i >= {_SNM_NUM} * u
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
 _STRATA_FRACTIONS = {
     "view": 0.1,
     "click": 0.2,
@@ -1632,6 +1768,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("approx_quantiles_audit", q_approx_quantiles_audit,
                   ORACLE_APPROX_QUANTILES_AUDIT,
                   "quantile sketch within 5% of exact p50/p95 under the oracle"),
+        QuerySpec("sorted_neighborhood_dedup", q_sorted_neighborhood_dedup,
+                  ORACLE_SNM_DEDUP,
+                  "multi-pass sorted-neighborhood near-dup (sort-based blocking)"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

@@ -505,3 +505,49 @@ def test_portable_verify_drops_zero_norm_pairs(spark):
     pair_ids = {(a, b) for a, b, _ in arrow}
     assert (1, 2) not in pair_ids  # zero-norm pair dropped
     assert (3, 4) in pair_ids      # true duplicates still found
+
+
+def test_snm_dedup_passes_and_threshold(spark, tmp_path):
+    """Sorted-neighborhood dedup: (a) near-identical docs adjacent in
+    primary sort order are found; (b) a pair whose keys land in
+    DIFFERENT first-char partitions is still found via the
+    reversed-text second pass (the multi-pass boundary fix); (c) a
+    below-threshold pair is excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_sorted_neighborhood_dedup,
+    )
+
+    docs = [
+        # (a) same prefix -> adjacent in pass 1; high Jaccard
+        (0, "alpha beta gamma delta epsilon zeta eta theta kappa mu"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta kappa nu"),
+        # (b) different first chars (different pass-1 partitions) but
+        # SAME reversed suffix -> adjacent only in pass 2
+        (2, "mike lima kilo jul hotel golf foxtrot echo same tail words"),
+        (3, "zulu lima kilo jul hotel golf foxtrot echo same tail words"),
+        # (c) shares the 'alpha beta' prefix with 0/1 (adjacent in
+        # pass 1) but low Jaccard -> excluded
+        (4, "alpha beta one two three four five six seven eight nine"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in q_sorted_neighborhood_dedup(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in got       # pass-1 neighbors
+    assert (2, 3) in got       # only reachable via the reversed key
+    assert not any(4 in p for p in got)  # below threshold
