@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "approx_quantiles_audit",
     "bm25_search",
     "sorted_neighborhood_dedup",
+    "zscore_anomaly_hours",
 ]
 
 

@@ -1466,11 +1466,137 @@ ORDER BY from_type, to_type
 """
 
 
+# --- trailing-window z-score anomaly detection -------------------------------
+
+_ZS_WINDOW = 24  # trailing hours in the baseline window
+_ZS_SIGMA = 3    # anomaly threshold, in population standard deviations
+
+
+def q_zscore_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per event type, flag hours whose
+    event count deviates >= 3 population-sigma from the TRAILING 24
+    fully-gap-filled hours (the monitoring primitive behind "traffic
+    for `purchase` just spiked/died").
+
+    Exactness: with S = sum, Q = sum of squares, c = count over the
+    trailing window (all BIGINT -- counts are integers), the z test
+    |x - S/c| >= 3*sigma_pop rearranges to the INTEGER predicate
+      (c*x - S)^2 >= 9*(c*Q - S^2)
+    so the anomaly flag involves no float compare at all; the
+    reported z = (c*x - S)/sqrt(c*Q - S^2) is display-only (rounded
+    4).  A constant baseline (zero variance) flags any deviation.
+    Overflow bound: exact while c*Q < 2^63, i.e. hourly counts up to
+    ~6e8 at the 24-hour window -- beyond that, pre-aggregate to a
+    coarser grain.
+
+    Scale shape: the raw stream collapses to (type, hour) counts in
+    one map-side-combinable groupBy; everything after runs on the
+    gap-filled spine whose size is types x hours (clock time, not
+    event volume), so the window partitions stay tiny at any data
+    scale."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+    )
+    counts = ev.groupBy("event_type", "hour_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    bounds = ev.agg(
+        F.min("hour_id").alias("__mn"), F.max("hour_id").alias("__mx")
+    )
+    spine = (
+        bounds.select(F.explode(F.sequence("__mn", "__mx")).alias("hour_id"))
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    dense = spine.join(counts, ["event_type", "hour_id"], "left").select(
+        "event_type", "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-_ZS_WINDOW, -1)
+    )
+    stats = dense.select(
+        "event_type",
+        "hour_id",
+        "cnt",
+        F.sum("cnt").over(w).alias("__s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("__q"),
+        F.count("cnt").over(w).alias("__c"),
+    )
+    dev = F.col("__c") * F.col("cnt") - F.col("__s")         # c*x - S
+    varn = F.col("__c") * F.col("__q") - F.col("__s") * F.col("__s")  # c*Q - S^2
+    return (
+        stats.select(
+            "event_type",
+            "hour_id",
+            "cnt",
+            F.when(
+                (F.col("__c") >= _ZS_WINDOW) & (varn > 0),
+                F.round(dev / F.sqrt(varn.cast("double")), 4),
+            ).alias("z"),
+            F.when(F.col("__c") < _ZS_WINDOW, F.lit(None).cast("int"))
+            .when(dev == 0, F.lit(0))
+            .when(dev * dev >= _ZS_SIGMA * _ZS_SIGMA * varn, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+ORACLE_ZSCORE_ANOMALY = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id FROM events
+),
+counts AS (
+  SELECT event_type, hour_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY event_type, hour_id
+),
+bounds AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM ev),
+spine AS (
+  SELECT t.event_type, h.hour_id
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM bounds) h
+),
+dense AS (
+  SELECT s.event_type, s.hour_id,
+         CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c USING (event_type, hour_id)
+),
+stats AS (
+  SELECT event_type, hour_id, cnt,
+         sum(cnt) OVER tw AS s,
+         sum(cnt * cnt) OVER tw AS q,
+         count(cnt) OVER tw AS c
+  FROM dense
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_id
+                ROWS BETWEEN {_ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_id, cnt,
+       CASE WHEN c >= {_ZS_WINDOW} AND c * q - s * s > 0
+            THEN round((c * cnt - s) / sqrt(CAST(c * q - s * s AS DOUBLE)), 4)
+       END AS z,
+       CASE WHEN c < {_ZS_WINDOW} THEN NULL
+            WHEN c * cnt - s = 0 THEN 0
+            WHEN (c * cnt - s) * (c * cnt - s)
+                 >= {_ZS_SIGMA * _ZS_SIGMA} * (c * q - s * s) THEN 1
+            ELSE 0
+       END AS is_anomaly
+FROM stats
+ORDER BY event_type, hour_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("event_transitions", q_event_transitions,
                   ORACLE_EVENT_TRANSITIONS,
                   "per-user event-type transition matrix with probabilities"),
+        QuerySpec("zscore_anomaly_hours", q_zscore_anomaly_hours,
+                  ORACLE_ZSCORE_ANOMALY,
+                  "trailing-24h integer z-score anomaly flags per event type"),
         QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
                   "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,

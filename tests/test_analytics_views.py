@@ -194,3 +194,55 @@ def test_event_transitions_counts_and_probs(spark):
         ("view", "purchase"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_zscore_anomaly_planted_spikes(spark):
+    """Crafted series pin the z-score semantics: warmup hours (<24
+    trailing rows) are NULL-flagged; a spike over a CONSTANT baseline
+    (zero variance) flags with NULL z; a spike over a varying baseline
+    flags with the exact z; the hour after a spike is not flagged."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_zscore_anomaly_hours,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = []
+    # type A: constant 5/hour for hours 0..23, spike 20 at hour 24,
+    # back to 5 at hour 25
+    for h in range(24):
+        rows += [Row(event_type="A", ts=t0 + timedelta(hours=h))] * 5
+    rows += [Row(event_type="A", ts=t0 + timedelta(hours=24))] * 20
+    rows += [Row(event_type="A", ts=t0 + timedelta(hours=25))] * 5
+    # type B: alternating 4/6 baseline, spike 30 at hour 24
+    for h in range(24):
+        rows += [Row(event_type="B", ts=t0 + timedelta(hours=h))] * (4 if h % 2 == 0 else 6)
+    rows += [Row(event_type="B", ts=t0 + timedelta(hours=24))] * 30
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        res = q_zscore_anomaly_hours(spark, "unused").collect()
+        base = min(r.hour_id for r in res)
+        out = {(r.event_type, r.hour_id - base): r for r in res}
+    finally:
+        adv.load_tables = orig
+
+    # warmup: every hour before 24 trailing rows exist is NULL-flagged
+    for h in range(24):
+        assert out[("A", h)].is_anomaly is None
+    # constant baseline, zero variance: spike flags, z is NULL
+    a24 = out[("A", 24)]
+    assert a24.is_anomaly == 1 and a24.z is None
+    # hour after the spike: back in range (spike inflates the window
+    # variance), not flagged, exact z = -15/sqrt(5175)
+    a25 = out[("A", 25)]
+    assert a25.is_anomaly == 0
+    assert a25.z == round(-15 / 5175 ** 0.5, 4)
+    # varying baseline: exact integer predicate and z = 600/sqrt(576) = 25
+    b24 = out[("B", 24)]
+    assert b24.is_anomaly == 1 and b24.z == 25.0
