@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "sorted_neighborhood_dedup",
     "zscore_anomaly_hours",
+    "session_path_mining",
 ]
 
 

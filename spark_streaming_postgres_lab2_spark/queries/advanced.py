@@ -1466,6 +1466,98 @@ ORDER BY from_type, to_type
 """
 
 
+# --- frequent session paths ---------------------------------------------------
+
+_PATH_TOPK = 20
+
+
+def q_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event-type paths within sessions
+    (frequent-sequence mining, the product-analytics sibling of
+    funnel/transition analysis: "what do users actually do", not
+    "did they do the path we picked").
+
+    Sessions use the same 30-min-gap rule as q_sessionization; paths
+    are consecutive trigrams inside a session, ordered by (ts,
+    event_id) -- the oracle orders by (epoch_us, event_id) so the
+    parquet nano-vs-micro precision gap cannot reorder equal-micro
+    events differently across engines.
+
+    Scale shape: both windows partition by user (then user+session) --
+    per-user event counts bound the partition, never corpus size; the
+    trigram frame is one groupBy count (map-side combinable, at most
+    |types|^3 distinct keys) and the final top-k is
+    TakeOrderedAndProject.  All values are strings/BIGINTs -- exact."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].withColumn(
+        "__new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "__sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
+    paths = (
+        sid.select(
+            "event_type",
+            F.lead("event_type", 1).over(sw).alias("__t1"),
+            F.lead("event_type", 2).over(sw).alias("__t2"),
+        )
+        .filter(F.col("__t1").isNotNull() & F.col("__t2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "__t1", "__t2").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sequences"))
+        .orderBy(F.desc("n_sequences"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+),
+tri AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER sw || '>' ||
+         lead(event_type, 2) OVER sw AS path,
+         lead(event_type, 2) OVER sw AS t2
+  FROM sid
+  WINDOW sw AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sequences
+FROM tri
+WHERE t2 IS NOT NULL
+GROUP BY path
+ORDER BY n_sequences DESC, path
+LIMIT {_PATH_TOPK}
+"""
+
+
 # --- trailing-window z-score anomaly detection -------------------------------
 
 _ZS_WINDOW = 24  # trailing hours in the baseline window
@@ -1597,6 +1689,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("zscore_anomaly_hours", q_zscore_anomaly_hours,
                   ORACLE_ZSCORE_ANOMALY,
                   "trailing-24h integer z-score anomaly flags per event type"),
+        QuerySpec("session_path_mining", q_session_path_mining,
+                  ORACLE_SESSION_PATHS,
+                  "top-20 frequent 3-step event paths within 30-min sessions"),
         QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
                   "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,

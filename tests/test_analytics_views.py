@@ -246,3 +246,39 @@ def test_zscore_anomaly_planted_spikes(spark):
     # varying baseline: exact integer predicate and z = 600/sqrt(576) = 25
     b24 = out[("B", 24)]
     assert b24.is_anomaly == 1 and b24.z == 25.0
+
+
+def test_session_path_mining_boundary_and_counts(spark):
+    """Trigrams never cross the 30-min session boundary, and identical
+    paths aggregate across users."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_session_path_mining,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, uid, etype, minutes):
+        return Row(event_id=i, user_id=uid, event_type=etype,
+                   ts=t0 + timedelta(minutes=minutes))
+
+    rows = [
+        # user 1, session 1: A B C D -> A>B>C, B>C>D
+        ev(1, 1, "A", 0), ev(2, 1, "B", 1), ev(3, 1, "C", 2), ev(4, 1, "D", 3),
+        # 31-min gap -> session 2: E F G -> E>F>G only (no C>D>E, D>E>F)
+        ev(5, 1, "E", 34), ev(6, 1, "F", 35), ev(7, 1, "G", 36),
+        # user 2 repeats A B C -> A>B>C count 2
+        ev(8, 2, "A", 0), ev(9, 2, "B", 1), ev(10, 2, "C", 2),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.path: r.n_sequences for r in q_session_path_mining(spark, "x").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == {"A>B>C": 2, "B>C>D": 1, "E>F>G": 1}
