@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood_dedup",
     "zscore_anomaly_hours",
     "session_path_mining",
+    "term_pmi_cooccurrence",
 ]
 
 

@@ -69,6 +69,7 @@ DRIVER_PRIORITY = [
     "sorted_neighborhood_dedup",  # NEW: sort-based blocking dedup family
     "zscore_anomaly_hours",     # NEW: trailing-24h integer z-score anomalies
     "session_path_mining",      # NEW: frequent 3-step session paths
+    "term_pmi_cooccurrence",    # NEW: PMI word association, top-50 pairs
     # round 5, tier 1: the 16 oracles whose last driver-green row is
     # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
     "big_orders",
@@ -103,14 +104,14 @@ DRIVER_PRIORITY = [
     "dlq_breakdown",
     "late_arrivals",
     "quality_hourly",
-    "enriched_events",
     # training_mix_sample / dedup_exact / doc_chunks / sequence_packing /
     # quality_percentile_filter / embedding_quantize /
-    # multimodal_resize_real (r3-green, deterministic stable shapes)
-    # rotated out for the pagerank_links / triangle_counts /
+    # multimodal_resize_real / enriched_events (r3-green, stable
+    # shapes) rotated out for the pagerank_links / triangle_counts /
     # approx_quantiles_audit / bm25_search / sorted_neighborhood_dedup /
-    # zscore_anomaly_hours / session_path_mining tier-0 slots; they
-    # rejoin in r6 with the other held-out entries.
+    # zscore_anomaly_hours / session_path_mining /
+    # term_pmi_cooccurrence tier-0 slots; they rejoin in r6 with the
+    # other held-out entries.
     # cube_events (r3-green rollup) rotated out for event_transitions'
     # tier-0 slot; rejoins in r6.
     # event_pivot / event_unpivot (r3-green reshapes) rotated out for the

@@ -527,6 +527,95 @@ ORDER BY query_id, rank
 ORACLE_BM25 = _bm25_oracle()
 
 
+# --- PMI term co-occurrence ---------------------------------------------------
+
+_PMI_VOCAB = 30   # pairs restricted to the top-30 terms by doc frequency
+_PMI_TOPK = 50    # emitted pairs
+
+
+def q_term_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-occurring term pairs --
+    the word-association statistic behind collocation extraction and
+    phrase mining: pmi(a,b) = ln(P(a,b) / (P(a)P(b))) with
+    document-level presence probabilities.
+
+    Pairs are restricted to the top-``_PMI_VOCAB`` terms by document
+    frequency (cut deterministically on (df DESC, term)), so the pair
+    space is <= C(30,2) and each document contributes at most that
+    many pairs to the count -- the doc-id self-join is bounded per
+    doc, never corpus-quadratic; the vocabulary table broadcasts.
+    All counts are exact BIGINTs; pmi is display-only (one ln,
+    rounded 4) and the emitted top-50 orders on (n_both DESC, term_a,
+    term_b) -- fully discrete."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    vocab = df_.orderBy(F.desc("df"), F.asc("term")).limit(_PMI_VOCAB)
+    vtok = tok.join(F.broadcast(vocab), "term")
+    n_row = t["documents"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    a, b = vtok.alias("a"), vtok.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_row))
+        .select(
+            "term_a",
+            "term_b",
+            "n_both",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("__n")).cast("double")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_both"), "term_a", "term_b")
+        .limit(_PMI_TOPK)
+    )
+
+
+ORACLE_TERM_PMI = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  )
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term),
+vocab AS (SELECT * FROM df ORDER BY df DESC, term LIMIT {_PMI_VOCAB}),
+vtok AS (SELECT tok.doc_id, tok.term, vocab.df FROM tok JOIN vocab USING (term)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS df_a, b.df AS df_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM vtok a JOIN vtok b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term, a.df, b.df
+)
+SELECT term_a, term_b, n_both, df_a, df_b,
+       round(ln(CAST(n_both * n.n_docs AS DOUBLE) / (df_a * df_b)), 4) AS pmi
+FROM pairs, n
+ORDER BY n_both DESC, term_a, term_b
+LIMIT {_PMI_TOPK}
+"""
+
+
 # --- rule-based filter chain --------------------------------------------------
 
 _MIN_TOKENS = 20
@@ -1312,6 +1401,12 @@ def specs() -> list[QuerySpec]:
             q_bm25_search,
             ORACLE_BM25,
             "BM25 top-5 docs per keyword query, broadcast query/df tables",
+        ),
+        QuerySpec(
+            "term_pmi_cooccurrence",
+            q_term_pmi_cooccurrence,
+            ORACLE_TERM_PMI,
+            "PMI word association over the top-30-df vocabulary, top-50 pairs",
         ),
         QuerySpec(
             "corpus_filter_chain",

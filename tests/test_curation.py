@@ -433,3 +433,40 @@ def test_bm25_matches_python_mirror(spark, sf_dir):
     assert len(got) == len(expect)
     for r in got:
         assert expect[(r.query_id, r.rank)] == (r.doc_id, r.score, r.n_terms_hit)
+
+
+def test_term_pmi_hand_computed(spark, tmp_path):
+    """PMI values and counts on a hand-computable corpus."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_term_pmi_cooccurrence,
+    )
+
+    texts = ["a b", "a b", "a c", "b c x", "x"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        (r.term_a, r.term_b): (r.n_both, r.df_a, r.df_b, r.pmi)
+        for r in q_term_pmi_cooccurrence(spark, str(tmp_path)).collect()
+    }
+    n = 5
+    assert got[("a", "b")] == (2, 3, 3, round(math.log(2 * n / 9), 4))
+    assert got[("a", "c")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
+    assert got[("b", "c")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
+    assert got[("b", "x")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
+    assert got[("c", "x")] == (1, 2, 2, round(math.log(1 * n / 4), 4))
+    assert len(got) == 5  # no (a,x): never co-occur
