@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.sessions import with_session_ids
 from ..sources.tables import load_tables, register_views
 from . import QuerySpec
 from .core import money_sum, sql_money_sum
@@ -1001,24 +1002,9 @@ def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     union/join, and without the cut the two-window sessionization
     pipeline re-executes once per reference."""
     t = load_tables(spark, sf_dir, ["events"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = t["events"].select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session").over(w).alias("sid"),
-    )
+    sess = with_session_ids(
+        t["events"].select("user_id", "ts", "event_id")
+    ).select("user_id", "ts", F.col("__sid").alias("sid"))
     return (
         sess.groupBy("user_id", "sid")
         .agg(
@@ -1489,22 +1475,9 @@ def q_session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|^3 distinct keys) and the final top-k is
     TakeOrderedAndProject.  All values are strings/BIGINTs -- exact."""
     t = load_tables(spark, sf_dir, ["events"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = t["events"].withColumn(
-        "__new",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
-    sid = flagged.withColumn(
-        "__sid",
-        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    # NULL event_type would diverge between engines (concat_ws skips
+    # NULLs, '||' propagates them) -- drop such rows on BOTH sides
+    sid = with_session_ids(t["events"].filter(F.col("event_type").isNotNull()))
     sw = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
     paths = (
         sid.select(
@@ -1532,6 +1505,7 @@ WITH flagged AS (
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE event_type IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 ),
 sid AS (
@@ -1577,9 +1551,10 @@ def q_zscore_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the anomaly flag involves no float compare at all; the
     reported z = (c*x - S)/sqrt(c*Q - S^2) is display-only (rounded
     4).  A constant baseline (zero variance) flags any deviation.
-    Overflow bound: exact while c*Q < 2^63, i.e. hourly counts up to
-    ~6e8 at the 24-hour window -- beyond that, pre-aggregate to a
-    coarser grain.
+    Overflow bound: the binding term is dev^2 = (c*x - S)^2, worst
+    case ~(2*c*x)^2, so BIGINT exactness holds for hourly counts up
+    to ~1.2e8 at the 24-hour window (sqrt(2^63)/(2*24)) -- beyond
+    that, pre-aggregate to a coarser grain.
 
     Scale shape: the raw stream collapses to (type, hour) counts in
     one map-side-combinable groupBy; everything after runs on the

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.sessions import with_session_ids
 from ..operators.dedup import dedup_exact
 from ..operators.validate import (
     build_error_column,
@@ -548,21 +549,10 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions at datagen time with the same 30-min bucket rule
     (data_generator.py:81-88)."""
     t = load_tables(spark, sf_dir, ["events"])
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = t["events"].withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
+    flagged = with_session_ids(t["events"])
     return flagged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("event_count"),
-        F.sum("new_session").cast("bigint").alias("session_count"),
+        F.sum("__new").cast("bigint").alias("session_count"),
     )
 
 

@@ -937,8 +937,11 @@ def q_sorted_neighborhood_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold compare exists; the reported jac is rounded for
     display only."""
     t = load_tables(spark, sf_dir, ["documents"])
+    # the corpus-wide tokenizer (functions/text.tokens), same as every
+    # other dedup family -- a private split here would silently fork
+    # SNM's Jaccard sets if the tokenization rule ever changes
     toks = F.array_distinct(
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        F.filter(TX.tokens(F.col("text")), lambda x: x != "")
     )
     d = t["documents"].select("doc_id", F.col("text"), toks.alias("__toks"))
     tok_sets = d.select("doc_id", "__toks")
