@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "zscore_anomaly_hours",
     "session_path_mining",
     "term_pmi_cooccurrence",
+    "fuzzy_record_linkage",
 ]
 
 

@@ -910,6 +910,130 @@ ORDER BY event_type
 """
 
 
+# --- fuzzy record linkage (edit distance) ------------------------------------
+
+_LINK_SAMPLE_MOD = 20   # every 20th customer spawns a dirty record
+_LINK_BLOCK = 1000      # custkey-range blocking (synthetic "zip code")
+_LINK_MAX_DIST = 2      # candidate threshold in edit distance
+
+
+def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by EDIT DISTANCE -- the levenshtein matching
+    family, complementing token-set (SNM, ngram Jaccard) and hash
+    (MinHash/SimHash) similarity: link a deterministically corrupted
+    "dirty" record back to its clean source.
+
+    Dirty side: every ``_LINK_SAMPLE_MOD``-th customer's name with one
+    character dropped at a key-dependent position (the classic
+    typo/OCR model).  Blocking: (c_nationkey, custkey div
+    ``_LINK_BLOCK``) -- a reliable attribute pair, so block sizes are
+    CONSTANT (~block/nations) and the candidate join is linear in
+    corpus size, never quadratic.  Candidates within edit distance
+    ``_LINK_MAX_DIST``; best match by struct-MIN argmin on (distance,
+    custkey) -- every value BIGINT/exact, levenshtein agrees
+    bit-for-bit across engines.  ``match_correct`` reports linkage
+    accuracy (1 = linked back to the true source) so the driver hash
+    pins match QUALITY, not just mechanics."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    clean = t["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_custkey") / _LINK_BLOCK).cast("bigint").alias("__blk"),
+    )
+    # drop one char at position 10 + (custkey % 8) -- inside the digit
+    # suffix of Customer#DDDDDDDDD (1-indexed length 18)
+    pos = (F.col("c_custkey") % 8 + 10).cast("int")
+    dirty = (
+        clean.filter(F.col("c_custkey") % _LINK_SAMPLE_MOD == 0)
+        .select(
+            F.col("c_custkey").alias("dirty_key"),
+            F.concat(
+                F.expr("substring(c_name, 1, CAST(c_custkey % 8 + 9 AS INT))"),
+                F.expr("substring(c_name, CAST(c_custkey % 8 + 11 AS INT), 18)"),
+            ).alias("dirty_name"),
+            F.col("c_nationkey").alias("d_nationkey"),
+            F.col("__blk").alias("d_blk"),
+        )
+    )
+    cand = (
+        dirty.join(
+            clean,
+            (F.col("d_nationkey") == F.col("c_nationkey"))
+            & (F.col("d_blk") == F.col("__blk")),
+        )
+        .select(
+            "dirty_key",
+            "c_custkey",
+            F.levenshtein("dirty_name", "c_name").alias("dist"),
+        )
+        .filter(F.col("dist") <= _LINK_MAX_DIST)
+    )
+    best = cand.groupBy("dirty_key").agg(
+        F.min(F.struct("dist", "c_custkey")).alias("__best"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+    )
+    return (
+        best.select(
+            "dirty_key",
+            F.col("__best.c_custkey").alias("matched_key"),
+            F.col("__best.dist").cast("int").alias("best_distance"),
+            "n_candidates",
+            F.when(F.col("__best.c_custkey") == F.col("dirty_key"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("match_correct"),
+        )
+        .orderBy("dirty_key")
+    )
+
+
+ORACLE_FUZZY_LINKAGE = f"""
+WITH clean AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_custkey // {_LINK_BLOCK} AS blk
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS dirty_key,
+         substr(c_name, 1, CAST(c_custkey % 8 + 9 AS INT))
+           || substr(c_name, CAST(c_custkey % 8 + 11 AS INT), 18) AS dirty_name,
+         c_nationkey AS d_nationkey, blk AS d_blk
+  FROM clean
+  WHERE c_custkey % {_LINK_SAMPLE_MOD} = 0
+),
+cand AS (
+  SELECT d.dirty_key, c.c_custkey,
+         levenshtein(d.dirty_name, c.c_name) AS dist
+  FROM dirty d
+  JOIN clean c
+    ON c.c_nationkey = d.d_nationkey AND c.blk = d.d_blk
+  WHERE levenshtein(d.dirty_name, c.c_name) <= {_LINK_MAX_DIST}
+),
+best AS (
+  SELECT dirty_key,
+         min(dist) AS best_dist,
+         CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY dirty_key
+),
+pick AS (
+  SELECT b.dirty_key,
+         min(c.c_custkey) AS matched_key,
+         b.best_dist, b.n_candidates
+  FROM best b JOIN cand c
+    ON c.dirty_key = b.dirty_key AND c.dist = b.best_dist
+  GROUP BY b.dirty_key, b.best_dist, b.n_candidates
+)
+SELECT dirty_key, matched_key,
+       CAST(best_dist AS INTEGER) AS best_distance,
+       n_candidates,
+       CAST(CASE WHEN matched_key = dirty_key THEN 1 ELSE 0 END AS INTEGER)
+         AS match_correct
+FROM pick
+ORDER BY dirty_key
+"""
+
+
 # --- sorted-neighborhood dedup (SNM) -----------------------------------------
 
 _SNM_WINDOW = 3        # compare each record to the next w-1 in sort order
@@ -1774,6 +1898,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("sorted_neighborhood_dedup", q_sorted_neighborhood_dedup,
                   ORACLE_SNM_DEDUP,
                   "multi-pass sorted-neighborhood near-dup (sort-based blocking)"),
+        QuerySpec("fuzzy_record_linkage", q_fuzzy_record_linkage,
+                  ORACLE_FUZZY_LINKAGE,
+                  "edit-distance entity resolution with attribute blocking"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

@@ -551,3 +551,37 @@ def test_snm_dedup_passes_and_threshold(spark, tmp_path):
     assert (0, 1) in got       # pass-1 neighbors
     assert (2, 3) in got       # only reachable via the reversed key
     assert not any(4 in p for p in got)  # below threshold
+
+
+def test_fuzzy_record_linkage_crafted(spark):
+    """Hand-checkable linkage: the corrupted record links back to its
+    source at distance 1; blocking excludes other-nation candidates;
+    ties at equal distance resolve to the smaller custkey."""
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_fuzzy_record_linkage,
+    )
+
+    def cust(k, nation):
+        return (k, f"Customer#{k:09d}", nation)
+
+    df = spark.createDataFrame(
+        # custkeys 0,1,2 in nation 5 (same div-1000 block); 40 isolated
+        # in nation 7 -- its dirty twin must only see nation-7 records
+        [cust(0, 5), cust(1, 5), cust(2, 5), cust(40, 7)],
+        "c_custkey long, c_name string, c_nationkey long",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"customer": df}
+        got = {r.dirty_key: r for r in q_fuzzy_record_linkage(spark, "x").collect()}
+    finally:
+        ext.load_tables = orig
+    # dirty(0) = drop pos 10 of Customer#000000000 -> 17 chars; parent
+    # at dist 1, "Customer#000000001"/2 also at dist 1 (one insert) ->
+    # 3 candidates, tie resolves to min custkey = the true parent
+    assert (got[0].matched_key, got[0].best_distance, got[0].match_correct) == (0, 1, 1)
+    assert got[0].n_candidates == 3
+    # dirty(40): nation-7 block holds only its parent
+    assert (got[40].matched_key, got[40].n_candidates, got[40].match_correct) == (40, 1, 1)
+    assert set(got) == {0, 40}
