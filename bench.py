@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "session_path_mining",
     "term_pmi_cooccurrence",
     "fuzzy_record_linkage",
+    "scd2_priority_dim",
 ]
 
 

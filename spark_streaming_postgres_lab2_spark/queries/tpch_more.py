@@ -629,8 +629,118 @@ LIMIT 20
 """
 
 
+# --- SCD Type-2 dimension build ----------------------------------------------
+
+
+def q_scd2_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build -- the warehouse
+    operator that turns a change stream into versioned validity
+    intervals: per customer, each ORDER PRIORITY change opens a new
+    version [valid_from, valid_to) and closes the previous one;
+    consecutive orders with the SAME priority collapse into one
+    version (gaps-and-islands change detection, the defining SCD2
+    behavior vs naive snapshotting).
+
+    Columns: version ordinal, priority, valid_from/valid_to as
+    epoch_us BIGINT (valid_to NULL on the current version),
+    is_current flag.  Everything is integer/string -- exact.
+
+    Scale shape: two window passes partitioned by customer (change
+    flag via lag, then interval close via lead over the collapsed
+    version frame) -- partition size is per-customer order history,
+    never corpus-wide; the collapse groupBy is map-side combinable."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__us"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("__us", "o_orderkey")
+    flagged = o.withColumn(
+        "__chg",
+        F.when(
+            F.lag("o_orderpriority").over(w).isNull()
+            | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "__ver",
+        F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = versioned.groupBy("o_custkey", "__ver").agg(
+        # every order in an island shares one priority by construction;
+        # MIN is a deterministic "any" on both engines
+        F.min("o_orderpriority").alias("priority"),
+        F.min("__us").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    vw = Window.partitionBy("o_custkey").orderBy("__ver")
+    return (
+        islands.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("__ver").cast("int").alias("version"),
+            "priority",
+            "valid_from",
+            F.lead("valid_from", 1).over(vw).alias("valid_to"),
+            "n_orders",
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int"),
+        )
+        .orderBy("custkey", "version")
+    )
+
+
+ORACLE_SCD2_PRIORITY = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         epoch_us(o_orderdate) AS us
+  FROM orders
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY us, o_orderkey)
+),
+versioned AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS ver
+  FROM flagged
+),
+islands AS (
+  SELECT o_custkey, ver,
+         min(o_orderpriority) AS priority,
+         min(us) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM versioned GROUP BY o_custkey, ver
+)
+SELECT o_custkey AS custkey,
+       CAST(ver AS INTEGER) AS version,
+       priority,
+       valid_from,
+       lead(valid_from, 1) OVER (PARTITION BY o_custkey ORDER BY ver) AS valid_to,
+       n_orders,
+       CAST(CASE WHEN lead(valid_from, 1) OVER (
+              PARTITION BY o_custkey ORDER BY ver
+            ) IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM islands
+ORDER BY custkey, version
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec("scd2_priority_dim", q_scd2_priority_dim,
+                  ORACLE_SCD2_PRIORITY,
+                  "SCD Type-2 dimension build (versioned validity intervals)"),
         QuerySpec("nation_volume", q_nation_volume, ORACLE_NATION_VOLUME,
                   "TPC-H Q7-shaped cross-nation revenue flow"),
         QuerySpec("returned_revenue", q_returned_revenue, ORACLE_RETURNED_REVENUE,

@@ -282,3 +282,48 @@ def test_session_path_mining_boundary_and_counts(spark):
     finally:
         adv.load_tables = orig
     assert got == {"A>B>C": 2, "B>C>D": 1, "E>F>G": 1}
+
+
+def test_scd2_collapses_unchanged_and_chains_intervals(spark):
+    """SCD2 semantics: consecutive same-priority orders collapse into
+    one version; valid_to of version k equals valid_from of k+1; only
+    the last version is current."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_scd2_priority_dim,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def o(key, cust, prio, days):
+        return Row(o_orderkey=key, o_custkey=cust, o_orderpriority=prio,
+                   o_orderdate=t0 + timedelta(days=days))
+
+    rows = [
+        o(1, 7, "HIGH", 0), o(2, 7, "HIGH", 10),   # collapse
+        o(3, 7, "LOW", 20),
+        o(4, 7, "HIGH", 30),                        # re-open as NEW version
+        o(5, 8, "URGENT", 5),                       # single-version customer
+    ]
+    df = spark.createDataFrame(rows)
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {"orders": df}
+        got = {(r.custkey, r.version): r for r in q_scd2_priority_dim(spark, "x").collect()}
+    finally:
+        tm.load_tables = orig
+
+    us = lambda d: int((t0 + timedelta(days=d)).timestamp() * 1e6)  # noqa: E731
+    assert len(got) == 4
+    v1, v2, v3 = got[(7, 1)], got[(7, 2)], got[(7, 3)]
+    assert (v1.priority, v1.n_orders, v1.is_current) == ("HIGH", 2, 0)
+    assert (v2.priority, v2.n_orders) == ("LOW", 1)
+    assert (v3.priority, v3.is_current, v3.valid_to) == ("HIGH", 1, None)
+    # interval chaining
+    assert v1.valid_to == v2.valid_from and v2.valid_to == v3.valid_from
+    assert v1.valid_from == us(0) and v2.valid_from == us(20) and v3.valid_from == us(30)
+    assert got[(8, 1)].is_current == 1
