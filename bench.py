@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "term_pmi_cooccurrence",
     "fuzzy_record_linkage",
     "scd2_priority_dim",
+    "table_profile_events",
 ]
 
 

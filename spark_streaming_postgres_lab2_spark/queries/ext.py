@@ -910,6 +910,176 @@ ORDER BY event_type
 """
 
 
+# --- table profiling ----------------------------------------------------------
+
+
+def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: one row of quality stats per column of
+    the events table (the "what is in this dataset" primitive every
+    ingestion pipeline runs first): null count, exact distinct count,
+    integer min/max (BIGINT columns and ts as epoch_us), lexicographic
+    min/max plus mode (most frequent value, ties to the smallest) for
+    string columns.
+
+    Exactness by construction: doubles deliberately get NO min/max/mode
+    (Spark and DuckDB format floats differently -- 1.0E7 vs 10000000.0
+    -- so stringified float stats can never hash-match); their null and
+    distinct counts are still exact (bit-identical parquet doubles
+    compare equal on both engines).
+
+    Scale shape: every scalar stat comes from ONE full-scan aggregate
+    (all columns in the same partial agg); the two string modes add two
+    slim value-frequency groupBys.  Output is 6 rows regardless of
+    data volume."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    n = F.count(F.lit(1)).cast("bigint")
+
+    def mode_of(col):
+        freq = ev.filter(F.col(col).isNotNull()).groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        best = freq.agg(F.max("__c").alias("__mc"))
+        return (
+            freq.join(F.broadcast(best), freq["__c"] == best["__mc"])
+            .agg(
+                F.min(col).alias("__mode"),
+                F.min("__mc").cast("bigint").alias("__mode_n"),
+            )
+        )
+
+    scalars = ev.agg(
+        n.alias("__rows"),
+        # event_id
+        F.sum(F.col("event_id").isNull().cast("int")).cast("bigint").alias("id_nulls"),
+        F.count_distinct("event_id").cast("bigint").alias("id_distinct"),
+        F.min("event_id").alias("id_min"),
+        F.max("event_id").alias("id_max"),
+        # user_id
+        F.sum(F.col("user_id").isNull().cast("int")).cast("bigint").alias("uid_nulls"),
+        F.count_distinct("user_id").cast("bigint").alias("uid_distinct"),
+        F.min("user_id").alias("uid_min"),
+        F.max("user_id").alias("uid_max"),
+        # ts (as epoch_us)
+        F.sum(F.col("ts").isNull().cast("int")).cast("bigint").alias("ts_nulls"),
+        # distinct on MICROS both engines: DuckDB sees nano precision,
+        # Spark micro -- raw-ts distinct counts would diverge
+        F.count_distinct(F.unix_micros("ts")).cast("bigint").alias("ts_distinct"),
+        F.min(F.unix_micros("ts")).alias("ts_min"),
+        F.max(F.unix_micros("ts")).alias("ts_max"),
+        # event_type
+        F.sum(F.col("event_type").isNull().cast("int")).cast("bigint").alias("et_nulls"),
+        F.count_distinct("event_type").cast("bigint").alias("et_distinct"),
+        F.min("event_type").alias("et_min"),
+        F.max("event_type").alias("et_max"),
+        # value (double: counts only)
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("v_nulls"),
+        F.count_distinct("value").cast("bigint").alias("v_distinct"),
+        # props
+        F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias("p_nulls"),
+        F.count_distinct("props").cast("bigint").alias("p_distinct"),
+        F.min("props").alias("p_min"),
+        F.max("props").alias("p_max"),
+    )
+    et_mode = mode_of("event_type").select(
+        F.col("__mode").alias("et_mode"), F.col("__mode_n").alias("et_mode_n")
+    )
+    p_mode = mode_of("props").select(
+        F.col("__mode").alias("p_mode"), F.col("__mode_n").alias("p_mode_n")
+    )
+    wide = scalars.crossJoin(F.broadcast(et_mode)).crossJoin(F.broadcast(p_mode))
+    null_l = F.lit(None).cast("bigint")
+    null_s = F.lit(None).cast("string")
+    rows = [
+        ("event_id", "id_nulls", "id_distinct", F.col("id_min"), F.col("id_max"),
+         null_s, null_s, null_s, null_l),
+        ("user_id", "uid_nulls", "uid_distinct", F.col("uid_min"), F.col("uid_max"),
+         null_s, null_s, null_s, null_l),
+        ("ts", "ts_nulls", "ts_distinct", F.col("ts_min"), F.col("ts_max"),
+         null_s, null_s, null_s, null_l),
+        ("event_type", "et_nulls", "et_distinct", null_l, null_l,
+         F.col("et_min"), F.col("et_max"), F.col("et_mode"), F.col("et_mode_n")),
+        ("value", "v_nulls", "v_distinct", null_l, null_l,
+         null_s, null_s, null_s, null_l),
+        ("props", "p_nulls", "p_distinct", null_l, null_l,
+         F.col("p_min"), F.col("p_max"), F.col("p_mode"), F.col("p_mode_n")),
+    ]
+    out = None
+    for name, nulls, dist, mn, mx, smn, smx, mode, mode_n in rows:
+        r = wide.select(
+            F.lit(name).alias("col_name"),
+            F.col("__rows").alias("n_rows"),
+            F.col(nulls).alias("n_nulls"),
+            F.col(dist).alias("n_distinct"),
+            mn.cast("bigint").alias("min_num"),
+            mx.cast("bigint").alias("max_num"),
+            smn.alias("min_str"),
+            smx.alias("max_str"),
+            mode.alias("mode_value"),
+            mode_n.alias("mode_count"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("col_name")
+
+
+ORACLE_TABLE_PROFILE = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS id_nulls,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS id_distinct,
+         min(event_id) AS id_min, max(event_id) AS id_max,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS uid_nulls,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS uid_distinct,
+         min(user_id) AS uid_min, max(user_id) AS uid_max,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+         CAST(count(DISTINCT epoch_us(ts)) AS BIGINT) AS ts_distinct,
+         min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS et_nulls,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS et_distinct,
+         min(event_type) AS et_min, max(event_type) AS et_max,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nulls,
+         CAST(count(DISTINCT value) AS BIGINT) AS v_distinct,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+         CAST(count(DISTINCT props) AS BIGINT) AS p_distinct,
+         min(props) AS p_min, max(props) AS p_max
+  FROM events
+),
+etf AS (SELECT event_type AS v, CAST(count(*) AS BIGINT) AS c FROM events
+        WHERE event_type IS NOT NULL GROUP BY event_type),
+etm AS (SELECT min(v) AS et_mode, CAST(min(c) AS BIGINT) AS et_mode_n
+        FROM etf WHERE c = (SELECT max(c) FROM etf)),
+pf AS (SELECT props AS v, CAST(count(*) AS BIGINT) AS c FROM events
+       WHERE props IS NOT NULL GROUP BY props),
+pm AS (SELECT min(v) AS p_mode, CAST(min(c) AS BIGINT) AS p_mode_n
+       FROM pf WHERE c = (SELECT max(c) FROM pf))
+SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num,
+       min_str, max_str, mode_value, mode_count
+FROM (
+  SELECT 'event_id' AS col_name, n_rows, id_nulls AS n_nulls,
+         id_distinct AS n_distinct, id_min AS min_num, id_max AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+         CAST(NULL AS VARCHAR) AS mode_value, CAST(NULL AS BIGINT) AS mode_count
+  FROM s
+  UNION ALL
+  SELECT 'user_id', n_rows, uid_nulls, uid_distinct, uid_min, uid_max,
+         NULL, NULL, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'ts', n_rows, ts_nulls, ts_distinct, ts_min, ts_max,
+         NULL, NULL, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'event_type', n_rows, et_nulls, et_distinct, NULL, NULL,
+         et_min, et_max, et_mode, et_mode_n FROM s, etm
+  UNION ALL
+  SELECT 'value', n_rows, v_nulls, v_distinct, NULL, NULL,
+         NULL, NULL, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'props', n_rows, p_nulls, p_distinct, NULL, NULL,
+         p_min, p_max, p_mode, p_mode_n FROM s, pm
+)
+ORDER BY col_name
+"""
+
+
 # --- fuzzy record linkage (edit distance) ------------------------------------
 
 _LINK_SAMPLE_MOD = 20   # every 20th customer spawns a dirty record
@@ -1901,6 +2071,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("fuzzy_record_linkage", q_fuzzy_record_linkage,
                   ORACLE_FUZZY_LINKAGE,
                   "edit-distance entity resolution with attribute blocking"),
+        QuerySpec("table_profile_events", q_table_profile_events,
+                  ORACLE_TABLE_PROFILE,
+                  "per-column data profile (nulls/distinct/min/max/mode)"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

@@ -327,3 +327,48 @@ def test_scd2_collapses_unchanged_and_chains_intervals(spark):
     assert v1.valid_to == v2.valid_from and v2.valid_to == v3.valid_from
     assert v1.valid_from == us(0) and v2.valid_from == us(20) and v3.valid_from == us(30)
     assert got[(8, 1)].is_current == 1
+
+
+def test_table_profile_crafted(spark):
+    """Profile stats on a hand-built frame: null counts, micro-distinct
+    ts, integer min/max, and the mode tie resolving to the smallest
+    value."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_table_profile_events,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(i, uid, et, val, props):
+        return Row(event_id=i, ts=t0, user_id=uid, event_type=et,
+                   value=val, props=props)
+
+    df = spark.createDataFrame([
+        ev(1, 10, "b", 1.5, None),
+        ev(2, 10, "b", None, None),
+        ev(3, None, "a", 2.5, '{"k":1}'),
+        ev(4, 20, "a", 1.5, '{"k":1}'),
+    ])
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.col_name: r for r in q_table_profile_events(spark, "x").collect()}
+    finally:
+        ext.load_tables = orig
+
+    assert (got["event_id"].n_nulls, got["event_id"].n_distinct) == (0, 4)
+    assert (got["event_id"].min_num, got["event_id"].max_num) == (1, 4)
+    assert (got["user_id"].n_nulls, got["user_id"].n_distinct) == (1, 2)
+    assert got["ts"].n_distinct == 1
+    # mode tie between 'a' (2) and 'b' (2) -> smallest value wins
+    et = got["event_type"]
+    assert (et.mode_value, et.mode_count, et.min_str, et.max_str) == ("a", 2, "a", "b")
+    assert (got["value"].n_nulls, got["value"].n_distinct) == (1, 2)
+    assert (got["value"].min_num, got["value"].mode_value) == (None, None)
+    assert (got["props"].n_nulls, got["props"].n_distinct) == (2, 1)
+    assert got["props"].mode_count == 2
