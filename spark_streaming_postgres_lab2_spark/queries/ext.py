@@ -988,38 +988,40 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mode").alias("p_mode"), F.col("__mode_n").alias("p_mode_n")
     )
     wide = scalars.crossJoin(F.broadcast(et_mode)).crossJoin(F.broadcast(p_mode))
-    null_l = F.lit(None).cast("bigint")
-    null_s = F.lit(None).cast("string")
+    # ONE stack over the single wide row -- a 6-branch union would
+    # re-execute the wide aggregate (and its scans) once per branch
+    # (measured: 28 jobs / 38 scan nodes before this formulation)
+    nl, ns = "CAST(NULL AS BIGINT)", "CAST(NULL AS STRING)"
     rows = [
-        ("event_id", "id_nulls", "id_distinct", F.col("id_min"), F.col("id_max"),
-         null_s, null_s, null_s, null_l),
-        ("user_id", "uid_nulls", "uid_distinct", F.col("uid_min"), F.col("uid_max"),
-         null_s, null_s, null_s, null_l),
-        ("ts", "ts_nulls", "ts_distinct", F.col("ts_min"), F.col("ts_max"),
-         null_s, null_s, null_s, null_l),
-        ("event_type", "et_nulls", "et_distinct", null_l, null_l,
-         F.col("et_min"), F.col("et_max"), F.col("et_mode"), F.col("et_mode_n")),
-        ("value", "v_nulls", "v_distinct", null_l, null_l,
-         null_s, null_s, null_s, null_l),
-        ("props", "p_nulls", "p_distinct", null_l, null_l,
-         F.col("p_min"), F.col("p_max"), F.col("p_mode"), F.col("p_mode_n")),
+        ("event_id", "id_nulls", "id_distinct", "id_min", "id_max",
+         ns, ns, ns, nl),
+        ("user_id", "uid_nulls", "uid_distinct", "uid_min", "uid_max",
+         ns, ns, ns, nl),
+        ("ts", "ts_nulls", "ts_distinct", "ts_min", "ts_max",
+         ns, ns, ns, nl),
+        ("event_type", "et_nulls", "et_distinct", nl, nl,
+         "et_min", "et_max", "et_mode", "et_mode_n"),
+        ("value", "v_nulls", "v_distinct", nl, nl, ns, ns, ns, nl),
+        ("props", "p_nulls", "p_distinct", nl, nl,
+         "p_min", "p_max", "p_mode", "p_mode_n"),
     ]
-    out = None
-    for name, nulls, dist, mn, mx, smn, smx, mode, mode_n in rows:
-        r = wide.select(
-            F.lit(name).alias("col_name"),
-            F.col("__rows").alias("n_rows"),
-            F.col(nulls).alias("n_nulls"),
-            F.col(dist).alias("n_distinct"),
-            mn.cast("bigint").alias("min_num"),
-            mx.cast("bigint").alias("max_num"),
-            smn.alias("min_str"),
-            smx.alias("max_str"),
-            mode.alias("mode_value"),
-            mode_n.alias("mode_count"),
+    args = ", ".join(
+        f"'{name}', {nulls}, {dist}, CAST({mn} AS BIGINT), CAST({mx} AS BIGINT), "
+        f"{smn}, {smx}, {mode}, {mode_n}"
+        for name, nulls, dist, mn, mx, smn, smx, mode, mode_n in rows
+    )
+    return (
+        wide.selectExpr(
+            "__rows AS n_rows",
+            f"stack({len(rows)}, {args}) AS (col_name, n_nulls, n_distinct, "
+            "min_num, max_num, min_str, max_str, mode_value, mode_count)",
         )
-        out = r if out is None else out.unionByName(r)
-    return out.orderBy("col_name")
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct", "min_num",
+            "max_num", "min_str", "max_str", "mode_value", "mode_count",
+        )
+        .orderBy("col_name")
+    )
 
 
 ORACLE_TABLE_PROFILE = """
@@ -1085,6 +1087,9 @@ ORDER BY col_name
 _LINK_SAMPLE_MOD = 20   # every 20th customer spawns a dirty record
 _LINK_BLOCK = 1000      # custkey-range blocking (synthetic "zip code")
 _LINK_MAX_DIST = 2      # candidate threshold in edit distance
+# one char dropped at 1-indexed position (custkey % 8) + _LINK_DROP_BASE
+# -- inside the digit suffix of the 18-char Customer#DDDDDDDDD names
+_LINK_DROP_BASE = 10
 
 
 def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,18 +1114,19 @@ def q_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_name",
         "c_nationkey",
-        (F.col("c_custkey") / _LINK_BLOCK).cast("bigint").alias("__blk"),
+        # integer DIV, same as the oracle's // -- float-divide-then-cast
+        # truncates toward zero instead of flooring (repo convention
+        # since the cohort_retention fix)
+        F.expr(f"c_custkey div {_LINK_BLOCK}").alias("__blk"),
     )
-    # drop one char at position 10 + (custkey % 8) -- inside the digit
-    # suffix of Customer#DDDDDDDDD (1-indexed length 18)
-    pos = (F.col("c_custkey") % 8 + 10).cast("int")
+    b = _LINK_DROP_BASE
     dirty = (
         clean.filter(F.col("c_custkey") % _LINK_SAMPLE_MOD == 0)
         .select(
             F.col("c_custkey").alias("dirty_key"),
             F.concat(
-                F.expr("substring(c_name, 1, CAST(c_custkey % 8 + 9 AS INT))"),
-                F.expr("substring(c_name, CAST(c_custkey % 8 + 11 AS INT), 18)"),
+                F.expr(f"substring(c_name, 1, CAST(c_custkey % 8 + {b - 1} AS INT))"),
+                F.expr(f"substring(c_name, CAST(c_custkey % 8 + {b + 1} AS INT), 18)"),
             ).alias("dirty_name"),
             F.col("c_nationkey").alias("d_nationkey"),
             F.col("__blk").alias("d_blk"),
@@ -1166,8 +1172,9 @@ WITH clean AS (
 ),
 dirty AS (
   SELECT c_custkey AS dirty_key,
-         substr(c_name, 1, CAST(c_custkey % 8 + 9 AS INT))
-           || substr(c_name, CAST(c_custkey % 8 + 11 AS INT), 18) AS dirty_name,
+         substr(c_name, 1, CAST(c_custkey % 8 + {_LINK_DROP_BASE - 1} AS INT))
+           || substr(c_name, CAST(c_custkey % 8 + {_LINK_DROP_BASE + 1} AS INT), 18)
+           AS dirty_name,
          c_nationkey AS d_nationkey, blk AS d_blk
   FROM clean
   WHERE c_custkey % {_LINK_SAMPLE_MOD} = 0
