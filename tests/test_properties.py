@@ -283,3 +283,128 @@ def test_canonicalize_url_matches_python_mirror(spark, urls):
     )
     got = [r["canon"] for r in df.collect()]  # createDataFrame preserves order
     assert got == [py_canonical_url(u) for u in urls]
+
+
+# --- round-5 fourth-session operators ----------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pagerank_invariants(spark, edges):
+    """On arbitrary small graphs: total rank never exceeds the initial
+    mass (integer division only loses), every vertex earns at least
+    the teleport term, and the result is invariant under edge-list
+    permutation (the point of the fixed-point formulation)."""
+    from spark_streaming_postgres_lab2_spark.functions.graph import (
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    node_ids = sorted({v for e in edges for v in e})
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "id long")
+    e1 = spark.createDataFrame(edges, "src long, dst long")
+    e2 = spark.createDataFrame(list(reversed(edges)), "src long, dst long")
+    r1 = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(nodes, e1, iters=3).collect()}
+    r2 = {r["id"]: r["rank_fp"] for r in pagerank_fixed_point(nodes, e2, iters=3).collect()}
+    assert r1 == r2
+    assert sum(r1.values()) <= PAGERANK_SCALE
+    n = len(node_ids)
+    teleport = (15 * (PAGERANK_SCALE // n)) // 100
+    assert all(v >= teleport for v in r1.values())
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_snm_soundness(spark, tmp_path_factory, texts):
+    """Every pair SNM emits really has token-set Jaccard >= 4/5
+    (soundness -- blocking may MISS pairs, but must never fabricate
+    one), with the jac column matching a Python recomputation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_sorted_neighborhood_dedup,
+    )
+
+    d = tmp_path_factory.mktemp("snm")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    toks = {i: {w for w in t.split(" ") if w} for i, t in enumerate(texts)}
+    for r in q_sorted_neighborhood_dedup(spark, str(d)).collect():
+        a, b = toks[r.doc_id_1], toks[r.doc_id_2]
+        inter, union = len(a & b), len(a | b)
+        assert 5 * inter >= 4 * union
+        assert r.jac == round(inter / union, 4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_version_accounting(spark, orders):
+    """SCD2 invariants on arbitrary order streams: per customer,
+    version count == number of priority CHANGES + 1, n_orders sums to
+    the customer's order count, exactly one current version, and
+    intervals chain without gaps."""
+    from datetime import datetime, timedelta
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_scd2_priority_dim,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (k, cust, prio, t0 + timedelta(days=k))
+        for k, (cust, prio) in enumerate(orders)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {"orders": df}
+        out = q_scd2_priority_dim(spark, "x").collect()
+    finally:
+        tm.load_tables = orig
+
+    by_cust: dict = {}
+    for k, (cust, prio) in enumerate(orders):
+        by_cust.setdefault(cust, []).append(prio)  # already in (date, key) order
+    for cust, prios in by_cust.items():
+        changes = 1 + sum(1 for a, b in zip(prios, prios[1:]) if a != b)
+        vers = sorted((r for r in out if r.custkey == cust), key=lambda r: r.version)
+        assert len(vers) == changes
+        assert sum(r.n_orders for r in vers) == len(prios)
+        assert [r.is_current for r in vers] == [0] * (len(vers) - 1) + [1]
+        for a, b in zip(vers, vers[1:]):
+            assert a.valid_to == b.valid_from
+        assert vers[-1].valid_to is None
