@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "fuzzy_record_linkage",
     "scd2_priority_dim",
     "table_profile_events",
+    "iqr_outlier_summary",
+    "ab_test_conversion",
+    "forecast_baseline",
 ]
 
 

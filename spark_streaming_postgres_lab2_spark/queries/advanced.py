@@ -1452,6 +1452,281 @@ ORDER BY from_type, to_type
 """
 
 
+# --- Tukey IQR outlier summary -------------------------------------------------
+
+
+def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (Tukey fences): per event type, count
+    values outside [q1 - 1.5*IQR, q3 + 1.5*IQR] -- the box-plot rule,
+    the standard robust alternative to the z-score detector
+    (q_zscore_anomaly_hours) when the distribution is skewed, as
+    ``value`` is (~5% upper-tail outliers on the fixture).
+
+    Exactness: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` interpolate identically (proven bit-for-bit by
+    approx_quantiles_audit), the fence arithmetic is the same double
+    expression on both engines, and the parquet doubles are
+    bit-identical -- so the fence COMPARISONS agree exactly and the
+    outlier counts are integers.  q1/q3 are rounded for display only.
+
+    Scale shape: one grouped percentile pass (5 groups), broadcast
+    fence join back, one conditional-count aggregate -- two scans."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("value").isNotNull())
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("__q1"),
+        F.expr("percentile(value, 0.75D)").alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    lo, hi = F.col("__q1") - 1.5 * iqr, F.col("__q3") + 1.5 * iqr
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(F.first("__q1"), 4).alias("q1"),
+            F.round(F.first("__q3"), 4).alias("q3"),
+            F.sum((F.col("value") > hi).cast("int")).cast("bigint").alias("n_hi"),
+            F.sum((F.col("value") < lo).cast("int")).cast("bigint").alias("n_lo"),
+        )
+        .withColumn(
+            "hi_rate",
+            F.round(F.col("n_hi").cast("double") / F.col("n_values"), 4),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH f AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(min(f.q1), 4) AS q1,
+       round(min(f.q3), 4) AS q3,
+       CAST(sum(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(sum(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       round(CAST(sum(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS hi_rate
+FROM events e JOIN f ON e.event_type = f.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# --- A/B test significance ------------------------------------------------------
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test -- the experimentation primitive: users
+    split into arms by ``user_id % 2`` (the deterministic stand-in
+    for an assignment table), conversion = made >= 1 purchase event;
+    one summary row with per-arm counts, rates, the pooled z
+    statistic, and a significance flag at alpha = 0.05.
+
+    Exactness: every count is integral; rates and z are rounded for
+    the hash, and the flag compares the ROUNDED z against 1.96 -- it
+    derives from the exact cell the hash already pins, so it cannot
+    diverge independently.  (An all-integer cross-multiplied flag was
+    rejected: (c1*n2 - c2*n1)^2 * (n1+n2) overflows BIGINT already at
+    sf0.1 user counts.)
+
+    Scale shape: one pass over events collapses to per-user
+    (arm, converted) -- map-side combinable -- then a 2-row arm
+    aggregate and a 1-row final select."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("__conv")
+        )
+        .withColumn("__arm", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = per_user.groupBy("__arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__conv").cast("bigint").alias("__c"),
+    )
+    a = arms.filter(F.col("__arm") == 0).select(
+        F.col("__n").alias("n_a"), F.col("__c").alias("conv_a")
+    )
+    b = arms.filter(F.col("__arm") == 1).select(
+        F.col("__n").alias("n_b"), F.col("__c").alias("conv_b")
+    )
+    w = a.crossJoin(b)
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    zr = F.round(z, 4)
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p1, 4).alias("rate_a"),
+        F.round(p2, 4).alias("rate_b"),
+        zr.alias("z"),
+        F.when(F.abs(zr) >= 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    )
+
+
+ORACLE_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY arm
+),
+w AS (
+  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+  FROM (SELECT * FROM arms WHERE arm = 0) a, (SELECT * FROM arms WHERE arm = 1) b
+),
+s AS (
+  SELECT *,
+         round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+  FROM w
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+       z,
+       CAST(CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM s
+"""
+
+
+# --- seasonal-naive forecast baseline ------------------------------------------
+
+_FC_SEASON = 7    # weekly seasonality, in days
+_FC_EVAL = 14     # trailing days scored
+
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation primitive: per event type, score the two
+    standard baselines every forecasting system must beat --
+    seasonal-naive (predict count(d-7)) and persistence (predict
+    count(d-1)) -- over the last 14 fully-observed days of the daily
+    count series.  Absolute errors of integer counts are INTEGERS, so
+    sum_abs_err_seasonal / sum_abs_err_persist sit exactly under the
+    hash; MAE is display-only.
+
+    Scale shape: the stream collapses to (type, day) counts in one
+    map-side-combinable groupBy; the gap-filled spine is clock-sized;
+    lag() runs per type over day counts.  Same spine discipline as
+    zscore_anomaly_hours."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day_id")
+    )
+    counts = ev.groupBy("event_type", "day_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    bounds = ev.agg(F.min("day_id").alias("__mn"), F.max("day_id").alias("__mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("__mn", "__mx")).alias("day_id")
+    ).crossJoin(ev.select("event_type").distinct())
+    dense = spine.join(counts, ["event_type", "day_id"], "left").select(
+        "event_type",
+        "day_id",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_id")
+    scored = (
+        dense.select(
+            "event_type",
+            "day_id",
+            "cnt",
+            F.lag("cnt", _FC_SEASON).over(w).alias("__seasonal"),
+            F.lag("cnt", 1).over(w).alias("__persist"),
+            F.max("day_id").over(Window.partitionBy("event_type")).alias("__last"),
+        )
+        .filter(
+            (F.col("day_id") > F.col("__last") - _FC_EVAL)
+            & F.col("__seasonal").isNotNull()
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("cnt") - F.col("__seasonal")))
+            .cast("bigint")
+            .alias("sum_abs_err_seasonal"),
+            F.sum(F.abs(F.col("cnt") - F.col("__persist")))
+            .cast("bigint")
+            .alias("sum_abs_err_persist"),
+        )
+        .withColumn(
+            "mae_seasonal",
+            F.round(F.col("sum_abs_err_seasonal") / F.col("n_days"), 4),
+        )
+        .withColumn(
+            "mae_persist",
+            F.round(F.col("sum_abs_err_persist") / F.col("n_days"), 4),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_FORECAST_BASELINE = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id FROM events
+),
+counts AS (
+  SELECT event_type, day_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY event_type, day_id
+),
+bounds AS (SELECT min(day_id) AS mn, max(day_id) AS mx FROM ev),
+spine AS (
+  SELECT t.event_type, h.day_id
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series(mn, mx)) AS day_id FROM bounds) h
+),
+dense AS (
+  SELECT s.event_type, s.day_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c USING (event_type, day_id)
+),
+scored AS (
+  SELECT event_type, day_id, cnt,
+         lag(cnt, {_FC_SEASON}) OVER tw AS seasonal,
+         lag(cnt, 1) OVER tw AS persist,
+         max(day_id) OVER (PARTITION BY event_type) AS last_day
+  FROM dense
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(cnt - seasonal)) AS BIGINT) AS sum_abs_err_seasonal,
+       CAST(sum(abs(cnt - persist)) AS BIGINT) AS sum_abs_err_persist,
+       round(CAST(sum(abs(cnt - seasonal)) AS DOUBLE) / count(*), 4)
+         AS mae_seasonal,
+       round(CAST(sum(abs(cnt - persist)) AS DOUBLE) / count(*), 4)
+         AS mae_persist
+FROM scored
+WHERE day_id > last_day - {_FC_EVAL} AND seasonal IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --- frequent session paths ---------------------------------------------------
 
 _PATH_TOPK = 20
@@ -1667,6 +1942,15 @@ def specs() -> list[QuerySpec]:
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),
+        QuerySpec("iqr_outlier_summary", q_iqr_outlier_summary,
+                  ORACLE_IQR_OUTLIERS,
+                  "Tukey-fence robust outlier counts per event type"),
+        QuerySpec("ab_test_conversion", q_ab_test_conversion,
+                  ORACLE_AB_TEST,
+                  "two-proportion z-test on purchase conversion by arm"),
+        QuerySpec("forecast_baseline", q_forecast_baseline,
+                  ORACLE_FORECAST_BASELINE,
+                  "seasonal-naive vs persistence forecast error, exact integer AE"),
         QuerySpec("cohort_retention", q_cohort_retention, ORACLE_COHORT_RETENTION,
                   "first-seen cohorts x weekly-offset retention matrix"),
         QuerySpec("funnel_conversion", q_funnel_conversion, ORACLE_FUNNEL,

@@ -372,3 +372,103 @@ def test_table_profile_crafted(spark):
     assert (got["value"].min_num, got["value"].mode_value) == (None, None)
     assert (got["props"].n_nulls, got["props"].n_distinct) == (2, 1)
     assert got["props"].mode_count == 2
+
+
+def test_iqr_outlier_crafted(spark):
+    """Tukey fences on a hand-computable set: 8 inliers + 1 extreme."""
+    from datetime import datetime
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_iqr_outlier_summary,
+    )
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    df = spark.createDataFrame(
+        [Row(event_type="X", value=v, ts=datetime(2024, 1, 1)) for v in vals]
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        r = q_iqr_outlier_summary(spark, "x").collect()[0]
+    finally:
+        adv.load_tables = orig
+    q1, q3 = np.quantile(vals, 0.25), np.quantile(vals, 0.75)
+    assert (r.q1, r.q3) == (round(float(q1), 4), round(float(q3), 4))
+    # fences: [q1 - 1.5*iqr, q3 + 1.5*iqr]; only 100.0 is outside
+    assert (r.n_hi, r.n_lo, r.n_values) == (1, 0, 9)
+    assert r.hi_rate == round(1 / 9, 4)
+
+
+def test_ab_test_crafted(spark):
+    """Two-proportion z on hand counts: 8/10 vs 2/10 -> z = 2.6833,
+    significant."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_ab_test_conversion,
+    )
+
+    rows = []
+    for u in range(20):  # arm = u % 2
+        converted = (u % 2 == 0 and u < 16) or (u % 2 == 1 and u < 4)
+        rows.append(Row(user_id=u, event_type="purchase" if converted else "view",
+                        ts=datetime(2024, 1, 1)))
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        r = q_ab_test_conversion(spark, "x").collect()[0]
+    finally:
+        adv.load_tables = orig
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 8, 10, 2)
+    assert (r.rate_a, r.rate_b) == (0.8, 0.2)
+    z = (0.8 - 0.2) / (0.5 * 0.5 * 0.2) ** 0.5
+    assert r.z == round(z, 4) and r.significant == 1
+
+
+def test_forecast_baseline_crafted(spark):
+    """Weekly-periodic series scores ZERO seasonal error while
+    persistence pays the day-to-day deltas; a constant series scores
+    zero on both."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _FC_EVAL,
+        q_forecast_baseline,
+    )
+
+    t0 = datetime(2024, 1, 1, 6, 0, 0)
+    rows = []
+    for d in range(22):
+        rows += [Row(event_type="const", ts=t0 + timedelta(days=d))] * 5
+        rows += [Row(event_type="weekly", ts=t0 + timedelta(days=d))] * (1 + d % 7)
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.event_type: r for r in q_forecast_baseline(spark, "x").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got["const"].sum_abs_err_seasonal == 0
+    assert got["const"].sum_abs_err_persist == 0
+    assert got["const"].n_days == _FC_EVAL
+    w = got["weekly"]
+    assert w.sum_abs_err_seasonal == 0  # perfectly weekly-periodic
+    # persistence: |delta| is 1 six days a week, 6 at each wrap; the
+    # exact sum depends on which days fall in the scored window --
+    # recompute it
+    counts = [1 + d % 7 for d in range(22)]
+    scored_days = range(22 - _FC_EVAL, 22)
+    expect = sum(abs(counts[d] - counts[d - 1]) for d in scored_days)
+    assert w.sum_abs_err_persist == expect
+    assert w.mae_persist == round(expect / _FC_EVAL, 4)
