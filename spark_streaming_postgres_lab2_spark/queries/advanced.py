@@ -1452,6 +1452,59 @@ ORDER BY from_type, to_type
 """
 
 
+# --- gap-filled time spine (shared by the two time-series detectors) ----------
+
+
+def _gapfilled_counts(spark: SparkSession, sf_dir: str, bucket_us: int, col: str):
+    """(event_type, <col>, cnt) over a DENSE per-type time spine:
+    events collapse to per-bucket counts (one map-side-combinable
+    groupBy), the spine spans [min, max] bucket ids (clock-sized, not
+    event-volume-sized), and missing buckets coalesce to 0.  NULL
+    event_type rows are dropped up front -- Spark orders NULLS FIRST
+    and DuckDB NULLS LAST, so a NULL type row in the spine would break
+    row-order parity even with identical cells.  Shared by
+    q_zscore_anomaly_hours (hour grain) and q_forecast_baseline (day
+    grain) so the spine discipline cannot drift between them."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("event_type").isNotNull()).select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias(col),
+    )
+    counts = ev.groupBy("event_type", col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    bounds = ev.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("__mn", "__mx")).alias(col)
+    ).crossJoin(ev.select("event_type").distinct())
+    return spine.join(counts, ["event_type", col], "left").select(
+        "event_type", col, F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+    )
+
+
+def _sql_gapfilled_counts(bucket_us: int, col: str) -> str:
+    """The identical spine as DuckDB CTEs (ev/counts/bounds/spine/
+    dense), ending with dense(event_type, <col>, cnt)."""
+    return f"""ev AS (
+  SELECT event_type, epoch_us(ts) // {bucket_us} AS {col}
+  FROM events WHERE event_type IS NOT NULL
+),
+counts AS (
+  SELECT event_type, {col}, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY event_type, {col}
+),
+bounds AS (SELECT min({col}) AS mn, max({col}) AS mx FROM ev),
+spine AS (
+  SELECT t.event_type, h.{col}
+  FROM (SELECT DISTINCT event_type FROM ev) t,
+       (SELECT unnest(generate_series(mn, mx)) AS {col} FROM bounds) h
+),
+dense AS (
+  SELECT s.event_type, s.{col}, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+  FROM spine s LEFT JOIN counts c USING (event_type, {col})
+)"""
+
+
 # --- Tukey IQR outlier summary -------------------------------------------------
 
 
@@ -1551,17 +1604,20 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__arm", (F.col("user_id") % 2).cast("int"))
     )
-    arms = per_user.groupBy("__arm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-        F.sum("__conv").cast("bigint").alias("__c"),
+    # ONE conditional aggregate straight to the summary row -- two
+    # filtered branches + crossJoin would re-execute the events scan
+    # and the per-user aggregate once per arm (the table_profile
+    # 38-scans lesson)
+    w = per_user.agg(
+        F.sum((F.col("__arm") == 0).cast("int")).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum((F.col("__arm") == 1).cast("int")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
     )
-    a = arms.filter(F.col("__arm") == 0).select(
-        F.col("__n").alias("n_a"), F.col("__c").alias("conv_a")
-    )
-    b = arms.filter(F.col("__arm") == 1).select(
-        F.col("__n").alias("n_b"), F.col("__c").alias("conv_b")
-    )
-    w = a.crossJoin(b)
     p1 = F.col("conv_a") / F.col("n_a")
     p2 = F.col("conv_b") / F.col("n_b")
     pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
@@ -1588,13 +1644,15 @@ WITH per_user AS (
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
-arms AS (
-  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
-  FROM per_user GROUP BY arm
-),
 w AS (
-  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
-  FROM (SELECT * FROM arms WHERE arm = 0) a, (SELECT * FROM arms WHERE arm = 1) b
+  -- single aggregate, mirroring the Spark side: a grouped-arms +
+  -- cross-join formulation would emit ZERO rows when an arm is empty
+  -- while the one-pass aggregate emits the summary row with n = 0
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
 ),
 s AS (
   SELECT *,
@@ -1632,22 +1690,7 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable groupBy; the gap-filled spine is clock-sized;
     lag() runs per type over day counts.  Same spine discipline as
     zscore_anomaly_hours."""
-    t = load_tables(spark, sf_dir, ["events"])
-    ev = t["events"].select(
-        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day_id")
-    )
-    counts = ev.groupBy("event_type", "day_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    bounds = ev.agg(F.min("day_id").alias("__mn"), F.max("day_id").alias("__mx"))
-    spine = bounds.select(
-        F.explode(F.sequence("__mn", "__mx")).alias("day_id")
-    ).crossJoin(ev.select("event_type").distinct())
-    dense = spine.join(counts, ["event_type", "day_id"], "left").select(
-        "event_type",
-        "day_id",
-        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
-    )
+    dense = _gapfilled_counts(spark, sf_dir, 86_400_000_000, "day_id")
     w = Window.partitionBy("event_type").orderBy("day_id")
     scored = (
         dense.select(
@@ -1687,23 +1730,7 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FORECAST_BASELINE = f"""
-WITH ev AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id FROM events
-),
-counts AS (
-  SELECT event_type, day_id, CAST(count(*) AS BIGINT) AS cnt
-  FROM ev GROUP BY event_type, day_id
-),
-bounds AS (SELECT min(day_id) AS mn, max(day_id) AS mx FROM ev),
-spine AS (
-  SELECT t.event_type, h.day_id
-  FROM (SELECT DISTINCT event_type FROM ev) t,
-       (SELECT unnest(generate_series(mn, mx)) AS day_id FROM bounds) h
-),
-dense AS (
-  SELECT s.event_type, s.day_id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
-  FROM spine s LEFT JOIN counts c USING (event_type, day_id)
-),
+WITH {_sql_gapfilled_counts(86_400_000_000, "day_id")},
 scored AS (
   SELECT event_type, day_id, cnt,
          lag(cnt, {_FC_SEASON}) OVER tw AS seasonal,
@@ -1836,24 +1863,7 @@ def q_zscore_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-filled spine whose size is types x hours (clock time, not
     event volume), so the window partitions stay tiny at any data
     scale."""
-    t = load_tables(spark, sf_dir, ["events"])
-    ev = t["events"].select(
-        "event_type",
-        F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
-    )
-    counts = ev.groupBy("event_type", "hour_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
-    bounds = ev.agg(
-        F.min("hour_id").alias("__mn"), F.max("hour_id").alias("__mx")
-    )
-    spine = (
-        bounds.select(F.explode(F.sequence("__mn", "__mx")).alias("hour_id"))
-        .crossJoin(ev.select("event_type").distinct())
-    )
-    dense = spine.join(counts, ["event_type", "hour_id"], "left").select(
-        "event_type", "hour_id", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
-    )
+    dense = _gapfilled_counts(spark, sf_dir, 3_600_000_000, "hour_id")
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_id")
@@ -1889,24 +1899,7 @@ def q_zscore_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ZSCORE_ANOMALY = f"""
-WITH ev AS (
-  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id FROM events
-),
-counts AS (
-  SELECT event_type, hour_id, CAST(count(*) AS BIGINT) AS cnt
-  FROM ev GROUP BY event_type, hour_id
-),
-bounds AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM ev),
-spine AS (
-  SELECT t.event_type, h.hour_id
-  FROM (SELECT DISTINCT event_type FROM ev) t,
-       (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM bounds) h
-),
-dense AS (
-  SELECT s.event_type, s.hour_id,
-         CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
-  FROM spine s LEFT JOIN counts c USING (event_type, hour_id)
-),
+WITH {_sql_gapfilled_counts(3_600_000_000, "hour_id")},
 stats AS (
   SELECT event_type, hour_id, cnt,
          sum(cnt) OVER tw AS s,
