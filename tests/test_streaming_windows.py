@@ -152,3 +152,56 @@ def test_session_window_append_mode_with_watermark(spark, tmp_path):
     # session_window end = last event + gap (30 min)
     assert u1["session_end"] == t0 + timedelta(minutes=4 + 30)
     assert rows[2]["event_count"] == 1
+
+
+def test_streaming_zscore_anomaly_state_across_batches(spark, tmp_path):
+    """The streaming anomaly twin flags a spike using TRAILING STATE
+    built in an earlier micro-batch: batch 1 establishes 24 constant
+    minutes, batch 2 delivers the spike minute + a normal minute.
+    Flags/z match the batch operator's semantics (integer predicate,
+    zero-variance -> NULL z, post-spike exact z)."""
+    import os
+    from datetime import timedelta
+
+    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
+    from spark_streaming_postgres_lab2_spark.sources.csv_stream import csv_stream
+    from spark_streaming_postgres_lab2_spark.operators.validate import validate
+    from spark_streaming_postgres_lab2_spark.operators.enrich import (
+        transform_and_enrich,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        zscore_anomaly_stream,
+    )
+
+    t0 = NOW.replace(tzinfo=None)
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+
+    def mk(minute, i):
+        ts = t0 + timedelta(minutes=minute)
+        e = _mk_event(uid=i, ts=ts)
+        e["event_id"] = f"m{minute}_{i}"
+        return e
+
+    gen = EventGenerator(seed=1, anomaly_rate=0.0, now=NOW)
+    batch1 = [mk(m, i) for m in range(24) for i in range(5)]
+    batch2 = [mk(24, i) for i in range(20)] + [mk(25, i) for i in range(5)]
+    gen.write_csv(batch1, str(in_dir), "a_batch1.csv")
+    gen.write_csv(batch2, str(in_dir), "b_batch2.csv")
+
+    raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+    enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+    out = zscore_anomaly_stream(enriched, bucket_seconds=60)
+    name = run_to_memory(out, "zsanom", "update")
+    rows = {r["bucket_id"]: r for r in spark.sql(
+        f"SELECT * FROM {name} WHERE event_type = 'view'").collect()}
+
+    base = min(rows)
+    warm = rows[base + 23]
+    assert warm.is_anomaly is None          # still in warmup
+    spike = rows[base + 24]
+    assert (spike.cnt, spike.is_anomaly, spike.z) == (20, 1, None)  # zero-var
+    after = rows[base + 25]
+    assert (after.cnt, after.is_anomaly) == (5, 0)
+    assert after.z == round(-15 / 5175 ** 0.5, 4)  # same exact z as batch op
