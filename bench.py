@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "iqr_outlier_summary",
     "ab_test_conversion",
     "forecast_baseline",
+    "market_basket",
+    "gdpr_erasure_audit",
+    "winsorized_value_stats",
 ]
 
 

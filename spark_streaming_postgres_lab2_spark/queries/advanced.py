@@ -1574,6 +1574,89 @@ ORDER BY e.event_type
 """
 
 
+# --- winsorized statistics ------------------------------------------------------
+
+
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) statistics -- the robust-mean companion of
+    the IQR detector: per event type, clamp ``value`` to [p01, p99]
+    and report the winsorized mean alongside clip counts, so one
+    wild outlier cannot drag the reported average.
+
+    Exactness: p01/p99 ride on the proven percentile==quantile_cont
+    bit-equality; the clamp comparisons are identical double
+    compares; and the winsorized MEAN uses the money_sum fixed-point
+    recipe (floor(x*10000+0.5) per row -> exact BIGINT sum) so
+    Spark's parallel reduction and DuckDB's serial one agree
+    bit-for-bit regardless of row order.  Clip counts are integers.
+
+    Scale shape: one grouped percentile pass, broadcast bounds join
+    back, one conditional aggregate -- two scans, same as the IQR
+    summary."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("value").isNotNull())
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01D)").alias("__p01"),
+        F.expr("percentile(value, 0.99D)").alias("__p99"),
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("__p01")), F.col("__p99"))
+    clip_fp = F.floor(clip * 10000 + F.lit(0.5)).cast("bigint")
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(F.first("__p01"), 4).alias("p01"),
+            F.round(F.first("__p99"), 4).alias("p99"),
+            F.sum((F.col("value") < F.col("__p01")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_lo"),
+            F.sum((F.col("value") > F.col("__p99")).cast("int"))
+            .cast("bigint")
+            .alias("n_clip_hi"),
+            F.sum(clip_fp).alias("__sum_fp"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "p01",
+            "p99",
+            "n_clip_lo",
+            "n_clip_hi",
+            F.round(
+                (F.col("__sum_fp") / 10000.0) / F.col("n_values"), 4
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(min(b.p01), 4) AS p01,
+       round(min(b.p99), 4) AS p99,
+       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       round((CAST(sum(CAST(floor(
+                least(greatest(e.value, b.p01), b.p99) * 10000 + 0.5
+              ) AS BIGINT)) AS DOUBLE) / 10000.0) / count(*), 4)
+         AS winsorized_mean
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 # --- A/B test significance ------------------------------------------------------
 
 
@@ -1938,6 +2021,9 @@ def specs() -> list[QuerySpec]:
         QuerySpec("iqr_outlier_summary", q_iqr_outlier_summary,
                   ORACLE_IQR_OUTLIERS,
                   "Tukey-fence robust outlier counts per event type"),
+        QuerySpec("winsorized_value_stats", q_winsorized_value_stats,
+                  ORACLE_WINSORIZED,
+                  "p01/p99-clipped robust mean via fixed-point exact sum"),
         QuerySpec("ab_test_conversion", q_ab_test_conversion,
                   ORACLE_AB_TEST,
                   "two-proportion z-test on purchase conversion by arm"),

@@ -629,6 +629,184 @@ LIMIT 20
 """
 
 
+# --- market-basket association rules -----------------------------------------
+
+_MB_TOPK = 30
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets (the support /
+    confidence / lift triple of retail analytics): top-30 part pairs
+    by co-occurrence count across orders.
+
+    Scale shape: baskets are orders, so the pair join is an
+    order-local self-join over the distinct (order, part) frame --
+    bounded by C(items-per-order, 2) per basket (max 13 items on the
+    fixture), linear in order count, never corpus-quadratic.  Counts
+    are exact BIGINTs; confidence/lift are display-only ratios
+    (rounded 4); the top-k orders on (pair_count DESC, part_a,
+    part_b) -- fully discrete."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    item_cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    n_row = t["orders"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+    )
+    ca = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("__cnt").alias("count_a")
+    )
+    cb = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("__cnt").alias("count_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.round(F.col("pair_count") / F.col("count_a"), 4).alias("conf_a_to_b"),
+            F.round(F.col("pair_count") / F.col("count_b"), 4).alias("conf_b_to_a"),
+            F.round(
+                (F.col("pair_count") * F.col("__n"))
+                / (F.col("count_a") * F.col("count_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_count"), "part_a", "part_b")
+        .limit(_MB_TOPK)
+    )
+
+
+ORACLE_MARKET_BASKET = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item_cnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY l_partkey
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_count
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, pair_count,
+       ca.cnt AS count_a, cb.cnt AS count_b,
+       round(CAST(pair_count AS DOUBLE) / ca.cnt, 4) AS conf_a_to_b,
+       round(CAST(pair_count AS DOUBLE) / cb.cnt, 4) AS conf_b_to_a,
+       round(CAST(pair_count * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt), 4)
+         AS lift
+FROM pairs
+JOIN item_cnt ca ON ca.l_partkey = part_a
+JOIN item_cnt cb ON cb.l_partkey = part_b, n
+ORDER BY pair_count DESC, part_a, part_b
+LIMIT {_MB_TOPK}
+"""
+
+
+# --- GDPR erasure-scope audit -------------------------------------------------
+
+_GDPR_MOD = 97  # synthetic deletion list: every 97th customer
+
+
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten scope audit: given a deletion list (every
+    ``_GDPR_MOD``-th customer -- the deterministic stand-in for an
+    erasure-request table), report how many rows each table in the
+    customer -> orders -> lineitem cascade would lose, plus each
+    table's share.  The read-only half of deletion tooling: run it
+    BEFORE the destructive pass, and again after (all zeros) as the
+    compliance check.
+
+    Scale shape: the deletion list broadcasts (it is a human-scale
+    request set); orders take one broadcast semi join; lineitem joins
+    on the order-key set, which stays a join (order keys scale with
+    the fact side).  One count per table, assembled via a 3-row
+    union of 1-row aggregates -- each aggregate is its own slim
+    plan, no re-execution concern (no shared frame)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    victims = t["customer"].filter(
+        F.col("c_custkey") % _GDPR_MOD == 0
+    ).select("c_custkey")
+    doomed_orders = t["orders"].join(
+        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    doomed_keys = doomed_orders.select("o_orderkey")
+    doomed_lines = t["lineitem"].join(
+        doomed_keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+
+    def audit_row(table, doomed_df, total_df):
+        return (
+            doomed_df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_to_delete"))
+            .crossJoin(
+                F.broadcast(
+                    total_df.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("total_rows")
+                    )
+                )
+            )
+            .select(
+                F.lit(table).alias("table_name"),
+                "rows_to_delete",
+                "total_rows",
+                F.round(
+                    F.col("rows_to_delete").cast("double") / F.col("total_rows"), 4
+                ).alias("share"),
+            )
+        )
+
+    return (
+        audit_row("customer", victims, t["customer"])
+        .unionByName(audit_row("orders", doomed_orders, t["orders"]))
+        .unionByName(audit_row("lineitem", doomed_lines, t["lineitem"]))
+        .orderBy("table_name")
+    )
+
+
+ORACLE_GDPR_AUDIT = f"""
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_GDPR_MOD} = 0
+),
+doomed_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)
+),
+rows_ AS (
+  SELECT 'customer' AS table_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM victims) AS rows_to_delete,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS total_rows
+  UNION ALL
+  SELECT 'orders',
+         (SELECT CAST(count(*) AS BIGINT) FROM doomed_orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM doomed_orders)),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+)
+SELECT table_name, rows_to_delete, total_rows,
+       round(CAST(rows_to_delete AS DOUBLE) / total_rows, 4) AS share
+FROM rows_
+ORDER BY table_name
+"""
+
+
 # --- SCD Type-2 dimension build ----------------------------------------------
 
 
@@ -741,6 +919,12 @@ def specs() -> list[QuerySpec]:
         QuerySpec("scd2_priority_dim", q_scd2_priority_dim,
                   ORACLE_SCD2_PRIORITY,
                   "SCD Type-2 dimension build (versioned validity intervals)"),
+        QuerySpec("market_basket", q_market_basket,
+                  ORACLE_MARKET_BASKET,
+                  "association rules: top part pairs with confidence and lift"),
+        QuerySpec("gdpr_erasure_audit", q_gdpr_erasure_audit,
+                  ORACLE_GDPR_AUDIT,
+                  "right-to-be-forgotten cascade scope per table"),
         QuerySpec("nation_volume", q_nation_volume, ORACLE_NATION_VOLUME,
                   "TPC-H Q7-shaped cross-nation revenue flow"),
         QuerySpec("returned_revenue", q_returned_revenue, ORACLE_RETURNED_REVENUE,

@@ -472,3 +472,102 @@ def test_forecast_baseline_crafted(spark):
     expect = sum(abs(counts[d] - counts[d - 1]) for d in scored_days)
     assert w.sum_abs_err_persist == expect
     assert w.mae_persist == round(expect / _FC_EVAL, 4)
+
+
+def test_market_basket_crafted(spark):
+    """Support/confidence/lift on hand baskets: {1,2} x2, {1,3},
+    {2} -> pair (1,2) count 2, conf 1->2 = 2/3, lift = 2*4/(3*2)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_market_basket,
+    )
+
+    baskets = {10: [1, 2], 11: [1, 2], 12: [1, 3], 13: [2]}
+    li = spark.createDataFrame(
+        [Row(l_orderkey=o, l_partkey=p) for o, ps in baskets.items() for p in ps]
+    )
+    orders = spark.createDataFrame([Row(o_orderkey=o) for o in baskets])
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {"lineitem": li, "orders": orders}
+        got = {(r.part_a, r.part_b): r for r in q_market_basket(spark, "x").collect()}
+    finally:
+        tm.load_tables = orig
+    r = got[(1, 2)]
+    assert (r.pair_count, r.count_a, r.count_b) == (2, 3, 3)
+    assert (r.conf_a_to_b, r.conf_b_to_a) == (round(2 / 3, 4), round(2 / 3, 4))
+    assert r.lift == round(2 * 4 / (3 * 3), 4)
+    r13 = got[(1, 3)]
+    assert (r13.pair_count, r13.lift) == (1, round(1 * 4 / (3 * 1), 4))
+    assert len(got) == 2  # {2}-only basket contributes no pair
+
+
+def test_gdpr_cascade_crafted(spark):
+    """Cascade scope: victim customer 0 owns 2 of 3 orders owning 3 of
+    4 lineitems."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        _GDPR_MOD,
+        q_gdpr_erasure_audit,
+    )
+
+    cust = spark.createDataFrame(
+        [Row(c_custkey=0), Row(c_custkey=1), Row(c_custkey=2)]
+    )  # only 0 % 97 == 0
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=100, o_custkey=0), Row(o_orderkey=101, o_custkey=0),
+         Row(o_orderkey=102, o_custkey=1)]
+    )
+    li = spark.createDataFrame(
+        [Row(l_orderkey=100, l_partkey=7), Row(l_orderkey=100, l_partkey=8),
+         Row(l_orderkey=101, l_partkey=7), Row(l_orderkey=102, l_partkey=9)]
+    )
+    assert _GDPR_MOD == 97
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {
+            "customer": cust, "orders": orders, "lineitem": li
+        }
+        got = {r.table_name: r for r in q_gdpr_erasure_audit(spark, "x").collect()}
+    finally:
+        tm.load_tables = orig
+    assert (got["customer"].rows_to_delete, got["customer"].total_rows) == (1, 3)
+    assert (got["orders"].rows_to_delete, got["orders"].total_rows) == (2, 3)
+    assert (got["lineitem"].rows_to_delete, got["lineitem"].total_rows) == (3, 4)
+    assert got["lineitem"].share == 0.75
+
+
+def test_winsorized_crafted(spark):
+    """Clip bounds and the fixed-point winsorized mean on a known
+    set: 100 values 1..100 -> p01 = 1.99, p99 = 99.01; 1 and 100 are
+    clipped."""
+    from datetime import datetime
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_winsorized_value_stats,
+    )
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame(
+        [Row(event_type="X", value=v, ts=datetime(2024, 1, 1)) for v in vals]
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        r = q_winsorized_value_stats(spark, "x").collect()[0]
+    finally:
+        adv.load_tables = orig
+    p01, p99 = np.quantile(vals, 0.01), np.quantile(vals, 0.99)
+    assert (r.p01, r.p99) == (round(float(p01), 4), round(float(p99), 4))
+    assert (r.n_clip_lo, r.n_clip_hi) == (1, 1)
+    clipped = np.clip(vals, p01, p99)
+    fp = sum(int(np.floor(c * 10000 + 0.5)) for c in clipped)
+    assert r.winsorized_mean == round((fp / 10000.0) / 100, 4)
