@@ -1600,7 +1600,6 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99D)").alias("__p99"),
     )
     clip = F.least(F.greatest(F.col("value"), F.col("__p01")), F.col("__p99"))
-    clip_fp = F.floor(clip * 10000 + F.lit(0.5)).cast("bigint")
     return (
         ev.join(F.broadcast(bounds), "event_type")
         .groupBy("event_type")
@@ -1614,7 +1613,9 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("value") > F.col("__p99")).cast("int"))
             .cast("bigint")
             .alias("n_clip_hi"),
-            F.sum(clip_fp).alias("__sum_fp"),
+            # THE shared fixed-point recipe (queries/core.money_sum),
+            # not an inline copy -- a recipe change propagates here
+            money_sum(clip).alias("__wsum"),
         )
         .select(
             "event_type",
@@ -1623,9 +1624,9 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99",
             "n_clip_lo",
             "n_clip_hi",
-            F.round(
-                (F.col("__sum_fp") / 10000.0) / F.col("n_values"), 4
-            ).alias("winsorized_mean"),
+            F.round(F.col("__wsum") / F.col("n_values"), 4).alias(
+                "winsorized_mean"
+            ),
         )
         .orderBy("event_type")
     )

@@ -732,48 +732,60 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the destructive pass, and again after (all zeros) as the
     compliance check.
 
-    Scale shape: the deletion list broadcasts (it is a human-scale
-    request set); orders take one broadcast semi join; lineitem joins
-    on the order-key set, which stays a join (order keys scale with
-    the fact side).  One count per table, assembled via a 3-row
-    union of 1-row aggregates -- each aggregate is its own slim
-    plan, no re-execution concern (no shared frame)."""
+    Scale shape: each FACT table is scanned exactly once -- its total
+    count and its doomed count come from the SAME conditional
+    aggregate (orders: one left join against the broadcast deletion
+    list; lineitem: one lineitem ⋈ orders join with the same
+    broadcast flag) -- and the three 1-row aggregates are assembled
+    into 3 rows with one stack over their crossJoin, never an
+    N-branch union re-executing shared frames (the table_profile
+    38-scans lesson).  The dim-sized customer table is re-read by the
+    two flag joins; that is deliberate -- re-deriving a broadcast dim
+    is free next to re-scanning a fact table."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     victims = t["customer"].filter(
         F.col("c_custkey") % _GDPR_MOD == 0
     ).select("c_custkey")
-    doomed_orders = t["orders"].join(
-        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
-    )
-    doomed_keys = doomed_orders.select("o_orderkey")
-    doomed_lines = t["lineitem"].join(
-        doomed_keys, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
-    )
 
-    def audit_row(table, doomed_df, total_df):
-        return (
-            doomed_df.agg(F.count(F.lit(1)).cast("bigint").alias("rows_to_delete"))
-            .crossJoin(
-                F.broadcast(
-                    total_df.agg(
-                        F.count(F.lit(1)).cast("bigint").alias("total_rows")
-                    )
-                )
-            )
-            .select(
-                F.lit(table).alias("table_name"),
-                "rows_to_delete",
-                "total_rows",
-                F.round(
-                    F.col("rows_to_delete").cast("double") / F.col("total_rows"), 4
-                ).alias("share"),
-            )
-        )
-
+    cust = t["customer"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_total"),
+        F.sum((F.col("c_custkey") % _GDPR_MOD == 0).cast("int"))
+        .cast("bigint")
+        .alias("c_doomed"),
+    )
+    o_flagged = t["orders"].join(
+        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    ords = o_flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("o_total"),
+        F.sum(F.col("c_custkey").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("o_doomed"),
+    )
+    li_flagged = t["lineitem"].join(
+        o_flagged.select("o_orderkey", "c_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    lines = li_flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("l_total"),
+        F.sum(F.col("c_custkey").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("l_doomed"),
+    )
+    wide = cust.crossJoin(F.broadcast(ords)).crossJoin(F.broadcast(lines))
     return (
-        audit_row("customer", victims, t["customer"])
-        .unionByName(audit_row("orders", doomed_orders, t["orders"]))
-        .unionByName(audit_row("lineitem", doomed_lines, t["lineitem"]))
+        wide.selectExpr(
+            "stack(3, 'customer', c_doomed, c_total,"
+            "         'orders',   o_doomed, o_total,"
+            "         'lineitem', l_doomed, l_total)"
+            " AS (table_name, rows_to_delete, total_rows)"
+        )
+        .withColumn(
+            "share",
+            F.round(
+                F.col("rows_to_delete").cast("double") / F.col("total_rows"), 4
+            ),
+        )
         .orderBy("table_name")
     )
 

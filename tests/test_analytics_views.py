@@ -476,7 +476,7 @@ def test_forecast_baseline_crafted(spark):
 
 def test_market_basket_crafted(spark):
     """Support/confidence/lift on hand baskets: {1,2} x2, {1,3},
-    {2} -> pair (1,2) count 2, conf 1->2 = 2/3, lift = 2*4/(3*2)."""
+    {2} -> pair (1,2) count 2, conf 1->2 = 2/3, lift = 2*4/(3*3)."""
     from pyspark.sql import Row
 
     import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
