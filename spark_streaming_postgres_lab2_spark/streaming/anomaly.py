@@ -133,3 +133,51 @@ def zscore_anomaly_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- decayed trending scores ---------------------------------------------------
+
+TREND_DECAY = 0.5  # per-micro-batch exponential decay
+
+TREND_OUTPUT_SCHEMA = "event_type string, score double, batches long"
+TREND_STATE_SCHEMA = "score double, batches long"
+
+
+def _update_trending(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """score <- score * TREND_DECAY + batch_count: recent activity
+    dominates, old activity fades geometrically -- the 'what is hot
+    NOW' statistic, as opposed to the all-time counts of
+    user_profile_stream."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    score, batches = state.get if state.exists else (0.0, 0)
+    n = sum(len(pdf) for pdf in pdfs)
+    score = score * TREND_DECAY + float(n)
+    batches += 1
+    state.update((float(score), int(batches)))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "score": [score], "batches": [batches]}
+    )
+
+
+def trending_stream(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key exponentially-decayed activity score (update mode).
+    Global top-k over the emitted scores belongs in the sink
+    (foreachBatch) -- cross-key ranking cannot live inside a
+    per-key stateful operator."""
+    return (
+        stream.select(F.col(key_col).alias("event_type"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_trending,
+            outputStructType=TREND_OUTPUT_SCHEMA,
+            stateStructType=TREND_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

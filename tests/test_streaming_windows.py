@@ -205,3 +205,58 @@ def test_streaming_zscore_anomaly_state_across_batches(spark, tmp_path):
     after = rows[base + 25]
     assert (after.cnt, after.is_anomaly) == (5, 0)
     assert after.z == round(-15 / 5175 ** 0.5, 4)  # same exact z as batch op
+
+
+def test_trending_stream_decays_across_batches(spark, tmp_path):
+    """Decayed trending: a type that was hot in batch 1 but silent in
+    batch 2 keeps only its decayed residue... and since silent keys get
+    no batch-2 invocation, its batch-1 score simply stands while the
+    newly hot type overtakes it."""
+    import os
+    from datetime import timedelta
+
+    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
+    from spark_streaming_postgres_lab2_spark.sources.csv_stream import csv_stream
+    from spark_streaming_postgres_lab2_spark.operators.validate import validate
+    from spark_streaming_postgres_lab2_spark.operators.enrich import (
+        transform_and_enrich,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        TREND_DECAY,
+        trending_stream,
+    )
+
+    t0 = NOW.replace(tzinfo=None)
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+
+    def mk(etype, i):
+        e = _mk_event(uid=i, ts=t0 + timedelta(minutes=i), etype=etype)
+        e["event_id"] = f"{etype}_{i}"
+        return e
+
+    gen = EventGenerator(seed=2, anomaly_rate=0.0, now=NOW)
+    # batch 1: view hot (10), search warm (4); batch 2: search hot (10),
+    # view present (2).  (search, not purchase/click: a zero-price
+    # purchase fails the validation chain and click is not in the
+    # reference event vocabulary)
+    gen.write_csv([mk("view", i) for i in range(10)]
+                  + [mk("search", 100 + i) for i in range(4)], str(in_dir), "a.csv")
+    gen.write_csv([mk("search", 200 + i) for i in range(10)]
+                  + [mk("view", 300 + i) for i in range(2)], str(in_dir), "b.csv")
+
+    raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+    enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+    name = run_to_memory(trending_stream(enriched), "trending", "update")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {}
+    for r in rows:  # update mode: keep the latest emission per key
+        if r.event_type not in final or r.batches > final[r.event_type].batches:
+            final[r.event_type] = r
+
+    v, p = final["view"], final["search"]
+    assert (v.batches, p.batches) == (2, 2)
+    assert v.score == 10 * TREND_DECAY + 2       # decayed + fresh
+    assert p.score == 4 * TREND_DECAY + 10
+    assert p.score > v.score                     # the newly hot type leads
