@@ -260,3 +260,66 @@ def test_trending_stream_decays_across_batches(spark, tmp_path):
     assert v.score == 10 * TREND_DECAY + 2       # decayed + fresh
     assert p.score == 4 * TREND_DECAY + 10
     assert p.score > v.score                     # the newly hot type leads
+
+
+def test_trending_state_survives_query_restart(spark, tmp_path):
+    """applyInPandasWithState state must come back from the CHECKPOINT
+    on a fresh query start: run batch 1, stop, add a file, start a NEW
+    query on the same checkpoint -- the batch-2 emission must continue
+    the decay recurrence (batches == 2), not restart from zero."""
+    import os
+    from datetime import timedelta
+
+    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
+    from spark_streaming_postgres_lab2_spark.sources.csv_stream import csv_stream
+    from spark_streaming_postgres_lab2_spark.operators.validate import validate
+    from spark_streaming_postgres_lab2_spark.operators.enrich import (
+        transform_and_enrich,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        TREND_DECAY,
+        trending_stream,
+    )
+
+    t0 = NOW.replace(tzinfo=None)
+    in_dir, ckpt, out_dir = tmp_path / "in", tmp_path / "ckpt", tmp_path / "out"
+    os.makedirs(in_dir)
+
+    def mk(i):
+        e = _mk_event(uid=i, ts=t0 + timedelta(minutes=i), etype="view")
+        e["event_id"] = f"r{i}"
+        return e
+
+    gen = EventGenerator(seed=3, anomaly_rate=0.0, now=NOW)
+    gen.write_csv([mk(i) for i in range(8)], str(in_dir), "a.csv")
+
+    def start():
+        raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+        enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+        # update-mode stateful output cannot append to a file sink
+        # directly -- route through foreachBatch like the production
+        # BatchRouter does
+        return (
+            trending_stream(enriched)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(str(out_dir))
+            )
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+    gen.write_csv([mk(100 + i) for i in range(4)], str(in_dir), "b.csv")
+    q2 = start()  # FRESH query object, same checkpoint
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out_dir)).collect()
+    by_batch = {r.batches: r for r in rows if r.event_type == "view"}
+    assert set(by_batch) == {1, 2}
+    assert by_batch[1].score == 8.0
+    # restart continued the recurrence from checkpointed state
+    assert by_batch[2].score == 8.0 * TREND_DECAY + 4
