@@ -143,41 +143,64 @@ TREND_OUTPUT_SCHEMA = "event_type string, score double, batches long"
 TREND_STATE_SCHEMA = "score double, batches long"
 
 
-def _update_trending(
-    key: Tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """score <- score * TREND_DECAY + batch_count: recent activity
-    dominates, old activity fades geometrically -- the 'what is hot
-    NOW' statistic, as opposed to the all-time counts of
-    user_profile_stream."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    score, batches = state.get if state.exists else (0.0, 0)
-    n = sum(len(pdf) for pdf in pdfs)
-    score = score * TREND_DECAY + float(n)
-    batches += 1
-    state.update((float(score), int(batches)))
-    yield pd.DataFrame(
-        {"event_type": [key[0]], "score": [score], "batches": [batches]}
+TREND_IDLE_TIMEOUT_MS = 60_000  # evict keys idle this long
+
+
+def trending_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    idle_timeout_ms: int | None = TREND_IDLE_TIMEOUT_MS,
+) -> DataFrame:
+    """Per-key exponentially-decayed activity score (update mode):
+    score <- score * TREND_DECAY + batch_count for every batch the key
+    APPEARS in.  The stateful API never invokes absent keys, so a
+    silent key cannot decay in place -- with ``idle_timeout_ms`` set
+    (the default) it is instead EVICTED via processing-time timeout,
+    emitting a zero-score tombstone row, which both honors the 'old
+    activity fades' contract at the sink and bounds state-store size
+    under high-cardinality keys.  Pass ``idle_timeout_ms=None`` to
+    disable eviction (note: with availableNow triggers, pending
+    timeouts keep the query scheduling extra micro-batches).  Global
+    top-k over the emitted scores belongs in the sink (foreachBatch)
+    -- cross-key ranking cannot live inside a per-key stateful
+    operator."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            _, batches = state.get if state.exists else (0.0, 0)
+            state.remove()
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "score": [0.0], "batches": [int(batches)]}
+            )
+            return
+        score, batches = state.get if state.exists else (0.0, 0)
+        n = sum(len(pdf) for pdf in pdfs)
+        score = score * TREND_DECAY + float(n)
+        batches += 1
+        state.update((float(score), int(batches)))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "score": [score], "batches": [batches]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
     )
-
-
-def trending_stream(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
-    """Per-key exponentially-decayed activity score (update mode).
-    Global top-k over the emitted scores belongs in the sink
-    (foreachBatch) -- cross-key ranking cannot live inside a
-    per-key stateful operator."""
     return (
         stream.select(F.col(key_col).alias("event_type"))
         .groupBy("event_type")
         .applyInPandasWithState(
-            _update_trending,
+            update,
             outputStructType=TREND_OUTPUT_SCHEMA,
             stateStructType=TREND_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -189,6 +189,9 @@ def test_streaming_zscore_anomaly_state_across_batches(spark, tmp_path):
     batch2 = [mk(24, i) for i in range(20)] + [mk(25, i) for i in range(5)]
     gen.write_csv(batch1, str(in_dir), "a_batch1.csv")
     gen.write_csv(batch2, str(in_dir), "b_batch2.csv")
+    # pin batch order (mtime ties at ms granularity)
+    os.utime(in_dir / "a_batch1.csv", (1, 1))
+    os.utime(in_dir / "b_batch2.csv", (2, 2))
 
     raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
     enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
@@ -215,13 +218,6 @@ def test_trending_stream_decays_across_batches(spark, tmp_path):
     import os
     from datetime import timedelta
 
-    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
-    from spark_streaming_postgres_lab2_spark.sources.csv_stream import csv_stream
-    from spark_streaming_postgres_lab2_spark.operators.validate import validate
-    from spark_streaming_postgres_lab2_spark.operators.enrich import (
-        transform_and_enrich,
-    )
-    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
     from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
         TREND_DECAY,
         trending_stream,
@@ -245,10 +241,16 @@ def test_trending_stream_decays_across_batches(spark, tmp_path):
                   + [mk("search", 100 + i) for i in range(4)], str(in_dir), "a.csv")
     gen.write_csv([mk("search", 200 + i) for i in range(10)]
                   + [mk("view", 300 + i) for i in range(2)], str(in_dir), "b.csv")
+    # FileStreamSource orders by mtime at ms granularity -- two quick
+    # writes can tie; pin the intended batch order explicitly
+    os.utime(in_dir / "a.csv", (1, 1))
+    os.utime(in_dir / "b.csv", (2, 2))
 
     raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
     enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
-    name = run_to_memory(trending_stream(enriched), "trending", "update")
+    name = run_to_memory(
+        trending_stream(enriched, idle_timeout_ms=None), "trending", "update"
+    )
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     final = {}
     for r in rows:  # update mode: keep the latest emission per key
@@ -270,13 +272,6 @@ def test_trending_state_survives_query_restart(spark, tmp_path):
     import os
     from datetime import timedelta
 
-    from spark_streaming_postgres_lab2_spark.schema.registry import get_registry
-    from spark_streaming_postgres_lab2_spark.sources.csv_stream import csv_stream
-    from spark_streaming_postgres_lab2_spark.operators.validate import validate
-    from spark_streaming_postgres_lab2_spark.operators.enrich import (
-        transform_and_enrich,
-    )
-    from spark_streaming_postgres_lab2_spark.sources.datagen import EventGenerator
     from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
         TREND_DECAY,
         trending_stream,
@@ -301,7 +296,7 @@ def test_trending_state_survives_query_restart(spark, tmp_path):
         # directly -- route through foreachBatch like the production
         # BatchRouter does
         return (
-            trending_stream(enriched)
+            trending_stream(enriched, idle_timeout_ms=None)
             .writeStream.foreachBatch(
                 lambda df, _eid: df.write.mode("append").parquet(str(out_dir))
             )
@@ -318,8 +313,51 @@ def test_trending_state_survives_query_restart(spark, tmp_path):
     q2.awaitTermination(120)
 
     rows = spark.read.parquet(str(out_dir)).collect()
-    by_batch = {r.batches: r for r in rows if r.event_type == "view"}
+    views = [r for r in rows if r.event_type == "view"]
+    # EXACTLY two emissions: a replay-from-scratch regression would
+    # leave three (q1's batch plus q2 re-reading both files), which
+    # the dict below would silently collapse
+    assert len(views) == 2
+    by_batch = {r.batches: r for r in views}
     assert set(by_batch) == {1, 2}
     assert by_batch[1].score == 8.0
     # restart continued the recurrence from checkpointed state
     assert by_batch[2].score == 8.0 * TREND_DECAY + 4
+
+
+def test_trending_idle_key_evicted_with_tombstone(spark, tmp_path):
+    """With a short idle timeout, a key that goes silent is evicted:
+    a zero-score tombstone row is emitted and its state is removed
+    (re-appearance starts from scratch)."""
+    import os
+    from datetime import timedelta
+
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        trending_stream,
+    )
+
+    t0 = NOW.replace(tzinfo=None)
+    in_dir = tmp_path / "in"
+    os.makedirs(in_dir)
+
+    def mk(etype, i):
+        e = _mk_event(uid=i, ts=t0 + timedelta(minutes=i), etype=etype)
+        e["event_id"] = f"e{etype}_{i}"
+        return e
+
+    gen = EventGenerator(seed=4, anomaly_rate=0.0, now=NOW)
+    # batch 1: view active; batch 2: only search active -> view idles
+    # past the 1 ms timeout and must be evicted during the run
+    gen.write_csv([mk("view", i) for i in range(6)], str(in_dir), "a.csv")
+    gen.write_csv([mk("search", 100 + i) for i in range(3)], str(in_dir), "b.csv")
+    os.utime(in_dir / "a.csv", (1, 1))
+    os.utime(in_dir / "b.csv", (2, 2))
+
+    raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+    enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+    name = run_to_memory(
+        trending_stream(enriched, idle_timeout_ms=1), "trend_evict", "update"
+    )
+    rows = spark.sql(f"SELECT * FROM {name} WHERE event_type = 'view'").collect()
+    assert any(r.score == 6.0 for r in rows)   # the active emission
+    assert any(r.score == 0.0 for r in rows)   # the eviction tombstone
