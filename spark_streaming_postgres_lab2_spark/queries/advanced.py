@@ -1579,25 +1579,47 @@ ORDER BY e.event_type
 
 def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized (clipped) statistics -- the robust-mean companion of
-    the IQR detector: per event type, clamp ``value`` to [p01, p99]
-    and report the winsorized mean alongside clip counts, so one
-    wild outlier cannot drag the reported average.
+    the IQR detector: per event type, clamp ``value`` to the DISCRETE
+    1st/99th-percentile elements and report the winsorized mean
+    alongside clip counts, so one wild outlier cannot drag the
+    reported average.
 
-    Exactness: p01/p99 ride on the proven percentile==quantile_cont
-    bit-equality; the clamp comparisons are identical double
-    compares; and the winsorized MEAN uses the money_sum fixed-point
-    recipe (floor(x*10000+0.5) per row -> exact BIGINT sum) so
-    Spark's parallel reduction and DuckDB's serial one agree
-    bit-for-bit regardless of row order.  Clip counts are integers.
+    Exactness: the clip bounds are ACTUAL DATA VALUES selected by
+    exact integer rank arithmetic (k_lo = ceil(0.01*n), k_hi =
+    ceil(0.99*n) via integer div), NOT interpolated percentiles --
+    at sf1 the interpolated p99 landed within 1 ulp of a
+    (10x-duplicated) data value and the engines' last-bit
+    interpolation difference flipped a strict compare for the whole
+    duplicate group (found by the sf1 correctness sweep).  Discrete
+    selection makes the clamp compares bit-identical parquet-double
+    comparisons, and the winsorized MEAN uses the money_sum
+    fixed-point recipe so the parallel and serial sums agree exactly.
 
-    Scale shape: one grouped percentile pass, broadcast bounds join
-    back, one conditional aggregate -- two scans, same as the IQR
-    summary."""
+    Scale shape: one rank pass per type (window partitioned by
+    event_type -- partition size is the per-type value count; for a
+    100 TB single-type skew, swap the exact selection for a
+    distributed selection algorithm), broadcast bounds join back, one
+    conditional aggregate."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].filter(F.col("value").isNotNull())
-    bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01D)").alias("__p01"),
-        F.expr("percentile(value, 0.99D)").alias("__p99"),
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+    )
+    klo = F.expr("(__n + 99) div 100")           # ceil(0.01 * n)
+    khi = F.expr("(99 * __n + 99) div 100")      # ceil(0.99 * n)
+    bounds = (
+        ranked.filter((F.col("__rn") == klo) | (F.col("__rn") == khi))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("__rn") == klo, F.col("value"))).alias("__p01"),
+            F.min(F.when(F.col("__rn") == khi, F.col("value"))).alias("__p99"),
+        )
     )
     clip = F.least(F.greatest(F.col("value"), F.col("__p01")), F.col("__p99"))
     return (
@@ -1633,11 +1655,18 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_WINSORIZED = """
-WITH b AS (
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
   SELECT event_type,
-         quantile_cont(value, 0.01) AS p01,
-         quantile_cont(value, 0.99) AS p99
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
+         min(CASE WHEN rn = (n + 99) // 100 THEN value END) AS p01,
+         min(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+  FROM ranked
+  GROUP BY event_type
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_values,

@@ -542,9 +542,12 @@ def test_gdpr_cascade_crafted(spark):
 
 
 def test_winsorized_crafted(spark):
-    """Clip bounds and the fixed-point winsorized mean on a known
-    set: 100 values 1..100 -> p01 = 1.99, p99 = 99.01; 1 and 100 are
-    clipped."""
+    """Discrete winsorization on a known set: 200 values 1..200 ->
+    k_lo = ceil(0.01*200) = 2 so the lower bound is the 2nd-smallest
+    element (2.0, clipping one value), k_hi = ceil(0.99*200) = 198 so
+    the upper bound is 198.0 (clipping two).  Bounds are DATA VALUES,
+    never interpolated -- the sf1 sweep showed interpolated bounds
+    land within 1 ulp of duplicated data and flip strict compares."""
     from datetime import datetime
 
     import numpy as np
@@ -555,7 +558,7 @@ def test_winsorized_crafted(spark):
         q_winsorized_value_stats,
     )
 
-    vals = [float(i) for i in range(1, 101)]
+    vals = [float(i) for i in range(1, 201)]
     df = spark.createDataFrame(
         [Row(event_type="X", value=v, ts=datetime(2024, 1, 1)) for v in vals]
     )
@@ -565,9 +568,8 @@ def test_winsorized_crafted(spark):
         r = q_winsorized_value_stats(spark, "x").collect()[0]
     finally:
         adv.load_tables = orig
-    p01, p99 = np.quantile(vals, 0.01), np.quantile(vals, 0.99)
-    assert (r.p01, r.p99) == (round(float(p01), 4), round(float(p99), 4))
-    assert (r.n_clip_lo, r.n_clip_hi) == (1, 1)
-    clipped = np.clip(vals, p01, p99)
+    assert (r.p01, r.p99) == (2.0, 198.0)
+    assert (r.n_clip_lo, r.n_clip_hi) == (1, 2)
+    clipped = np.clip(vals, 2.0, 198.0)
     fp = sum(int(np.floor(c * 10000 + 0.5)) for c in clipped)
-    assert r.winsorized_mean == round((fp / 10000.0) / 100, 4)
+    assert r.winsorized_mean == round((fp / 10000.0) / 200, 4)

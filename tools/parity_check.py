@@ -49,7 +49,14 @@ def main() -> int:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; tools/make_sfN.py fixtures
+        # are Spark-written DIRECTORIES of part files
+        import os as _os
+
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
