@@ -1515,20 +1515,42 @@ def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_zscore_anomaly_hours) when the distribution is skewed, as
     ``value`` is (~5% upper-tail outliers on the fixture).
 
-    Exactness: Spark's exact ``percentile`` and DuckDB's
-    ``quantile_cont`` interpolate identically (proven bit-for-bit by
-    approx_quantiles_audit), the fence arithmetic is the same double
-    expression on both engines, and the parquet doubles are
-    bit-identical -- so the fence COMPARISONS agree exactly and the
-    outlier counts are integers.  q1/q3 are rounded for display only.
+    Exactness: the quartiles are DISCRETE data elements selected by
+    exact integer rank arithmetic (k = ceil(p*n)), not interpolated
+    percentiles -- the sf1 sweep proved interpolated thresholds land
+    within 1 ulp of duplicated data and flip strict compares across
+    engines.  The fence arithmetic then runs on bit-identical parquet
+    doubles, so the comparisons agree exactly and the outlier counts
+    are integers.  q1/q3 are rounded for display only.
 
-    Scale shape: one grouped percentile pass (5 groups), broadcast
-    fence join back, one conditional-count aggregate -- two scans."""
+    Scale shape: one per-type rank pass (window partitioned by
+    event_type), broadcast fence join back, one conditional-count
+    aggregate."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].filter(F.col("value").isNotNull())
-    fences = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.25D)").alias("__q1"),
-        F.expr("percentile(value, 0.75D)").alias("__q3"),
+    # DISCRETE quartile elements via exact integer rank arithmetic
+    # (k = ceil(p*n)), same hardening as winsorized_value_stats: the
+    # sf1 sweep proved interpolated thresholds land within 1 ulp of
+    # duplicated data and flip strict compares across engines; the
+    # fence arithmetic then runs on bit-identical inputs
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "event_type")
+    )
+    k1 = F.expr("(__n + 3) div 4")            # ceil(0.25 * n)
+    k3 = F.expr("(3 * __n + 3) div 4")        # ceil(0.75 * n)
+    fences = (
+        ranked.filter((F.col("__rn") == k1) | (F.col("__rn") == k3))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("__rn") == k1, F.col("value"))).alias("__q1"),
+            F.min(F.when(F.col("__rn") == k3, F.col("value"))).alias("__q3"),
+        )
     )
     iqr = F.col("__q3") - F.col("__q1")
     lo, hi = F.col("__q1") - 1.5 * iqr, F.col("__q3") + 1.5 * iqr
@@ -1551,11 +1573,18 @@ def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IQR_OUTLIERS = """
-WITH f AS (
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+f AS (
   SELECT event_type,
-         quantile_cont(value, 0.25) AS q1,
-         quantile_cont(value, 0.75) AS q3
-  FROM events WHERE value IS NOT NULL GROUP BY event_type
+         min(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+         min(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+  FROM ranked
+  GROUP BY event_type
 )
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_values,

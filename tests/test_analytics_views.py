@@ -375,7 +375,9 @@ def test_table_profile_crafted(spark):
 
 
 def test_iqr_outlier_crafted(spark):
-    """Tukey fences on a hand-computable set: 8 inliers + 1 extreme."""
+    """Tukey fences with DISCRETE quartiles on a hand-computable set:
+    n = 9 -> q1 = 3rd element (3.0), q3 = 7th (7.0), fences
+    [-3, 13]; only 100.0 is outside."""
     from datetime import datetime
 
     import numpy as np
@@ -396,9 +398,7 @@ def test_iqr_outlier_crafted(spark):
         r = q_iqr_outlier_summary(spark, "x").collect()[0]
     finally:
         adv.load_tables = orig
-    q1, q3 = np.quantile(vals, 0.25), np.quantile(vals, 0.75)
-    assert (r.q1, r.q3) == (round(float(q1), 4), round(float(q3), 4))
-    # fences: [q1 - 1.5*iqr, q3 + 1.5*iqr]; only 100.0 is outside
+    assert (r.q1, r.q3) == (3.0, 7.0)  # ceil(9/4)=3rd, ceil(27/4)=7th element
     assert (r.n_hi, r.n_lo, r.n_values) == (1, 0, 9)
     assert r.hi_rate == round(1 / 9, 4)
 
