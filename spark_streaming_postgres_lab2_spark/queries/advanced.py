@@ -1505,6 +1505,57 @@ dense AS (
 )"""
 
 
+# --- discrete rank-selected bounds (shared by IQR + winsorized) ---------------
+
+
+def _discrete_rank_bounds(ev, lo: tuple, hi: tuple):
+    """Per-event_type (``__lo``, ``__hi``) bounds as DISCRETE data
+    elements at ranks ceil(lo_num/lo_den * n) / ceil(hi_num/hi_den *
+    n) of ``value`` -- THE shared threshold recipe (see the sf1
+    interpolation-ulp incident): exact integer rank arithmetic, the
+    bound is an actual element, and both engines compare
+    bit-identical parquet doubles.  ``+ 0.0`` normalizes a possible
+    -0.0 element so the displayed bound cannot repr-split across
+    engines.  One window pass: row_number and count(*) share the same
+    per-type exchange (no separate counts scan)."""
+    wp = Window.partitionBy("event_type")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("__rn", F.row_number().over(wp.orderBy("value")))
+        .withColumn("__n", F.count(F.lit(1)).over(wp))
+    )
+    klo = F.expr(f"({lo[0]} * __n + {lo[1] - 1}) div {lo[1]}")
+    khi = F.expr(f"({hi[0]} * __n + {hi[1] - 1}) div {hi[1]}")
+    return (
+        ranked.filter((F.col("__rn") == klo) | (F.col("__rn") == khi))
+        .groupBy("event_type")
+        .agg(
+            (F.min(F.when(F.col("__rn") == klo, F.col("value"))) + 0.0).alias("__lo"),
+            (F.min(F.when(F.col("__rn") == khi, F.col("value"))) + 0.0).alias("__hi"),
+        )
+    )
+
+
+def _sql_discrete_rank_bounds(lo: tuple, hi: tuple) -> str:
+    """The identical selection as DuckDB CTEs ``ranked`` + ``b``
+    (event_type, lo, hi)."""
+    return f"""ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         min(CASE WHEN rn = ({lo[0]} * n + {lo[1] - 1}) // {lo[1]}
+                  THEN value END) + 0.0 AS lo,
+         min(CASE WHEN rn = ({hi[0]} * n + {hi[1] - 1}) // {hi[1]}
+                  THEN value END) + 0.0 AS hi
+  FROM ranked
+  GROUP BY event_type
+)"""
+
+
 # --- Tukey IQR outlier summary -------------------------------------------------
 
 
@@ -1528,29 +1579,10 @@ def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].filter(F.col("value").isNotNull())
-    # DISCRETE quartile elements via exact integer rank arithmetic
-    # (k = ceil(p*n)), same hardening as winsorized_value_stats: the
-    # sf1 sweep proved interpolated thresholds land within 1 ulp of
-    # duplicated data and flip strict compares across engines; the
-    # fence arithmetic then runs on bit-identical inputs
-    counts = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = (
-        ev.select("event_type", "value")
-        .withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(counts), "event_type")
-    )
-    k1 = F.expr("(__n + 3) div 4")            # ceil(0.25 * n)
-    k3 = F.expr("(3 * __n + 3) div 4")        # ceil(0.75 * n)
-    fences = (
-        ranked.filter((F.col("__rn") == k1) | (F.col("__rn") == k3))
-        .groupBy("event_type")
-        .agg(
-            F.min(F.when(F.col("__rn") == k1, F.col("value"))).alias("__q1"),
-            F.min(F.when(F.col("__rn") == k3, F.col("value"))).alias("__q3"),
-        )
+    fences = _discrete_rank_bounds(ev, lo=(1, 4), hi=(3, 4)).select(
+        "event_type",
+        F.col("__lo").alias("__q1"),
+        F.col("__hi").alias("__q3"),
     )
     iqr = F.col("__q3") - F.col("__q1")
     lo, hi = F.col("__q1") - 1.5 * iqr, F.col("__q3") + 1.5 * iqr
@@ -1572,20 +1604,9 @@ def q_iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_IQR_OUTLIERS = """
-WITH ranked AS (
-  SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
-),
-f AS (
-  SELECT event_type,
-         min(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
-         min(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
-  FROM ranked
-  GROUP BY event_type
-)
+ORACLE_IQR_OUTLIERS = f"""
+WITH {_sql_discrete_rank_bounds(lo=(1, 4), hi=(3, 4))},
+f AS (SELECT event_type, lo AS q1, hi AS q3 FROM b)
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_values,
        round(min(f.q1), 4) AS q1,
@@ -1631,24 +1652,10 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].filter(F.col("value").isNotNull())
-    counts = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
-    )
-    w = Window.partitionBy("event_type").orderBy("value")
-    ranked = (
-        ev.select("event_type", "value")
-        .withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(counts), "event_type")
-    )
-    klo = F.expr("(__n + 99) div 100")           # ceil(0.01 * n)
-    khi = F.expr("(99 * __n + 99) div 100")      # ceil(0.99 * n)
-    bounds = (
-        ranked.filter((F.col("__rn") == klo) | (F.col("__rn") == khi))
-        .groupBy("event_type")
-        .agg(
-            F.min(F.when(F.col("__rn") == klo, F.col("value"))).alias("__p01"),
-            F.min(F.when(F.col("__rn") == khi, F.col("value"))).alias("__p99"),
-        )
+    bounds = _discrete_rank_bounds(ev, lo=(1, 100), hi=(99, 100)).select(
+        "event_type",
+        F.col("__lo").alias("__p01"),
+        F.col("__hi").alias("__p99"),
     )
     clip = F.least(F.greatest(F.col("value"), F.col("__p01")), F.col("__p99"))
     return (
@@ -1683,33 +1690,22 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_WINSORIZED = """
-WITH ranked AS (
-  SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM events WHERE value IS NOT NULL
-),
-b AS (
-  SELECT event_type,
-         min(CASE WHEN rn = (n + 99) // 100 THEN value END) AS p01,
-         min(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
-  FROM ranked
-  GROUP BY event_type
-)
+ORACLE_WINSORIZED = f"""
+WITH {_sql_discrete_rank_bounds(lo=(1, 100), hi=(99, 100))},
+w2 AS (SELECT event_type, lo AS p01, hi AS p99 FROM b)
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_values,
-       round(min(b.p01), 4) AS p01,
-       round(min(b.p99), 4) AS p99,
-       CAST(sum(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT)
+       round(min(w2.p01), 4) AS p01,
+       round(min(w2.p99), 4) AS p99,
+       CAST(sum(CASE WHEN e.value < w2.p01 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clip_lo,
-       CAST(sum(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN e.value > w2.p99 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clip_hi,
        round((CAST(sum(CAST(floor(
-                least(greatest(e.value, b.p01), b.p99) * 10000 + 0.5
+                least(greatest(e.value, w2.p01), w2.p99) * 10000 + 0.5
               ) AS BIGINT)) AS DOUBLE) / 10000.0) / count(*), 4)
          AS winsorized_mean
-FROM events e JOIN b ON e.event_type = b.event_type
+FROM events e JOIN w2 ON e.event_type = w2.event_type
 WHERE e.value IS NOT NULL
 GROUP BY e.event_type
 ORDER BY e.event_type

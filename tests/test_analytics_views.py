@@ -380,7 +380,6 @@ def test_iqr_outlier_crafted(spark):
     [-3, 13]; only 100.0 is outside."""
     from datetime import datetime
 
-    import numpy as np
     from pyspark.sql import Row
 
     import spark_streaming_postgres_lab2_spark.queries.advanced as adv

@@ -11,6 +11,7 @@ rest of the inventory).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -51,10 +52,8 @@ def main() -> int:
     ]:
         # driver fixtures are single files; tools/make_sfN.py fixtures
         # are Spark-written DIRECTORIES of part files
-        import os as _os
-
         path = f"{sf_dir}/{t}.parquet"
-        if _os.path.isdir(path):
+        if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
