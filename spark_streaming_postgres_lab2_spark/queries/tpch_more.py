@@ -747,18 +747,21 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey") % _GDPR_MOD == 0
     ).select("c_custkey")
 
+    # sum() over an EMPTY table is NULL, not 0 -- coalesce every doomed
+    # count so an empty cascade member reports 0 (found by the gdpr
+    # property test's minimal falsifying example)
     cust = t["customer"].agg(
         F.count(F.lit(1)).cast("bigint").alias("c_total"),
-        F.sum((F.col("c_custkey") % _GDPR_MOD == 0).cast("int"))
-        .cast("bigint")
-        .alias("c_doomed"),
+        F.coalesce(
+            F.sum((F.col("c_custkey") % _GDPR_MOD == 0).cast("int")), F.lit(0)
+        ).cast("bigint").alias("c_doomed"),
     )
     o_flagged = t["orders"].join(
         F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey"), "left"
     )
     ords = o_flagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("o_total"),
-        F.sum(F.col("c_custkey").isNotNull().cast("int"))
+        F.coalesce(F.sum(F.col("c_custkey").isNotNull().cast("int")), F.lit(0))
         .cast("bigint")
         .alias("o_doomed"),
     )
@@ -768,7 +771,7 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lines = li_flagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("l_total"),
-        F.sum(F.col("c_custkey").isNotNull().cast("int"))
+        F.coalesce(F.sum(F.col("c_custkey").isNotNull().cast("int")), F.lit(0))
         .cast("bigint")
         .alias("l_doomed"),
     )
@@ -782,8 +785,13 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "share",
-            F.round(
-                F.col("rows_to_delete").cast("double") / F.col("total_rows"), 4
+            # NULL (not NaN/inf) when a cascade member is empty
+            F.when(
+                F.col("total_rows") > 0,
+                F.round(
+                    F.col("rows_to_delete").cast("double") / F.col("total_rows"),
+                    4,
+                ),
             ),
         )
         .orderBy("table_name")
@@ -813,7 +821,9 @@ rows_ AS (
          (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
 )
 SELECT table_name, rows_to_delete, total_rows,
-       round(CAST(rows_to_delete AS DOUBLE) / total_rows, 4) AS share
+       CASE WHEN total_rows > 0
+            THEN round(CAST(rows_to_delete AS DOUBLE) / total_rows, 4)
+       END AS share
 FROM rows_
 ORDER BY table_name
 """

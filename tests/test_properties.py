@@ -408,3 +408,133 @@ def test_scd2_version_accounting(spark, orders):
         for a, b in zip(vers, vers[1:]):
             assert a.valid_to == b.valid_from
         assert vers[-1].valid_to is None
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(0, 20),
+        st.sets(st.integers(1, 8), min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_market_basket_matches_itertools_mirror(spark, baskets):
+    """Pair counts, per-item counts, and lift match a pure-Python
+    recomputation on arbitrary baskets."""
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_market_basket,
+    )
+
+    li = spark.createDataFrame(
+        [Row(l_orderkey=o, l_partkey=p) for o, ps in baskets.items() for p in ps]
+    )
+    orders = spark.createDataFrame([Row(o_orderkey=o) for o in baskets])
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {"lineitem": li, "orders": orders}
+        got = {(r.part_a, r.part_b): r for r in q_market_basket(spark, "x").collect()}
+    finally:
+        tm.load_tables = orig
+
+    n = len(baskets)
+    item = {}
+    pair = {}
+    for ps in baskets.values():
+        for p in ps:
+            item[p] = item.get(p, 0) + 1
+        for a, b in combinations(sorted(ps), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    # the query emits the top-30 by count; with <= 15 baskets of <= 5
+    # items the pair space is < 30, so the output is the FULL set
+    assert set(got) == set(pair)
+    for (a, b), cnt in pair.items():
+        r = got[(a, b)]
+        assert (r.pair_count, r.count_a, r.count_b) == (cnt, item[a], item[b])
+        assert r.lift == round(cnt * n / (item[a] * item[b]), 4)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 300), st.integers(0, 6)), min_size=1,
+             max_size=30, unique_by=lambda t: t[0])
+)
+def test_gdpr_audit_matches_python_mirror(spark, custs):
+    """Cascade deletion scope reconciles with a Python recomputation
+    on arbitrary customer/order/lineitem shapes."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        _GDPR_MOD,
+        q_gdpr_erasure_audit,
+    )
+
+    cust_rows = [Row(c_custkey=k) for k, _ in custs]
+    order_rows = []
+    li_rows = []
+    okey = 0
+    for k, n_orders in custs:
+        for _ in range(n_orders):
+            order_rows.append(Row(o_orderkey=okey, o_custkey=k))
+            li_rows += [Row(l_orderkey=okey, l_partkey=j) for j in range(okey % 3)]
+            okey += 1
+    cust = spark.createDataFrame(cust_rows)
+    orders = (spark.createDataFrame(order_rows) if order_rows
+              else spark.createDataFrame([], "o_orderkey long, o_custkey long"))
+    li = (spark.createDataFrame(li_rows) if li_rows
+          else spark.createDataFrame([], "l_orderkey long, l_partkey long"))
+    orig = tm.load_tables
+    try:
+        tm.load_tables = lambda _s, _d, _t: {
+            "customer": cust, "orders": orders, "lineitem": li
+        }
+        got = {r.table_name: r for r in q_gdpr_erasure_audit(spark, "x").collect()}
+    finally:
+        tm.load_tables = orig
+
+    victims = {k for k, _ in custs if k % _GDPR_MOD == 0}
+    doomed_orders = {r.o_orderkey for r in order_rows if r.o_custkey in victims}
+    doomed_lines = sum(1 for r in li_rows if r.l_orderkey in doomed_orders)
+    assert (got["customer"].rows_to_delete, got["customer"].total_rows) == (
+        len(victims), len(cust_rows))
+    assert (got["orders"].rows_to_delete, got["orders"].total_rows) == (
+        len(doomed_orders), len(order_rows))
+    assert (got["lineitem"].rows_to_delete, got["lineitem"].total_rows) == (
+        doomed_lines, len(li_rows))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.sets(st.integers(0, 4000), min_size=1, max_size=60))
+def test_fuzzy_linkage_always_finds_parent(spark, keys):
+    """Every sampled dirty record's TRUE PARENT is always reachable
+    (same block, distance 1), so best_distance <= 1 and the emitted
+    set covers exactly the sampled keys."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _LINK_SAMPLE_MOD,
+        q_fuzzy_record_linkage,
+    )
+
+    df = spark.createDataFrame(
+        [Row(c_custkey=k, c_name=f"Customer#{k:09d}", c_nationkey=k % 5)
+         for k in keys]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"customer": df}
+        got = {r.dirty_key: r for r in q_fuzzy_record_linkage(spark, "x").collect()}
+    finally:
+        ext.load_tables = orig
+    sampled = {k for k in keys if k % _LINK_SAMPLE_MOD == 0}
+    assert set(got) == sampled
+    for k, r in got.items():
+        assert r.best_distance <= 1
+        assert r.n_candidates >= 1
