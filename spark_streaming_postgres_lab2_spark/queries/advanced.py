@@ -1746,15 +1746,18 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered branches + crossJoin would re-execute the events scan
     # and the per-user aggregate once per arm (the table_profile
     # 38-scans lesson)
+    # coalesce: sum() over an empty frame is NULL, not 0 (the GDPR
+    # empty-cascade lesson); count-like cells must report 0
+    z0 = F.lit(0)
     w = per_user.agg(
-        F.sum((F.col("__arm") == 0).cast("int")).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0))
-        .cast("bigint")
-        .alias("conv_a"),
-        F.sum((F.col("__arm") == 1).cast("int")).cast("bigint").alias("n_b"),
-        F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0))
-        .cast("bigint")
-        .alias("conv_b"),
+        F.coalesce(F.sum((F.col("__arm") == 0).cast("int")), z0)
+        .cast("bigint").alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0)), z0)
+        .cast("bigint").alias("conv_a"),
+        F.coalesce(F.sum((F.col("__arm") == 1).cast("int")), z0)
+        .cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0)), z0)
+        .cast("bigint").alias("conv_b"),
     )
     p1 = F.col("conv_a") / F.col("n_a")
     p2 = F.col("conv_b") / F.col("n_b")
@@ -1786,10 +1789,10 @@ w AS (
   -- single aggregate, mirroring the Spark side: a grouped-arms +
   -- cross-join formulation would emit ZERO rows when an arm is empty
   -- while the one-pass aggregate emits the summary row with n = 0
-  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
-         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  SELECT CAST(coalesce(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+         CAST(coalesce(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END), 0) AS BIGINT) AS conv_a,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END), 0) AS BIGINT) AS conv_b
   FROM per_user
 ),
 s AS (
