@@ -41,91 +41,67 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 5, tier 0: new or semantically changed this round -- no
-    # driver row yet / implementation or oracle changed.
-    "ann_ivf_lossless_audit",   # NEW: full IVF machinery vs brute-force oracle
-    "ann_recall_audit",         # NEW: pruned-IVF recall >= 0.9 under the oracle
-    "important_parts",          # threshold product now DECIMAL38/HUGEINT (ADVICE)
-    "sole_failed_supplier",     # group key unified to s_name both sides (ADVICE)
-    "near_dup_clusters",        # CC self-loop vertex-set fix (ADVICE)
-    "canonical_docs",           # CC consumer (same fix)
-    "simhash_near_dup",         # vote aggregate packed 8 lanes/long (r5 item 3)
-    "approx_distinct_audit",    # NEW: HLL++ error <= 15% under the oracle
-    "stratified_sample_audit",  # NEW: sampleBy fraction within 5 sd under the oracle
-    "url_domain_filter",        # NEW: C4-style domain extraction + blocklist
-    "html_text_extract",        # NEW: HTML -> text extraction under the oracle
-    "semantic_dedup",           # NEW: SemDeDup-style embedding dedup (LSH+CC+keep-one)
-    "url_canonical_dedup",      # NEW: URL canonicalization + keep-one dedup
-    "intra_doc_dedup",          # NEW: within-doc repeated-block removal (keep-first)
-    "training_mix_upsample",    # NEW: fractional upsampling (epochs-per-dataset)
-    "quality_classifier_filter",  # NEW: hashing-trick linear quality scorer
-    "funnel_conversion",        # NEW: strict ordered+windowed funnel analysis
-    "cohort_retention",         # NEW: first-seen cohorts x weekly retention matrix
-    "event_transitions",        # NEW: per-user event-type transition matrix
-    "pagerank_links",           # NEW: fixed-point integer PageRank (exact oracle)
-    "triangle_counts",          # NEW: degree-oriented triangle counting
-    "approx_quantiles_audit",   # NEW: quantile sketch within 5% under the oracle
-    "bm25_search",              # NEW: BM25 retrieval top-5 per query
-    "sorted_neighborhood_dedup",  # NEW: sort-based blocking dedup family
-    "zscore_anomaly_hours",     # NEW: trailing-24h integer z-score anomalies
-    "session_path_mining",      # NEW: frequent 3-step session paths
-    "term_pmi_cooccurrence",    # NEW: PMI word association, top-50 pairs
-    # round 5, tier 1: the 16 oracles whose last driver-green row is
-    # r1/r2 (VERDICT r5 item 1) -- the named staleness list, verbatim.
-    "big_orders",
-    "market_share",
-    "min_cost_supplier",
-    "top_supplier",
-    "user_set_ops_all",
-    "doc_array_ops",
-    "doc_clean",
-    "doc_fingerprints",
-    "doc_repetition",
-    "embedding_norms",
-    "grouping_sets_events",
-    "multimodal_decode",
-    "multimodal_meta",
-    "order_date_math",
-    "salted_distinct_users",
-    "user_map_funcs",
-    # round 5, tier 2: re-green the oldest r3 rows with the remaining
-    # slots -- prefer the semantically rich / timestamp-sensitive ones.
-    # 19 r3-green entries (above_avg_orders, category_performance,
-    # customers_without_orders, disjunctive_revenue, event_distribution,
-    # hourly_event_summary, order_priority, regional_revenue,
-    # rollup_revenue, small_quantity_revenue, table_counts_union,
-    # top_customers, top_parts_per_brand, tpch_q1, tpch_q6,
-    # user_activity, validation_summary, value_percentiles,
-    # value_stats) stay out this round; the local parity replica still
-    # covers them, and they rotate back in r6.
-    "sessionization",
-    "purchase_attribution",
-    "schema_migration",
-    "dlq_breakdown",
-    "late_arrivals",
-    "quality_hourly",
-    # training_mix_sample / dedup_exact / doc_chunks / sequence_packing /
-    # quality_percentile_filter / embedding_quantize /
-    # multimodal_resize_real / enriched_events (r3-green, stable
-    # shapes) rotated out for the pagerank_links / triangle_counts /
-    # approx_quantiles_audit / bm25_search / sorted_neighborhood_dedup /
-    # zscore_anomaly_hours / session_path_mining /
-    # term_pmi_cooccurrence tier-0 slots; they rejoin in r6 with the
-    # other held-out entries.
-    # cube_events (r3-green rollup) rotated out for event_transitions'
-    # tier-0 slot; rejoins in r6.
-    # event_pivot / event_unpivot (r3-green reshapes) rotated out for the
-    # funnel_conversion / cohort_retention tier-0 slots; rejoin in r6.
-    # nation_pairs / nation_volume (r3-green, plain stable joins) rotated
-    # out to make room for the two new tier-0 oracles; they rejoin in r6
-    # with the other held-out r3 entries.
-    # order_count_distribution / promo_revenue / returned_revenue
-    # (r3-green, stable single-agg shapes) rotated out for the
-    # intra_doc_dedup / training_mix_upsample / quality_classifier_filter
-    # tier-0 slots; they rejoin in r6 with the other held-out entries.
+    # round 6, tier 0 (9): the r5 slot-51+ oracles with NO driver row
+    # yet (parity-PASS at r5 HEAD; VERDICT r5 item 1 names them).
+    "fuzzy_record_linkage",     # blocked edit-distance entity resolution
+    "scd2_priority_dim",        # SCD Type-2 versioned dimension build
+    "table_profile_events",     # per-column data profiling, one-scan agg
+    "iqr_outlier_summary",      # Tukey fences on discrete quartile elements
+    "ab_test_conversion",       # two-proportion z-test
+    "forecast_baseline",        # seasonal-naive vs persistence baselines
+    "market_basket",            # association rules: support/confidence/lift
+    "gdpr_erasure_audit",       # right-to-be-forgotten cascade scope
+    "winsorized_value_stats",   # p01/p99-clipped robust mean (discrete bounds)
+    # round 6, tier 0b: implementation/oracle CHANGED this round.
+    "semantic_dedup",           # adaptive-k LSH now under the oracle (r5 item 2)
+    # round 6, new operators added this round (each needs a first
+    # driver row; keep this group small -- the window is nearly full).
+    # (names below are uncommented as each lands this round)
+    # "trending_scores",        # batch twin of the decay streaming op (r5 item 7)
+    # "ols_trend",              # exact-integer OLS slope per group
+    # "benford_digit_audit",    # first-digit distribution data-quality audit
+    # "skew_key_report",        # per-key skew audit for partition planning
+    # round 6, tier 1 (35): every oracle whose last driver-green row is
+    # r3 (verified against CORRECTNESS_r01..r05: exactly these 35).
+    "above_avg_orders",
+    "category_performance",
+    "cube_events",
+    "customers_without_orders",
+    "dedup_exact",
+    "disjunctive_revenue",
+    "doc_chunks",
+    "embedding_quantize",
+    "enriched_events",
+    "event_distribution",
+    "event_pivot",
+    "event_unpivot",
+    "hourly_event_summary",
+    "multimodal_resize_real",
+    "nation_pairs",
+    "nation_volume",
+    "order_count_distribution",
+    "order_priority",
+    "promo_revenue",
+    "quality_percentile_filter",
+    "regional_revenue",
+    "returned_revenue",
+    "rollup_revenue",
+    "sequence_packing",
+    "small_quantity_revenue",
+    "table_counts_union",
+    "top_customers",
+    "top_parts_per_brand",
+    "tpch_q1",
+    "tpch_q6",
+    "training_mix_sample",
+    "user_activity",
+    "validation_summary",
+    "value_percentiles",
+    "value_stats",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
-    # r5 item 8: keep it pinned here).
+    # r5 item 8: keep it pinned here).  After this window every oracle
+    # in the inventory is <= 2 rounds driver-stale.
     "user_session_window",
 ]
 
