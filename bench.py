@@ -12,8 +12,11 @@ the WARM median (runs 2..N -- steady-state plan cost) and
 ``queries_cold`` the first run (codegen compile + caches), so one-time
 compile artifacts stop masquerading as plan cost (VERDICT r4 item 5:
 at n=2 a single cold run dominated the median for every Arrow-path
-query).  The headline ``value`` is the warm-median suite total;
-``cold_total_sec`` carries the first-run sum alongside.
+query).  The headline ``value`` is the warm-median suite total.  Key
+order is deliberate (VERDICT r5 item 3): ``queries_cold`` first, the
+warm ``queries`` map and a compact ``summary`` object LAST, so a
+tail-truncated capture of the JSON line still shows the
+round-over-round comparable (warm) numbers.
 """
 
 from __future__ import annotations
@@ -295,19 +298,31 @@ def main() -> None:
     cold["streaming_pipeline_20k_events"] = stream_cold["streaming_pipeline_20k_events"]
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
+    # Key ORDER is part of the artifact contract (VERDICT r5 item 3):
+    # the driver's committed BENCH_r{N}.json may be tail-captured, so
+    # the cold map goes FIRST and the warm medians + a compact summary
+    # go LAST -- a truncated read then sees the comparable (warm)
+    # numbers, not the noisy cold ones.
     out = {
         "metric": "headline_query_suite_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_cold": cold,
-        "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
         "runs_per_query": n_runs,
         "bucketed_layout_write_sec": bucket_write_sec,
+        "queries_cold": cold,
     }
     out.update({k: v for k, v in stream.items() if k != "streaming_pipeline_20k_events"})
     out["streaming_events_per_sec_cold"] = stream_cold["streaming_events_per_sec"]
+    out["queries"] = timings
+    out["summary"] = {
+        "warm_total_sec": total,
+        "cold_total_sec": cold_total,
+        "n_queries": len(timings),
+        "streaming_events_per_sec_warm": stream.get("streaming_events_per_sec"),
+        "streaming_events_per_sec_cold": stream_cold.get("streaming_events_per_sec"),
+    }
     print(json.dumps(out))
 
 

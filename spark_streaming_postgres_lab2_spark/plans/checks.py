@@ -137,6 +137,31 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     return len(ids) or plan.count("WholeStageCodegen")
 
 
+def executed_shuffle_stages(spark, group_id: str) -> int:
+    """Shuffle-map stages actually SCHEDULED across every job a query
+    ran under ``group_id`` (set ``sc.setJobGroup(group_id, ...)``
+    before building/executing the query).
+
+    Why this exists (VERDICT r5 item 4): iterative operators (PageRank,
+    connected components) cut lineage per round with localCheckpoint,
+    so the final DataFrame's static plan -- what the xchg/bhj counters
+    read -- hides every exchange inside the loop; PLANS_r05 showed
+    pagerank_links as xchg=0 and a shuffle regression in the loop would
+    have been invisible.  Counting scheduled stages per job (each job
+    has exactly one result stage; the rest are shuffle-map stages)
+    measures what the scheduler really did, checkpoint cuts included.
+    Stage-reuse note: ``stageIds`` includes stages later skipped via
+    exchange reuse, so this is an upper bound on shuffle WRITES -- but
+    a stable one, which is what a regression watchdog needs."""
+    tracker = spark.sparkContext.statusTracker()
+    total = 0
+    for j in tracker.getJobIdsForGroup(group_id):
+        info = tracker.getJobInfo(j)
+        if info is not None:
+            total += max(0, len(info.stageIds) - 1)
+    return total
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """Map-side combine present: paired partial/final aggregates.
     Hash-based aggs appear as HashAggregate pairs; aggregates over

@@ -1637,6 +1637,95 @@ ORACLE_EMB_LSH_PORTABLE = (
 )
 
 
+def sql_emb_lsh_adaptive_pair_ctes(
+    threshold: float = 0.4, dim: int = 64, cap: int = 200
+) -> str:
+    """DuckDB recomputation of ``adaptive_lsh_pairs_portable`` as a CTE
+    chain ending in ``__vpairs`` -- the ADAPTIVE sibling of
+    ``sql_emb_lsh_pair_ctes`` (VERDICT r5 item 2).  Two things the fixed
+    builder could not express are relational here:
+
+    - **k from count(*)**: the integer-threshold rule of
+      ``similarity.adaptive_portable_kl`` (4 + [n>=2897] + [n>=5793])
+      runs as a scalar CTE, and the bucket construction is a
+      *relational* join against a 96-row integer-plane table filtered
+      to ``pid < k*L`` -- so one static SQL string adapts to any corpus
+      size exactly like the Spark side's driver-side ``count()``.
+    - **the deterministic bucket cap**: ``_cap_buckets``' vid-ordered
+      spanning chains are a window (count + lead per bucket), replayed
+      verbatim, so oversized buckets degrade identically on both
+      engines.
+
+    All bucket arithmetic stays exact int64 (quantized vectors x
+    integer planes); the cosine verify is the same double pattern as
+    the fixed flavor."""
+    planes = ", ".join(
+        f"({i}, ["
+        + ",".join(str(p) for p in _int_plane(i, dim))
+        + "])"
+        for i in range(96)
+    )
+    dot = (
+        "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({e}.embedding, "
+        "x -> CAST(x AS DOUBLE) * x), 'sum'))"
+    )
+    return f"""
+__planes AS (SELECT * FROM (VALUES {planes}) pl(pid, pvec)),
+__kl AS (
+  SELECT (4 + CASE WHEN count(*) >= 2897 THEN 1 ELSE 0 END
+            + CASE WHEN count(*) >= 5793 THEN 1 ELSE 0 END) AS k,
+         16 AS L
+  FROM embeddings
+),
+__q AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 16384) AS BIGINT)) AS qv
+  FROM embeddings
+),
+__bits AS (
+  SELECT q.vec_id, p.pid // kl.k AS tbl, p.pid % kl.k AS j, kl.k AS k,
+         CASE WHEN list_aggregate(list_transform(list_zip(q.qv, p.pvec), x -> x[1] * x[2]), 'sum') >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM __q q, __planes p, __kl kl
+  WHERE p.pid < kl.k * kl.L
+),
+__b AS (
+  SELECT vec_id, CAST(tbl * (1 << k) + sum(bit * (1 << j)) AS BIGINT) AS bucket
+  FROM __bits GROUP BY vec_id, tbl, k
+),
+__bann AS (
+  SELECT vec_id, bucket,
+         count(*) OVER (PARTITION BY bucket) AS n_in_bucket,
+         lead(vec_id) OVER (PARTITION BY bucket ORDER BY vec_id) AS next_id
+  FROM __b
+),
+__ecand AS (
+  SELECT DISTINCT vec_id_1, vec_id_2 FROM (
+    SELECT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2
+    FROM __bann a JOIN __bann c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE a.n_in_bucket <= {cap}
+    UNION ALL
+    SELECT vec_id AS vec_id_1, next_id AS vec_id_2
+    FROM __bann WHERE n_in_bucket > {cap} AND next_id IS NOT NULL
+  )
+),
+__scored AS (
+  SELECT __ecand.vec_id_1, __ecand.vec_id_2,
+         round({dot} / ({nrm.format(e="e1")} * {nrm.format(e="e2")}), 4) AS cosine_sim
+  FROM __ecand
+  JOIN embeddings e1 ON e1.vec_id = __ecand.vec_id_1
+  JOIN embeddings e2 ON e2.vec_id = __ecand.vec_id_2
+),
+__vpairs AS (
+  SELECT vec_id_1, vec_id_2, cosine_sim FROM __scored WHERE cosine_sim >= {threshold}
+)
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: k-means-lite coarse clusters,
     probe the 2 nearest centroids, exact-score only those partitions.

@@ -207,3 +207,72 @@ def test_training_mix_upsample_rates(spark, sf_dir):
             sd = math.sqrt(r.n_docs * frac * (1 - frac))
             assert abs(extras - frac * r.n_docs) <= 5 * sd + 1e-9
         assert abs(r.realized_rate - r.total_copies / r.n_docs) < 1e-3
+
+
+# --- adaptive portable LSH (r6: semantic_dedup scale fix) ---------------------
+
+
+def test_adaptive_portable_kl_integer_thresholds():
+    """The k-rule is pure integer comparisons at the boundaries of the
+    float rule round(log2(n/128)) -- the property that lets the DuckDB
+    oracle replay it from count(*) (VERDICT r5 item 2)."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        adaptive_portable_kl,
+    )
+
+    assert adaptive_portable_kl(0) == (4, 16)
+    assert adaptive_portable_kl(500) == (4, 16)
+    assert adaptive_portable_kl(2896) == (4, 16)
+    assert adaptive_portable_kl(2897) == (5, 16)
+    assert adaptive_portable_kl(5792) == (5, 16)
+    assert adaptive_portable_kl(5793) == (6, 16)
+    assert adaptive_portable_kl(10**9) == (6, 16)  # capped like production
+
+
+def test_portable_cap_degrades_bucket_to_chain(spark):
+    """With a cap smaller than a duplicate blob, the portable LSH emits
+    exactly the vid-sorted adjacent chain (deterministic -- what the
+    oracle's window replays) instead of all pairs; identical vectors
+    all verify, so the blob stays one connected component."""
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        embedding_near_dupes_lsh_portable,
+    )
+
+    dup = [0.25] * 64
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=dup) for i in range(1, 11)]
+    )
+    pairs = embedding_near_dupes_lsh_portable(
+        emb, threshold=0.4, n_planes=4, n_tables=16, dim=64, max_bucket_size=4
+    )
+    got = {(r.vec_id_1, r.vec_id_2) for r in pairs.collect()}
+    # every bucket holds all 10 copies (> cap=4), so candidates are the
+    # 9 adjacent pairs only -- in every table, hence exactly once after
+    # the distinct
+    assert got == {(i, i + 1) for i in range(1, 10)}
+
+
+def test_adaptive_equals_fixed_at_small_n(spark, sf_dir):
+    """At driver scales (n <= 2896 -> k=4, no bucket over the cap) the
+    adaptive plan is the SAME operating point as the r5-proven fixed
+    (4,16) flavor, so the driver-green result is unchanged."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        adaptive_lsh_pairs_portable,
+        embedding_near_dupes_lsh_portable,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    fixed = {
+        (r.vec_id_1, r.vec_id_2, r.cosine_sim)
+        for r in embedding_near_dupes_lsh_portable(
+            emb, threshold=0.4, n_planes=4, n_tables=16, dim=64
+        ).collect()
+    }
+    adaptive = {
+        (r.vec_id_1, r.vec_id_2, r.cosine_sim)
+        for r in adaptive_lsh_pairs_portable(emb, threshold=0.4, dim=64).collect()
+    }
+    assert adaptive == fixed
