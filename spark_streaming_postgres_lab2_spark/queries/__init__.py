@@ -57,7 +57,7 @@ DRIVER_PRIORITY = [
     # round 6, new operators added this round (each needs a first
     # driver row; keep this group small -- the window is nearly full).
     # (names below are uncommented as each lands this round)
-    # "trending_scores",        # batch twin of the decay streaming op (r5 item 7)
+    "trending_scores",          # batch twin of the decay streaming op (r5 item 7)
     # "ols_trend",              # exact-integer OLS slope per group
     # "benford_digit_audit",    # first-digit distribution data-quality audit
     # "skew_key_report",        # per-key skew audit for partition planning

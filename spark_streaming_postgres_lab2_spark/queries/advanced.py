@@ -2065,6 +2065,87 @@ ORDER BY event_type, hour_id
 """
 
 
+# fixed-point scale for the decayed trending score: 2^20 units per
+# count, so 20 halvings of a single event remain representable before
+# the integer floor truncates the tail
+_TREND_FP_SCALE = 1 << 20
+
+
+def q_trending_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.anomaly.trending_stream (VERDICT r5
+    item 7): per event type, the exponentially-decayed activity score
+    score <- score * 0.5 + count over the type's ACTIVE hours in
+    order (matching the stream's 'decay only on batches the key
+    appears in' semantics, one hour = one micro-batch).
+
+    Exactness: decay 1/2 at a fixed binary scale is pure integer
+    arithmetic -- score_fp <- score_fp div 2 + cnt * 2^20 -- so the
+    recurrence folds identically on any engine and the driver hash
+    pins score_fp; the reported ``score`` is score_fp / 2^20, an exact
+    dyadic double both engines derive from the pinned integer.  (The
+    streaming op's float recurrence equals this one down to the 2^-20
+    quantization floor -- dyadic rationals are exact in float64.)
+
+    Scale shape: the event stream collapses to (type, hour) counts in
+    one map-side-combinable groupBy; the per-type fold runs over an
+    array bounded by CLOCK hours, not event volume -- the same spine
+    discipline as zscore_anomaly_hours.  No corpus-wide window, no
+    driver loop."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hourly = (
+        t["events"]
+        .filter(F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_key = hourly.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("hour_id", "cnt"))).alias("__hc")
+    )
+    return (
+        per_key.select(
+            "event_type",
+            F.size("__hc").cast("long").alias("n_hours"),
+            F.expr(
+                f"aggregate(__hc, 0L, (acc, x) -> acc div 2 + x.cnt * {_TREND_FP_SCALE}L)"
+            ).alias("score_fp"),
+        )
+        .withColumn(
+            "score", F.col("score_fp") / F.lit(float(_TREND_FP_SCALE))
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TRENDING_SCORES = f"""
+WITH __h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type, hour_id
+),
+__arr AS (
+  SELECT event_type,
+         list(cnt ORDER BY hour_id) AS hc,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM __h GROUP BY event_type
+),
+__folded AS (
+  SELECT event_type, n_hours,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hc),
+                          (a, b) -> a // 2 + b * {_TREND_FP_SCALE}) AS BIGINT)
+           AS score_fp
+  FROM __arr
+)
+SELECT event_type, n_hours, score_fp,
+       CAST(score_fp AS DOUBLE) / {_TREND_FP_SCALE} AS score
+FROM __folded
+ORDER BY event_type
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("event_transitions", q_event_transitions,
@@ -2073,6 +2154,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("zscore_anomaly_hours", q_zscore_anomaly_hours,
                   ORACLE_ZSCORE_ANOMALY,
                   "trailing-24h integer z-score anomaly flags per event type"),
+        QuerySpec("trending_scores", q_trending_scores,
+                  ORACLE_TRENDING_SCORES,
+                  "fixed-point decayed trending score per event type "
+                  "(batch twin of trending_stream)"),
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),

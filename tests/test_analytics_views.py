@@ -572,3 +572,58 @@ def test_winsorized_crafted(spark):
     clipped = np.clip(vals, 2.0, 198.0)
     fp = sum(int(np.floor(c * 10000 + 0.5)) for c in clipped)
     assert r.winsorized_mean == round((fp / 10000.0) / 200, 4)
+
+
+def test_trending_scores_recurrence_matches_stream_semantics(spark):
+    """Crafted hours pin the batch twin of trending_stream: the
+    fixed-point fold score_fp <- score_fp div 2 + cnt*2^20 over the
+    type's ACTIVE hours (gaps do NOT decay -- the streaming op only
+    decays on batches the key appears in), and the reported score is
+    exactly the float recurrence the stream runs (dyadic rationals are
+    exact in float64)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _TREND_FP_SCALE,
+        q_trending_scores,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = []
+    # type A: counts 3, 1, 2 in three consecutive hours
+    for h, c in [(0, 3), (1, 1), (2, 2)]:
+        rows += [Row(event_type="A", ts=t0 + timedelta(hours=h))] * c
+    # type B: counts 4 and 6 with a 10-hour GAP between them -- the gap
+    # must not decay (active-hours semantics)
+    rows += [Row(event_type="B", ts=t0)] * 4
+    rows += [Row(event_type="B", ts=t0 + timedelta(hours=11))] * 6
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        res = {r.event_type: r for r in q_trending_scores(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+
+    def fold(counts):
+        acc = 0
+        for c in counts:
+            acc = acc // 2 + c * _TREND_FP_SCALE
+        return acc
+
+    # the float recurrence the STREAM runs (score*0.5 + n per active
+    # batch) -- equal to the fixed-point value at this depth
+    def stream_score(counts):
+        s = 0.0
+        for c in counts:
+            s = s * 0.5 + c
+        return s
+
+    assert res["A"].score_fp == fold([3, 1, 2])
+    assert res["A"].n_hours == 3
+    assert res["A"].score == stream_score([3, 1, 2])  # 3/4 + 1/2 + 2
+    assert res["B"].score_fp == fold([4, 6])  # two ACTIVE hours only
+    assert res["B"].score == stream_score([4, 6])  # 4*0.5 + 6

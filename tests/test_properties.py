@@ -538,3 +538,201 @@ def test_fuzzy_linkage_always_finds_parent(spark, keys):
     for k, r in got.items():
         assert r.best_distance <= 1
         assert r.n_candidates >= 1
+
+
+# --- statistics batch (r6, VERDICT r5 item 6) ---------------------------------
+#
+# The r5 hypothesis passes found real bugs in exactly this family
+# (GDPR empty-cascade NULL, winsorized 1-ulp boundary flip at sf1);
+# property-mirror the three statistics operators entering the r6
+# driver window before rotation.  Adversarial shapes requested by the
+# verdict: single-value types, all-null value columns, one-arm A/B
+# splits.
+
+
+def _events_frame(spark, rows, ddl):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(**r) for r in rows], ddl)
+
+
+_iqr_value = st.one_of(
+    st.sampled_from([0.0, 1.0, 1.5, -2.25, 100.0]),  # force duplicates/ties
+    st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False),
+    st.none(),  # all-null value columns must drop out, not throw
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["A", "B"]), _iqr_value), min_size=1, max_size=40))
+def test_iqr_outlier_summary_matches_mirror(spark, rows):
+    """Tukey-fence counts match a pure-Python mirror of the discrete
+    rank selection (k = ceil(p*n) via integer div) and the double
+    fence arithmetic -- including single-value types (IQR = 0, zero
+    outliers) and types whose values are all NULL (absent rows)."""
+    import math
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_iqr_outlier_summary,
+    )
+
+    df = _events_frame(
+        spark,
+        [{"event_type": t, "value": v} for t, v in rows],
+        "event_type string, value double",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.event_type: r for r in q_iqr_outlier_summary(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+
+    by_type: dict = {}
+    for t, v in rows:
+        if v is not None:
+            by_type.setdefault(t, []).append(v)
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        n = len(vals)
+        s = sorted(vals)
+        q1 = s[(1 * n + 3) // 4 - 1]
+        q3 = s[(3 * n + 3) // 4 - 1]
+        iqr = q3 - q1
+        hi, lo = q3 + 1.5 * iqr, q1 - 1.5 * iqr
+        r = got[t]
+        assert r.n_values == n
+        assert r.n_hi == sum(v > hi for v in vals)
+        assert r.n_lo == sum(v < lo for v in vals)
+        if n == 1:
+            assert (r.n_hi, r.n_lo) == (0, 0)  # fence == the value itself
+        assert math.isfinite(r.hi_rate) and 0.0 <= r.hi_rate <= 1.0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 20),
+            st.sampled_from(["purchase", "page_view", "signup"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from(["mixed", "all_even", "all_odd"]),
+)
+def test_ab_test_conversion_matches_mirror(spark, rows, arm_shape):
+    """Per-arm counts are exact integers vs a pure-Python mirror; with
+    a ONE-ARM split (every user_id even or odd) the empty arm reports
+    n = 0, NULL rate/z, and significant = 0 -- no division error, no
+    dropped summary row."""
+    import math
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_ab_test_conversion,
+    )
+
+    if arm_shape == "all_even":
+        rows = [(u * 2, e) for u, e in rows]
+    elif arm_shape == "all_odd":
+        rows = [(u * 2 + 1, e) for u, e in rows]
+    df = _events_frame(
+        spark,
+        [{"user_id": u, "event_type": e} for u, e in rows],
+        "user_id bigint, event_type string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        out = q_ab_test_conversion(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+    assert len(out) == 1
+    r = out[0]
+
+    conv: dict = {}
+    for u, e in rows:
+        conv[u] = conv.get(u, 0) or int(e == "purchase")
+    n_a = sum(1 for u in conv if u % 2 == 0)
+    n_b = sum(1 for u in conv if u % 2 == 1)
+    conv_a = sum(c for u, c in conv.items() if u % 2 == 0)
+    conv_b = sum(c for u, c in conv.items() if u % 2 == 1)
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n_a, conv_a, n_b, conv_b)
+    if n_a == 0 or n_b == 0:
+        # one-arm split: no rates/z for the empty side, flag stays 0
+        assert r.z is None
+        assert r.significant == 0
+        assert (r.rate_a is None) == (n_a == 0)
+        assert (r.rate_b is None) == (n_b == 0)
+    else:
+        p1, p2 = conv_a / n_a, conv_b / n_b
+        ppool = (conv_a + conv_b) / (n_a + n_b)
+        denom = math.sqrt(ppool * (1 - ppool) * (1 / n_a + 1 / n_b))
+        if denom == 0.0:
+            assert r.z is None  # all-converted or none-converted pool
+            assert r.significant == 0
+        else:
+            z = (p1 - p2) / denom
+            assert abs(r.z - z) < 1e-3  # rounded(4) vs exact
+            assert r.significant == int(abs(r.z) >= 1.96)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 25)),
+        st.integers(1, 5),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_forecast_baseline_matches_mirror(spark, day_counts):
+    """Seasonal-naive / persistence absolute-error sums match a
+    pure-Python replay of the gap-filled spine + lag scoring --
+    including sparse series with gaps (gap days count 0) and series
+    shorter than the seasonal lag (type absent from the output)."""
+    from datetime import datetime, timedelta
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _FC_EVAL,
+        _FC_SEASON,
+        q_forecast_baseline,
+    )
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for (t, day), cnt in day_counts.items():
+        rows += [{"event_type": t, "ts": t0 + timedelta(days=day)}] * cnt
+    df = _events_frame(spark, rows, "event_type string, ts timestamp")
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.event_type: r for r in q_forecast_baseline(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+
+    # mirror: global spine [min_day, max_day], per-type dense counts
+    all_days = [d for (_t, d) in day_counts]
+    mn, mx = min(all_days), max(all_days)
+    types = {t for (t, _d) in day_counts}
+    for t in types:
+        dense = {d: 0 for d in range(mn, mx + 1)}
+        for (tt, d), c in day_counts.items():
+            if tt == t:
+                dense[d] = c
+        days = list(range(mn, mx + 1))
+        scored = [
+            (dense[d], dense[d - _FC_SEASON], dense[d - 1])
+            for d in days
+            if d - _FC_SEASON >= mn and d > mx - _FC_EVAL
+        ]
+        if not scored:
+            assert t not in got
+            continue
+        r = got[t]
+        assert r.n_days == len(scored)
+        assert r.sum_abs_err_seasonal == sum(abs(c - s) for c, s, _ in scored)
+        assert r.sum_abs_err_persist == sum(abs(c - p) for c, _, p in scored)
