@@ -177,6 +177,11 @@ BENCH_QUERIES = [
     "market_basket",
     "gdpr_erasure_audit",
     "winsorized_value_stats",
+    # round-6: streaming-twin decay, regression/quality/skew audits
+    "trending_scores",
+    "ols_trend",
+    "benford_digit_audit",
+    "skew_key_report",
 ]
 
 

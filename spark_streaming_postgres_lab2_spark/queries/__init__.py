@@ -58,9 +58,9 @@ DRIVER_PRIORITY = [
     # driver row; keep this group small -- the window is nearly full).
     # (names below are uncommented as each lands this round)
     "trending_scores",          # batch twin of the decay streaming op (r5 item 7)
-    # "ols_trend",              # exact-integer OLS slope per group
-    # "benford_digit_audit",    # first-digit distribution data-quality audit
-    # "skew_key_report",        # per-key skew audit for partition planning
+    "ols_trend",                # exact-integer OLS slope per group
+    "benford_digit_audit",      # first-digit distribution data-quality audit
+    "skew_key_report",          # per-key skew audit for partition planning
     # round 6, tier 1 (35): every oracle whose last driver-green row is
     # r3 (verified against CORRECTNESS_r01..r05: exactly these 35).
     "above_avg_orders",

@@ -2146,6 +2146,110 @@ ORDER BY event_type
 """
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue TREND: ordinary-least-squares slope of
+    monthly revenue over the nation's observed months -- the
+    regression primitive behind 'is this market growing' (the
+    statistics-family sibling of forecast_baseline, which scores
+    level forecasts; this scores direction).
+
+    Exactness: y is monthly revenue in 1e-4 fixed-point units (the
+    money_sum floor recipe per row, exact BIGINT per cell), x is the
+    month index relative to the nation's first month (small ints), so
+    the normal-equation terms num = n*Sxy - Sx*Sy and den = n*Sxx -
+    Sx^2 are pure BIGINT arithmetic under the hash; the dollars/month
+    ``slope`` is display-only (derived from the pinned integers the
+    same way on both engines).  Overflow bound: |num| <~ 2*n^2*x_max*
+    y_max -- exact for monthly revenue up to ~$700M per nation-month
+    at n=84 months; beyond that, move num/den to DECIMAL(38,0) (the
+    important_parts precedent).  Single-month nations have den = 0 and
+    a NULL slope.
+
+    Scale shape: facts collapse to (nation, month) cells in one
+    map-side-combinable aggregate behind broadcast dimension joins;
+    the regression runs on the cell table (nations x months -- clock-
+    sized), never on raw rows."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    monthly = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("__m"),
+        )
+        .agg(F.sum(rev_fp).alias("__y"))
+    )
+    with_x = monthly.withColumn(
+        "__x",
+        (F.col("__m") - F.min("__m").over(Window.partitionBy("nation"))).cast("long"),
+    )
+    stats = with_x.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = F.col("n_months") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n_months") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return (
+        stats.select(
+            "nation",
+            "n_months",
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            F.when(
+                den > 0,
+                F.round(num.cast("double") / den / 10000.0, 4),
+            ).alias("slope_per_month"),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_OLS_TREND = """
+WITH monthly AS (
+  SELECT n.n_name AS nation,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+         sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                  AS BIGINT)) AS y
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY nation, m
+),
+with_x AS (
+  SELECT nation, y,
+         CAST(m - min(m) OVER (PARTITION BY nation) AS BIGINT) AS x
+  FROM monthly
+),
+s AS (
+  SELECT nation,
+         CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM with_x GROUP BY nation
+)
+SELECT nation, n_months,
+       n_months * sxy - sx * sy AS slope_num,
+       n_months * sxx - sx * sx AS slope_den,
+       CASE WHEN n_months * sxx - sx * sx > 0
+            THEN round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+                       / (n_months * sxx - sx * sx) / 10000.0, 4)
+       END AS slope_per_month
+FROM s
+ORDER BY nation
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("event_transitions", q_event_transitions,
@@ -2158,6 +2262,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_TRENDING_SCORES,
                   "fixed-point decayed trending score per event type "
                   "(batch twin of trending_stream)"),
+        QuerySpec("ols_trend", q_ols_trend,
+                  ORACLE_OLS_TREND,
+                  "per-nation monthly-revenue OLS slope with exact "
+                  "integer normal equations"),
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),

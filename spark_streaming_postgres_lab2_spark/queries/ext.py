@@ -2118,6 +2118,143 @@ FROM f GROUP BY doc_id
 """
 
 
+# Benford expected first-digit shares, rounded to 4: computed ONCE in
+# Python and embedded as literals in BOTH engines' plans -- log10 is
+# libm-dependent, so recomputing it per engine could differ in the
+# last ulp and flip the rounded display value.
+_BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1 + 1 / d), 4) for d in range(1, 10)
+}
+
+
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals -- the
+    fraud/data-quality screen: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); synthetic or tampered columns usually
+    don't, and the deviation column makes the drift visible.
+
+    Exactness: the first significant digit is extracted from the
+    INTEGER 1e-4 fixed-point value (money floor recipe), stringified
+    as a BIGINT -- integer-to-string is engine-stable, unlike double
+    formatting (the table_profile lesson) and unlike floor(log10(x))
+    digit math, which goes wrong within an ulp of powers of ten.
+    Counts and totals are BIGINT under the hash; shares are
+    display-rounded ratios of pinned integers; the Benford expecteds
+    are shared Python-computed literals (see _BENFORD_EXPECTED).
+
+    Scale shape: one map-side-combinable 9-group aggregate + a 1-row
+    broadcast total.  9 rows out at any volume."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    fp = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+    digits = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(fp.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("__total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_EXPECTED.items() for x in kv]
+    )
+    exp_col = expected[F.col("digit")]
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__total"), 4).alias("share"),
+            exp_col.alias("benford_expected"),
+            F.round(
+                F.abs(F.col("n").cast("double") / F.col("__total") - exp_col), 4
+            ).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD = f"""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 4) AS share,
+       -- CAST to DOUBLE: DuckDB types a bare 0.058 literal as DECIMAL
+       -- and would print '0.0580' against Spark's double '0.058'
+       CAST(CASE digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_EXPECTED.items())} END AS DOUBLE)
+         AS benford_expected,
+       round(abs(CAST(n AS DOUBLE) / total -
+                 CAST(CASE digit {' '.join(f'WHEN {d} THEN {p}' for d, p in _BENFORD_EXPECTED.items())} END AS DOUBLE)), 4)
+         AS abs_deviation
+FROM g, t
+ORDER BY digit
+"""
+
+
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-planning skew audit: the top-20 heaviest user_id keys
+    in the event stream with their share of all rows and their ratio
+    to the mean key load -- the number that tells you whether a
+    groupBy/join on this key needs salting (operators/skew.py) before
+    it hits a 1000-executor cluster.  The audit IS the planning input
+    the engine's own salted operators assume.
+
+    Exactness: counts, totals, and distinct-key counts are BIGINT
+    under the hash; share and skew_ratio are display-rounded ratios of
+    those pinned integers.  Ordering is (cnt DESC, user_id) --
+    discrete and unique, so the top-20 cut is deterministic.
+
+    Scale shape: one map-side-combinable key-count aggregate; the
+    top-k lowers to TakeOrderedAndProject over the (distinct keys)-
+    sized count table (the zipf_top_terms precedent), and the 1-row
+    totals frame joins broadcast.  Never a corpus-wide sort."""
+    t = load_tables(spark, sf_dir, ["events"])
+    counts = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "cnt",
+            "n_keys",
+            F.round(F.col("cnt").cast("double") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("__total"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_SKEW_KEYS = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c)
+SELECT user_id, cnt, n_keys,
+       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       round(CAST(cnt AS DOUBLE) * n_keys / total, 4) AS skew_ratio
+FROM c, t
+ORDER BY cnt DESC, user_id
+LIMIT 20
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("props_json", q_props_json, ORACLE_PROPS_JSON,
@@ -2170,6 +2307,13 @@ def specs() -> list[QuerySpec]:
         QuerySpec("table_profile_events", q_table_profile_events,
                   ORACLE_TABLE_PROFILE,
                   "per-column data profile (nulls/distinct/min/max/mode)"),
+        QuerySpec("benford_digit_audit", q_benford_digit_audit,
+                  ORACLE_BENFORD,
+                  "Benford first-digit distribution audit over order totals"),
+        QuerySpec("skew_key_report", q_skew_key_report,
+                  ORACLE_SKEW_KEYS,
+                  "top-20 heaviest keys with share and skew ratio "
+                  "(salting planning input)"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

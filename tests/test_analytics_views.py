@@ -627,3 +627,115 @@ def test_trending_scores_recurrence_matches_stream_semantics(spark):
     assert res["A"].score == stream_score([3, 1, 2])  # 3/4 + 1/2 + 2
     assert res["B"].score_fp == fold([4, 6])  # two ACTIVE hours only
     assert res["B"].score == stream_score([4, 6])  # 4*0.5 + 6
+
+
+def test_ols_trend_hand_computed(spark):
+    """Perfectly linear monthly revenue gives the exact slope through
+    the integer normal equations; a single-month nation has den = 0
+    and a NULL slope."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import q_ols_trend
+
+    lineitem = spark.createDataFrame(
+        [
+            # nation X: 100, 200, 300 dollars in Jan/Feb/Mar
+            Row(l_orderkey=1, l_extendedprice=100.0, l_discount=0.0),
+            Row(l_orderkey=2, l_extendedprice=200.0, l_discount=0.0),
+            Row(l_orderkey=3, l_extendedprice=300.0, l_discount=0.0),
+            # nation Y: one month only
+            Row(l_orderkey=4, l_extendedprice=500.0, l_discount=0.0),
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_custkey=1, o_orderdate=datetime(2024, 1, 15)),
+            Row(o_orderkey=2, o_custkey=1, o_orderdate=datetime(2024, 2, 15)),
+            Row(o_orderkey=3, o_custkey=1, o_orderdate=datetime(2024, 3, 15)),
+            Row(o_orderkey=4, o_custkey=2, o_orderdate=datetime(2024, 1, 20)),
+        ]
+    )
+    customer = spark.createDataFrame(
+        [Row(c_custkey=1, c_nationkey=10), Row(c_custkey=2, c_nationkey=20)]
+    )
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=10, n_name="X"), Row(n_nationkey=20, n_name="Y")]
+    )
+    tables = {
+        "lineitem": lineitem,
+        "orders": orders,
+        "customer": customer,
+        "nation": nation,
+    }
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, names: {k: tables[k] for k in names}
+        got = {r.nation: r for r in q_ols_trend(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+    x = got["X"]
+    # x=[0,1,2], y_fp=[1e6,2e6,3e6]: num=3*8e6-3*6e6=6e6, den=3*5-9=6
+    assert (x.n_months, x.slope_num, x.slope_den) == (3, 6_000_000, 6)
+    assert x.slope_per_month == 100.0  # dollars per month, exact
+    y = got["Y"]
+    assert (y.n_months, y.slope_den) == (1, 0)
+    assert y.slope_per_month is None
+
+
+def test_benford_digit_audit_hand_computed(spark):
+    """First significant digits come from the integer fixed-point
+    value (sub-dollar amounts included); counts and the shared
+    expected literals line up."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _BENFORD_EXPECTED,
+        q_benford_digit_audit,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            Row(o_totalprice=1.23),    # fp 12300 -> digit 1
+            Row(o_totalprice=10.0),    # fp 100000 -> digit 1
+            Row(o_totalprice=0.05),    # fp 500 -> digit 5 (sub-dollar)
+            Row(o_totalprice=999.99),  # fp 9999900 -> digit 9
+            Row(o_totalprice=0.0),     # filtered out
+        ]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"orders": orders}
+        got = {r.digit: r for r in q_benford_digit_audit(spark, "unused").collect()}
+    finally:
+        ext.load_tables = orig
+    assert {d: r.n for d, r in got.items()} == {1: 2, 5: 1, 9: 1}
+    assert got[1].share == 0.5
+    for d, r in got.items():
+        assert r.benford_expected == _BENFORD_EXPECTED[d]
+
+
+def test_skew_key_report_hand_computed(spark):
+    """Counts, shares, and the mean-load ratio over a crafted skewed
+    key set; NULL keys drop out; ordering is (cnt DESC, key)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_skew_key_report
+
+    rows = [Row(user_id=1)] * 5 + [Row(user_id=2)] * 3 + [Row(user_id=3)]
+    rows += [Row(user_id=None)] * 2
+    events = spark.createDataFrame(rows, "user_id bigint")
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"events": events}
+        got = q_skew_key_report(spark, "unused").collect()
+    finally:
+        ext.load_tables = orig
+    assert [(r.user_id, r.cnt) for r in got] == [(1, 5), (2, 3), (3, 1)]
+    assert got[0].n_keys == 3
+    assert got[0].share == round(5 / 9, 6)
+    assert got[0].skew_ratio == round(5 * 3 / 9, 4)  # 1.6667x the mean
