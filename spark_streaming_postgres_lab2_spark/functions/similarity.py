@@ -1674,8 +1674,14 @@ def adaptive_portable_kl(n: int) -> tuple[int, int]:
     ``round(log2(n/128))``: 128*2^4.5 = 2896.3 -> k=5 from 2897,
     128*2^5.5 = 5792.6 -> k=6 from 5793 (capped at 6, like production).
     L stays 16 -- within the 96-plane budget for every reachable k."""
-    k = 4 + (1 if n >= 2897 else 0) + (1 if n >= 5793 else 0)
+    k = 4 + sum(1 for t in PORTABLE_K_THRESHOLDS if n >= t)
     return k, 16
+
+
+#: integer k-rule boundaries shared with the DuckDB oracle builder
+#: (ext.sql_emb_lsh_adaptive_pair_ctes interpolates THESE, so a retune
+#: here cannot silently diverge from the oracle -- review finding r6)
+PORTABLE_K_THRESHOLDS = (2897, 5793)
 
 
 #: deterministic bucket cap for the adaptive PORTABLE flavor: oversized

@@ -12,6 +12,8 @@ is benchmarked under the ``*_fast`` names with rows-only checks."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -22,6 +24,8 @@ from ..functions.multimodal import (
     synthesize_media,
 )
 from ..functions.similarity import (
+    PORTABLE_ADAPTIVE_CAP,
+    PORTABLE_K_THRESHOLDS,
     _int_plane,
     cosine,
     cosine_topk,
@@ -1638,7 +1642,7 @@ ORACLE_EMB_LSH_PORTABLE = (
 
 
 def sql_emb_lsh_adaptive_pair_ctes(
-    threshold: float = 0.4, dim: int = 64, cap: int = 200
+    threshold: float = 0.4, dim: int = 64, cap: int = PORTABLE_ADAPTIVE_CAP
 ) -> str:
     """DuckDB recomputation of ``adaptive_lsh_pairs_portable`` as a CTE
     chain ending in ``__vpairs`` -- the ADAPTIVE sibling of
@@ -1676,8 +1680,7 @@ def sql_emb_lsh_adaptive_pair_ctes(
     return f"""
 __planes AS (SELECT * FROM (VALUES {planes}) pl(pid, pvec)),
 __kl AS (
-  SELECT (4 + CASE WHEN count(*) >= 2897 THEN 1 ELSE 0 END
-            + CASE WHEN count(*) >= 5793 THEN 1 ELSE 0 END) AS k,
+  SELECT (4 {' '.join(f'+ CASE WHEN count(*) >= {t} THEN 1 ELSE 0 END' for t in PORTABLE_K_THRESHOLDS)}) AS k,
          16 AS L
   FROM embeddings
 ),
@@ -2122,9 +2125,7 @@ FROM f GROUP BY doc_id
 # Python and embedded as literals in BOTH engines' plans -- log10 is
 # libm-dependent, so recomputing it per engine could differ in the
 # last ulp and flip the rounded display value.
-_BENFORD_EXPECTED = {
-    d: round(__import__("math").log10(1 + 1 / d), 4) for d in range(1, 10)
-}
+_BENFORD_EXPECTED = {d: round(math.log10(1 + 1 / d), 4) for d in range(1, 10)}
 
 
 def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

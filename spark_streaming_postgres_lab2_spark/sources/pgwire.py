@@ -84,8 +84,15 @@ class PGConn:
                 b"\x00",
             ]
         )
-        self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
-        self._drain_until_ready(expect_auth=True)
+        try:
+            self._sock.sendall(struct.pack("!i", len(body) + 4) + body)
+            self._drain_until_ready()
+        except BaseException:
+            # a failed handshake (e.g. SCRAM-configured server) raises
+            # from __init__, so no object exists for the caller to
+            # close -- don't leak the fd (review finding r6)
+            self._sock.close()
+            raise
 
     # --- framing ---------------------------------------------------------
 
@@ -114,7 +121,7 @@ class PGConn:
             i = end + 1
         return fields
 
-    def _drain_until_ready(self, expect_auth: bool = False) -> None:
+    def _drain_until_ready(self) -> None:
         err: dict[str, str] | None = None
         while True:
             mtype, payload = self._read_message()
@@ -206,7 +213,19 @@ def pg_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, Decimal)):
+    if isinstance(v, float):
+        # NaN/Infinity stringify to bare tokens that SQL would read as
+        # column references (review finding r6: a CSV 'NaN' price that
+        # routes to the DLQ must not crash the DLQ write) -- Postgres
+        # accepts them as QUOTED spellings for float/numeric input
+        # (numeric takes 'NaN' only; an Infinity reaching a NUMERIC
+        # column is a legitimate server-side rejection)
+        if v != v:
+            return "'NaN'"
+        if v in (float("inf"), float("-inf")):
+            return "'Infinity'" if v > 0 else "'-Infinity'"
+        return str(v)
+    if isinstance(v, (int, Decimal)):
         return str(v)
     if isinstance(v, _dt.datetime):
         return "'" + v.isoformat(sep=" ") + "'"
@@ -225,28 +244,43 @@ def insert_batch(
     rows: Iterable[Sequence[Any]],
     on_conflict_do_nothing: bool = False,
     chunk_size: int = 500,
+    txn: bool = True,
 ) -> int:
     """Multi-row INSERT in chunks; returns rows inserted.  With
     ``on_conflict_do_nothing`` a replayed micro-batch is absorbed by
     the PRIMARY KEY exactly like the reference's dedup-by-PK intent
     (reference postgres_setup.sql:8 comment); without it a duplicate
-    raises PGError 23505, which the constraint tests assert."""
+    raises PGError 23505, which the constraint tests assert.
+
+    With ``txn`` (default) the chunks run in ONE transaction, so a
+    mid-batch failure rolls back cleanly instead of leaving a
+    partially-committed batch visible (review finding r6); pass
+    txn=False when the caller manages a wider transaction."""
     rows = list(rows)
     if not rows:
         return 0
     cols = ", ".join(columns)
     suffix = " ON CONFLICT DO NOTHING" if on_conflict_do_nothing else ""
     inserted = 0
-    for i in range(0, len(rows), chunk_size):
-        chunk = rows[i : i + chunk_size]
-        values = ", ".join(
-            "(" + ", ".join(pg_literal(v) for v in r) + ")" for r in chunk
-        )
-        res = conn.query(
-            f"INSERT INTO {table} ({cols}) VALUES {values}{suffix}"
-        )
-        # tag is "INSERT 0 <n>"
-        inserted += int(res.command_tag.rsplit(" ", 1)[-1] or 0)
+    if txn:
+        conn.query("BEGIN")
+    try:
+        for i in range(0, len(rows), chunk_size):
+            chunk = rows[i : i + chunk_size]
+            values = ", ".join(
+                "(" + ", ".join(pg_literal(v) for v in r) + ")" for r in chunk
+            )
+            res = conn.query(
+                f"INSERT INTO {table} ({cols}) VALUES {values}{suffix}"
+            )
+            # tag is "INSERT 0 <n>"
+            inserted += int(res.command_tag.rsplit(" ", 1)[-1] or 0)
+    except BaseException:
+        if txn:
+            conn.query("ROLLBACK")
+        raise
+    if txn:
+        conn.query("COMMIT")
     return inserted
 
 
@@ -257,6 +291,7 @@ def pgwire_write_fn(
     conn_factory,
     table_for_path: dict[str, str],
     on_conflict_do_nothing: bool = True,
+    delete_by_batch: dict[str, str] | None = None,
 ):
     """A ``BatchRouter.write_fn`` that routes each sink path to a
     Postgres table over the wire client -- the no-jar stand-in for the
@@ -264,11 +299,24 @@ def pgwire_write_fn(
     (validation chain -> routing -> metrics, streaming/sinks.py) run
     end-to-end against a live database.
 
+    Idempotency under retry/replay (review finding r6): each write is
+    ONE transaction (delete + inserts), so a mid-write failure rolls
+    back and the RetryPolicy re-runs against clean state.  Replay of a
+    COMMITTED epoch is absorbed per table: the events table by its
+    PRIMARY KEY (``on_conflict_do_nothing``), and any table named in
+    ``delete_by_batch`` (table -> batch-id column, e.g.
+    data_quality_metrics -> batch_id) by a batch-scoped delete-then-
+    insert.  A table with neither -- the reference's dead-letter
+    table has no PK or batch column -- retains the reference's own
+    JDBC-append replay semantics (duplicates possible only when a
+    commit succeeds but its confirmation is lost).
+
     Driver-side by design: rows cross ``toLocalIterator`` in insert
     chunks.  Right for the integration tier and control-table volumes;
     the 100 TB path is the executor-side JDBC sink.  Timestamps arrive
     as naive datetimes in the session timezone (UTC); ``processed_at``
     and friends are passed through as literals."""
+    delete_by_batch = delete_by_batch or {}
 
     def write(df, path: str, batch_id: int) -> None:
         table = None
@@ -281,13 +329,25 @@ def pgwire_write_fn(
         cols = df.columns
         conn = conn_factory()
         try:
-            insert_batch(
-                conn,
-                table,
-                cols,
-                ([row[c] for c in cols] for row in df.toLocalIterator()),
-                on_conflict_do_nothing=on_conflict_do_nothing,
-            )
+            conn.query("BEGIN")
+            try:
+                batch_col = delete_by_batch.get(table)
+                if batch_col is not None:
+                    conn.query(
+                        f"DELETE FROM {table} WHERE {batch_col} = {int(batch_id)}"
+                    )
+                insert_batch(
+                    conn,
+                    table,
+                    cols,
+                    ([row[c] for c in cols] for row in df.toLocalIterator()),
+                    on_conflict_do_nothing=on_conflict_do_nothing,
+                    txn=False,  # this function owns the transaction
+                )
+            except BaseException:
+                conn.query("ROLLBACK")
+                raise
+            conn.query("COMMIT")
         finally:
             conn.close()
 

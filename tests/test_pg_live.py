@@ -211,6 +211,50 @@ def test_constraints_reject_invalid_rows(pg, row, state):
         assert after == before  # the rejected row did not land
 
 
+def test_insert_batch_is_atomic_across_chunks(pg):
+    """A failure in a later chunk rolls back the whole batch -- no
+    partially-committed rows (review finding r6)."""
+    with pg() as c:
+        before = int(c.query("SELECT count(*) FROM ecommerce_events").scalar())
+        good = [_ev() for _ in range(3)]
+        bad = _ev(price=-1.0)  # violates CHECK in the second chunk
+        with pytest.raises(PGError):
+            insert_batch(
+                c, "ecommerce_events", EVENT_COLS, good + [bad], chunk_size=2
+            )
+        after = int(c.query("SELECT count(*) FROM ecommerce_events").scalar())
+        assert after == before  # chunk 1's two good rows rolled back too
+
+
+def test_nan_price_renders_as_valid_sql(pg):
+    """float('nan') renders as the QUOTED 'NaN' spelling -- valid SQL
+    that reaches the server -- instead of a bare nan token crashing
+    the statement as an unresolved column (review finding r6).  Note
+    Postgres orders numeric NaN ABOVE all numbers, so 'NaN' >= 0 is
+    TRUE and the events CHECK accepts it: keeping NaN out of the
+    valid table is (correctly) the in-stream validation chain's job,
+    not the DDL's."""
+    with pg() as c:
+        eid = str(uuid.uuid4())
+        n = insert_batch(
+            c, "ecommerce_events", EVENT_COLS, [_ev(price=float("nan"), event_id=eid)]
+        )
+        assert n == 1
+        got = c.query(
+            f"SELECT price FROM ecommerce_events WHERE event_id = '{eid}'"
+        )
+        assert got.rows == [("NaN",)]
+        # and the dead-letter table takes it too (where such rows
+        # actually belong after in-stream validation)
+        n = insert_batch(
+            c,
+            "dead_letter_events",
+            ["event_id", "event_type", "price", "validation_errors"],
+            [(str(uuid.uuid4()), "purchase", float("nan"), "negative_value")],
+        )
+        assert n == 1
+
+
 def test_dead_letter_accepts_rejected_rows(pg):
     with pg() as c:
         n = insert_batch(
@@ -273,6 +317,7 @@ def test_full_pipeline_writes_into_live_postgres(pg, spark, tmp_path):
             "dead_letter_events": "dead_letter_events",
             "quality_metrics": "data_quality_metrics",
         },
+        delete_by_batch={"data_quality_metrics": "batch_id"},
     )
     pipe.start(trigger_once=True).awaitTermination(120)
 
