@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "ols_trend",
     "benford_digit_audit",
     "skew_key_report",
+    "incremental_dedup",
 ]
 
 

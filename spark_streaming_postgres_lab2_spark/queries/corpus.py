@@ -263,6 +263,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("semantic_dedup_fast", q_semantic_dedup_fast, None,
                   "semantic dedup over the adaptive production LSH "
                   "(scale flavor, rows-only)"),
+        QuerySpec("incremental_dedup", q_incremental_dedup,
+                  _incremental_dedup_oracle(),
+                  "ingest-time exact+near dedup of a new batch against "
+                  "history (broadcast new side)"),
         QuerySpec("training_mix_upsample", q_training_mix_upsample,
                   ORACLE_TRAINING_MIX_UPSAMPLE,
                   "deterministic fractional upsampling (epochs-per-dataset mix)"),
@@ -702,5 +706,177 @@ SELECT label,
 FROM __member
 GROUP BY label
 ORDER BY label
+"""
+    )
+
+
+# --- incremental (ingest-time) dedup -------------------------------------------
+
+_INC_ID_OFFSET = 1_000_000  # new-batch ids live in a disjoint id space
+
+
+def _incremental_new_batch(docs: DataFrame) -> DataFrame:
+    """The deterministic 'new arrivals' batch both engines replay
+    (the aligned self-augmentation pattern: the raw fixture has no
+    cross-batch duplicates, so the batch is DERIVED so every outcome
+    class is non-vacuous): docs with doc_id % 10 == 0 arrive as EXACT
+    copies of their successor's text, % 10 == 5 as NEAR copies (one
+    appended token), % 10 == 7 with SYNTHESIZED fresh text -- their
+    own text verbatim would itself be an exact dup of its history
+    copy (caught on the first oracle run: kept was 0 everywhere).
+    New ids are offset into a disjoint id space."""
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__next_text")
+    )
+    fresh = F.concat(
+        F.lit("fresh arrival number "),
+        F.col("doc_id").cast("string"),
+        F.lit(" with unseen content"),
+    )
+    return (
+        docs.filter((F.col("doc_id") % 10).isin(0, 5, 7))
+        .join(nxt, "doc_id", "left")
+        .select(
+            (F.col("doc_id") + _INC_ID_OFFSET).alias("doc_id"),
+            "source",
+            F.when(
+                (F.col("doc_id") % 10 == 0) & F.col("__next_text").isNotNull(),
+                F.col("__next_text"),
+            )
+            .when(
+                (F.col("doc_id") % 10 == 5) & F.col("__next_text").isNotNull(),
+                F.concat(F.col("__next_text"), F.lit(" extradoc")),
+            )
+            .otherwise(fresh)
+            .alias("text"),
+        )
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup -- the ingest-time operator every continuously
+    trained corpus needs: deduplicate a small batch of NEW documents
+    against a large existing HISTORY without ever comparing history to
+    itself.  Two tiers, mirroring production dedup stacks: an exact
+    tier (content-hash equi-join) and a near tier (the portable MinHash
+    banding with the NEW side's signatures BROADCAST -- the
+    decontaminate asymmetry with the roles a live ingest has: history
+    streams through one bucket probe, is never self-joined, never
+    shuffled in full).
+
+    Per-source accounting over the new batch (n_new / dropped_exact /
+    dropped_near / kept) plus an md5 over the KEPT new ids, so the
+    driver hash pins exactly which arrivals survive.  dropped_near
+    counts only non-exact near-dups (the tiers are disjoint)."""
+    from ..functions.similarity import minhash_decontaminate
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    hist = t["documents"].select("doc_id", "text")
+    new = _incremental_new_batch(t["documents"]).localCheckpoint(eager=False)
+    exact_ids = (
+        new.alias("n")
+        .join(hist.alias("h"), F.md5(F.col("n.text")) == F.md5(F.col("h.text")), "left_semi")
+        .select(F.col("doc_id"))
+    )
+    near_pairs = minhash_decontaminate(hist, new.select("doc_id", "text"), threshold=0.4)
+    near_ids = near_pairs.select(
+        F.col("eval_doc_id").alias("doc_id")
+    ).distinct()
+    flagged = (
+        new.join(exact_ids.withColumn("__exact", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("__near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("__exact").isNotNull().alias("is_exact"),
+            F.col("__near").isNotNull().alias("is_near"),
+        )
+    )
+    kept_ids = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_exact") & ~F.col("is_near"), F.col("doc_id"))
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.count(F.when(F.col("is_exact"), 1)).cast("long").alias("dropped_exact"),
+            F.count(F.when(~F.col("is_exact") & F.col("is_near"), 1))
+            .cast("long")
+            .alias("dropped_near"),
+            F.count(F.when(~F.col("is_exact") & ~F.col("is_near"), 1))
+            .cast("long")
+            .alias("kept"),
+            F.md5(
+                F.concat_ws(",", F.transform(kept_ids, lambda x: x.cast("string")))
+            ).alias("kept_ids_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    from .ext import sql_hs_sigs, sql_shingles
+
+    return (
+        f"""WITH __newb AS (
+  SELECT d.doc_id + {_INC_ID_OFFSET} AS doc_id, d.source,
+         CASE WHEN d.doc_id % 10 = 0 AND d2.text IS NOT NULL THEN d2.text
+              WHEN d.doc_id % 10 = 5 AND d2.text IS NOT NULL THEN d2.text || ' extradoc'
+              ELSE 'fresh arrival number ' || CAST(d.doc_id AS VARCHAR) || ' with unseen content'
+         END AS text
+  FROM documents d
+  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 IN (0, 5, 7)
+),
+__corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM __newb
+),
+"""
+        + sql_shingles("__corpus").strip().lstrip()
+        + ",\n"
+        + sql_hs_sigs(12)
+        + f""",
+__bands AS (
+  SELECT doc_id, b.v AS band,
+         md5(CAST(sig[CAST(b.v * 3 + 1 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 2 AS INTEGER)] AS VARCHAR) || '|' || CAST(sig[CAST(b.v * 3 + 3 AS INTEGER)] AS VARCHAR)) AS band_key
+  FROM __sigs, range(0, 4) b(v)
+),
+__cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM __bands n JOIN __bands h ON n.band = h.band AND n.band_key = h.band_key
+  WHERE n.doc_id >= {_INC_ID_OFFSET} AND h.doc_id < {_INC_ID_OFFSET}
+),
+__near AS (
+  SELECT DISTINCT c.new_id AS doc_id
+  FROM __cand c
+  JOIN __shd sn ON sn.doc_id = c.new_id
+  JOIN __shd sh ON sh.doc_id = c.hist_id
+  WHERE round(CAST(len(list_intersect(sn.sh, sh.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sn.sh, sh.sh))), 4) >= 0.4
+),
+__exact AS (
+  SELECT DISTINCT n.doc_id
+  FROM __newb n JOIN documents h ON md5(n.text) = md5(h.text)
+),
+__flagged AS (
+  SELECT n.doc_id, n.source,
+         n.doc_id IN (SELECT doc_id FROM __exact) AS is_exact,
+         n.doc_id IN (SELECT doc_id FROM __near) AS is_near
+  FROM __newb n
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_new,
+       CAST(count(CASE WHEN is_exact THEN 1 END) AS BIGINT) AS dropped_exact,
+       CAST(count(CASE WHEN NOT is_exact AND is_near THEN 1 END) AS BIGINT) AS dropped_near,
+       CAST(count(CASE WHEN NOT is_exact AND NOT is_near THEN 1 END) AS BIGINT) AS kept,
+       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                    FILTER (WHERE NOT is_exact AND NOT is_near), '')) AS kept_ids_hash
+FROM __flagged
+GROUP BY source
+ORDER BY source
 """
     )

@@ -344,10 +344,15 @@ FROM cleaned
 # Shingle CTEs shared by the fingerprint-blocking and minhash oracles:
 # tokens -> distinct word 3-grams (empty/whitespace docs yield an empty
 # list, like text.shingles after the empty-doc fix)
-_SQL_SHINGLES = """
+def sql_shingles(src: str = "documents") -> str:
+    """The ``__tk``/``__shd`` shingle CTEs over any (doc_id, text)
+    relation -- parametrized (r6) so cross-corpus operators
+    (incremental_dedup's history-union-new corpus) compose the SAME
+    shingle definition instead of copying it."""
+    return f"""
 __tk AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents
+  FROM {src}
 ),
 __shd AS (
   SELECT doc_id,
@@ -360,6 +365,9 @@ __shd AS (
   FROM __tk
 )
 """
+
+
+_SQL_SHINGLES = sql_shingles()
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

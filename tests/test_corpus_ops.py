@@ -276,3 +276,46 @@ def test_adaptive_equals_fixed_at_small_n(spark, sf_dir):
         for r in adaptive_lsh_pairs_portable(emb, threshold=0.4, dim=64).collect()
     }
     assert adaptive == fixed
+
+
+def test_incremental_dedup_tier_semantics(spark):
+    """Crafted history + derived batch pin the tier split: exact dups
+    drop in the exact tier only, near dups (not exact) in the near
+    tier, fresh docs keep; the kept-id hash pins WHICH arrivals
+    survive."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _INC_ID_OFFSET,
+        q_incremental_dedup,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # 10 -> exact copy of 11's text; 15 -> near copy of 16;
+            # 17 -> synthesized fresh
+            Row(doc_id=10, source="a", text="other words entirely here now"),
+            Row(doc_id=11, source="a", text=text),
+            Row(doc_id=15, source="b", text="unused original fifteen text"),
+            Row(doc_id=16, source="b", text=text),
+            Row(doc_id=17, source="b", text="does not matter replaced anyway"),
+        ]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.source: r for r in q_incremental_dedup(spark, "unused").collect()}
+    finally:
+        corpus.load_tables = orig
+    a, b = got["a"], got["b"]
+    # doc 10 arrived as an exact copy of 11 -> exact tier
+    assert (a.n_new, a.dropped_exact, a.dropped_near, a.kept) == (1, 1, 0, 0)
+    # doc 15 arrived as near copy of 16 (one appended token) -> near
+    # tier; doc 17 arrived fresh -> kept
+    assert (b.n_new, b.dropped_exact, b.dropped_near, b.kept) == (2, 0, 1, 1)
+    import hashlib
+
+    want = hashlib.md5(str(17 + _INC_ID_OFFSET).encode()).hexdigest()
+    assert b.kept_ids_hash == want
