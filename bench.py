@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "benford_digit_audit",
     "skew_key_report",
     "incremental_dedup",
+    "audio_decode",
+    "audio_frame_energy",
 ]
 
 

@@ -323,3 +323,155 @@ def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "content": out})
 
     return media.mapInPandas(_resize, schema="media_id long, content binary")
+
+
+# --- real WAV/PCM16 audio codec (pure Python, no native deps) ----------------
+#
+# The audio sibling of the BMP tier: a genuine RIFF/WAVE container with
+# 16-bit mono PCM, encoded and parsed byte-for-byte per the public
+# format spec.  Every sample is arithmetic on the media id, so a SQL
+# oracle recomputes the decoded statistics without a decoder -- any
+# header/chunk/endianness bug in encode OR decode diverges them
+# (reference analog: none; this extends the multimodal surface the
+# reference lacks entirely, per the large-scale-pipeline brief).
+
+_WAV_HEADER_SIZE = 44  # RIFF(12) + fmt chunk(24) + data header(8)
+
+
+def encode_wav_pcm16(sample_rate: int, samples: "list[int]") -> bytes:
+    """Serialize mono 16-bit PCM as a canonical 44-byte-header WAV."""
+    n = len(samples)
+    data_size = n * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = b"data" + struct.pack("<I", data_size)
+    body = struct.pack(f"<{n}h", *samples)
+    return hdr + fmt + data + body
+
+
+def decode_wav_pcm16(b: bytes) -> "tuple[int, int, int, float] | None":
+    """Parse a mono PCM16 WAV: (sample_rate, n_samples, bits,
+    mean absolute sample).  None if not parseable."""
+    if b is None or len(b) < _WAV_HEADER_SIZE or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    fmt_tag, channels, rate = struct.unpack_from("<HHI", b, 20)
+    bits = struct.unpack_from("<H", b, 34)[0]
+    if b[12:16] != b"fmt " or fmt_tag != 1 or channels != 1 or bits != 16:
+        return None
+    if b[36:40] != b"data":
+        return None
+    (data_size,) = struct.unpack_from("<I", b, 40)
+    n = data_size // 2
+    if len(b) < _WAV_HEADER_SIZE + data_size or n == 0:
+        return None
+    samples = struct.unpack_from(f"<{n}h", b, _WAV_HEADER_SIZE)
+    return rate, n, bits, sum(abs(s) for s in samples) / n
+
+
+def _wav_params(media_id: int) -> "tuple[int, int]":
+    """(sample_rate, n_samples) for the synthesized clip -- shared by
+    the encoder and (as arithmetic) by the SQL oracles."""
+    return 8000 + 100 * (media_id % 5), 8 + media_id % 9
+
+
+def _wav_sample(media_id: int, i: int) -> int:
+    """Sample i of the synthesized clip: integers in [-1024, 1023]."""
+    return (media_id * 131 + i * 37) % 2048 - 1024
+
+
+def synthesize_wav_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with genuine WAV bytes per id."""
+    import pandas as pd
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rate, n = _wav_params(mid)
+                out["media_id"].append(mid)
+                out["payload"].append(
+                    encode_wav_pcm16(rate, [_wav_sample(mid, i) for i in range(n)])
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(_encode, schema="media_id long, payload binary")
+
+
+AUDIO_DECODE_SCHEMA = (
+    "media_id long, format string, sample_rate int, n_samples int, "
+    "duration_us long, mean_abs_sample double"
+)
+
+
+def decode_audio_real(media: DataFrame) -> DataFrame:
+    """Real WAV parse inside Arrow-batched mapInPandas: rate, count,
+    integer-exact duration (n * 1e6 div rate), mean |sample|."""
+    import pandas as pd
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "format", "sample_rate", "n_samples",
+                "duration_us", "mean_abs_sample",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_wav_pcm16(payload)
+                if parsed is None:
+                    continue
+                rate, n, _bits, mean_abs = parsed
+                out["media_id"].append(int(mid))
+                out["format"].append("wav_pcm16")
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_us"].append(n * 1_000_000 // rate)
+                # UNROUNDED: the query layer rounds with F.round (JVM
+                # HALF_UP, same as DuckDB's round) -- Python's round()
+                # is banker's and belongs nowhere near an oracle hash
+                out["mean_abs_sample"].append(mean_abs)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=AUDIO_DECODE_SCHEMA)
+
+
+def audio_frame_energy(
+    media: DataFrame, frame: int = 4, hop: int = 2
+) -> DataFrame:
+    """Windowed feature extraction -- the audio analog of video frame
+    sampling: split each clip into ``frame``-sample windows every
+    ``hop`` samples (windows starting past the end are dropped;
+    the tail window is truncated), and emit the frame count plus the
+    total energy sum(s^2) over all windows -- an exact integer, since
+    samples are integers, so the oracle replays it with range() joins."""
+    import pandas as pd
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_frames": [], "total_energy": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_wav_pcm16(payload)
+                if parsed is None:
+                    continue
+                rate, n, _bits, _ = parsed
+                samples = struct.unpack_from(
+                    f"<{n}h", payload, _WAV_HEADER_SIZE
+                )
+                starts = range(0, n, hop)
+                energy = 0
+                count = 0
+                for s0 in starts:
+                    win = samples[s0 : s0 + frame]
+                    if not win:
+                        continue
+                    count += 1
+                    energy += sum(int(s) * int(s) for s in win)
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(count)
+                out["total_energy"].append(energy)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _frames, schema="media_id long, n_frames int, total_energy long"
+    )

@@ -2204,6 +2204,78 @@ ORDER BY digit
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end -- the WAV/PCM16 sibling of the BMP
+    tier (q_multimodal_decode): synthesize genuine RIFF/WAVE mono
+    16-bit clips keyed on doc_id (mapInPandas encoder), parse them
+    back with the pure-Python WAV parser (mapInPandas), emit rate /
+    sample count / integer-exact duration / mean |sample|.  Every
+    sample is arithmetic on doc_id, so the oracle recomputes the
+    decoded statistics in SQL with no decoder -- a header, chunk, or
+    endianness bug on either side diverges the hash."""
+    from ..functions.multimodal import decode_audio_real, synthesize_wav_media
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_wav_media(t["documents"].select("doc_id"))
+    return decode_audio_real(media).withColumn(
+        "mean_abs_sample", F.round("mean_abs_sample", 4)
+    )
+
+
+ORACLE_AUDIO_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8000 + 100 * (doc_id % 5) AS INTEGER) AS sample_rate,
+         CAST(8 + doc_id % 9 AS INTEGER) AS n_samples
+  FROM documents
+), s AS (
+  SELECT d.doc_id, d.sample_rate, d.n_samples,
+         abs((d.doc_id * 131 + i.v * 37) % 2048 - 1024) AS a
+  FROM d, range(0, 17) i(v) WHERE i.v < d.n_samples
+)
+SELECT doc_id AS media_id,
+       'wav_pcm16' AS format,
+       sample_rate,
+       n_samples,
+       CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us,
+       round(CAST(sum(a) AS DOUBLE) / n_samples, 4) AS mean_abs_sample
+FROM s
+GROUP BY doc_id, sample_rate, n_samples
+"""
+
+
+def q_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction (the frame-sample analog for
+    audio): 4-sample windows every 2 samples per clip, emitting the
+    frame count and total energy sum(s^2) over all windows.  Energy is
+    an exact integer (samples are integers), so the whole feature sits
+    under the hash; the oracle replays the windowing with range()
+    joins."""
+    from ..functions.multimodal import audio_frame_energy, synthesize_wav_media
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_wav_media(t["documents"].select("doc_id"))
+    return audio_frame_energy(media, frame=4, hop=2)
+
+
+ORACLE_AUDIO_FRAMES = """
+WITH d AS (
+  SELECT doc_id, CAST(8 + doc_id % 9 AS INTEGER) AS n_samples
+  FROM documents
+), w AS (
+  SELECT d.doc_id, st.v AS s0, st.v + j.v AS idx,
+         (d.doc_id * 131 + (st.v + j.v) * 37) % 2048 - 1024 AS smp
+  FROM d, range(0, 17) st(v), range(0, 4) j(v)
+  WHERE st.v < d.n_samples AND st.v % 2 = 0 AND st.v + j.v < d.n_samples
+)
+SELECT doc_id AS media_id,
+       CAST(count(DISTINCT s0) AS INTEGER) AS n_frames,
+       CAST(sum(smp * smp) AS BIGINT) AS total_energy
+FROM w
+GROUP BY doc_id
+"""
+
+
 def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-planning skew audit: the top-20 heaviest user_id keys
     in the event stream with their share of all rows and their ratio
@@ -2323,6 +2395,13 @@ def specs() -> list[QuerySpec]:
                   ORACLE_SKEW_KEYS,
                   "top-20 heaviest keys with share and skew ratio "
                   "(salting planning input)"),
+        QuerySpec("audio_decode", q_audio_decode,
+                  ORACLE_AUDIO_DECODE,
+                  "real WAV/PCM16 encode+decode with format-spec oracle"),
+        QuerySpec("audio_frame_energy", q_audio_frame_energy,
+                  ORACLE_AUDIO_FRAMES,
+                  "windowed audio frame energy (exact integer) over "
+                  "real WAV payloads"),
         QuerySpec("stratified_sample", q_stratified_sample, None,
                   "seeded stratified sampleBy rollup (rows-only)"),
         QuerySpec("stratified_sample_audit", q_stratified_sample_audit,

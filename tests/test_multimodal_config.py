@@ -113,3 +113,48 @@ def test_resize_stub_shapes(spark, media):
     assert {r["media_id"]: bytes(r["content"]) for r in out} == {
         r["media_id"]: bytes(r["content"]) for r in again
     }
+
+
+def test_wav_codec_round_trip_and_rejects_malformed():
+    """Encode->decode round-trips exactly; truncated / wrong-magic /
+    stereo-tagged byte strings return None instead of raising."""
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456]
+    b = encode_wav_pcm16(44100, samples)
+    rate, n, bits, mean_abs = decode_wav_pcm16(b)
+    assert (rate, n, bits) == (44100, 7, 16)
+    assert mean_abs == sum(abs(s) for s in samples) / 7
+    assert decode_wav_pcm16(None) is None
+    assert decode_wav_pcm16(b[:20]) is None          # truncated header
+    assert decode_wav_pcm16(b"XXXX" + b[4:]) is None  # bad magic
+    assert decode_wav_pcm16(b[:-3]) is None           # truncated data
+    stereo = bytearray(b)
+    stereo[22] = 2  # channels=2: unsupported, must refuse not garble
+    assert decode_wav_pcm16(bytes(stereo)) is None
+
+
+def test_audio_frame_energy_hand_computed(spark):
+    """4-sample/2-hop windows over a crafted clip: frame count and
+    integer energy match a hand replay, including the truncated tail
+    window and double-counted overlap samples."""
+    from pyspark.sql import Row
+
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import (
+        audio_frame_energy,
+        encode_wav_pcm16,
+    )
+
+    samples = [1, 2, 3, 4, 5]  # windows: [1,2,3,4], [3,4,5], [5]
+    payload = encode_wav_pcm16(8000, samples)
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(payload))],
+        "media_id long, payload binary",
+    )
+    got = audio_frame_energy(media, frame=4, hop=2).collect()[0]
+    assert got.n_frames == 3
+    want = (1 + 4 + 9 + 16) + (9 + 16 + 25) + 25
+    assert got.total_energy == want
