@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "audio_decode",
     "audio_frame_energy",
+    "mad_anomaly_hours",
+    "snapshot_diff",
 ]
 
 

@@ -2146,6 +2146,125 @@ ORDER BY event_type
 """
 
 
+def q_mad_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flags -- the heavy-tail-tolerant
+    twin of q_zscore_anomaly_hours: per event type, flag hours whose
+    count deviates more than 3 MAD from the trailing-24h MEDIAN.  One
+    wild spike inside the baseline window corrupts a mean/sigma test
+    (the spike inflates sigma and masks the next anomaly) but moves a
+    median/MAD baseline by at most one rank -- the standard robust
+    monitoring upgrade.
+
+    Exactness: counts are integers; the median and MAD are DISCRETE
+    rank-selected elements (lower median, (c+1) div 2) of the trailing
+    window, so both are integers and the flag |x - med| > 3*MAD is a
+    pure integer predicate -- no float anywhere near the hash (the
+    discrete-threshold lesson).  A zero-MAD (majority-constant) window
+    flags any deviation, like zscore's zero-variance rule; warmup
+    hours (< 24 trailing) are NULL.  The robust score
+    dev/(1.4826*MAD) is display-only.
+
+    Scale shape: identical to zscore -- one map-side-combinable
+    (type, hour) count collapse, then windows over the clock-sized
+    spine; the trailing array is 24 elements, and the MAD transform
+    uses zip_with(arr, array_repeat(med, c)) so the rank-selected
+    median is evaluated once per ROW, not once per element (the r4
+    CollapseProject-inlines-into-HOF trap)."""
+    dense = _gapfilled_counts(spark, sf_dir, 3_600_000_000, "hour_id")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(-_ZS_WINDOW, -1)
+    )
+    arr = dense.select(
+        "event_type",
+        "hour_id",
+        "cnt",
+        F.collect_list("cnt").over(w).alias("__arr"),
+    )
+    staged = arr.select(
+        "event_type",
+        "hour_id",
+        "cnt",
+        F.size("__arr").alias("__c"),
+        # greatest(1, ...): warmup rows have an EMPTY window (c=0),
+        # and element_at index 0 is invalid -- index 1 on [] is NULL
+        # under the session's non-ANSI mode, which the warmup CASE
+        # then ignores
+        F.expr(
+            "element_at(array_sort(__arr),"
+            " greatest(1, CAST((size(__arr) + 1) div 2 AS INT)))"
+        ).alias("__med"),
+        F.col("__arr"),
+    ).select(
+        "event_type",
+        "hour_id",
+        "cnt",
+        "__c",
+        "__med",
+        F.expr(
+            "element_at(array_sort(zip_with(__arr, array_repeat(__med, __c),"
+            " (x, m) -> abs(x - m))), greatest(1, CAST((__c + 1) div 2 AS INT)))"
+        ).alias("__mad"),
+    )
+    dev = F.abs(F.col("cnt") - F.col("__med"))
+    return (
+        staged.select(
+            "event_type",
+            "hour_id",
+            "cnt",
+            F.col("__med").cast("long").alias("med"),
+            F.col("__mad").cast("long").alias("mad"),
+            F.when(
+                (F.col("__c") >= _ZS_WINDOW) & (F.col("__mad") > 0),
+                F.round(dev / (F.col("__mad") * 1.4826), 4),
+            ).alias("robust_z"),
+            F.when(F.col("__c") < _ZS_WINDOW, F.lit(None).cast("int"))
+            .when(dev == 0, F.lit(0))
+            .when(dev > 3 * F.col("__mad"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_id")
+    )
+
+
+ORACLE_MAD_ANOMALY = f"""
+WITH {_sql_gapfilled_counts(3_600_000_000, "hour_id")},
+arr AS (
+  SELECT event_type, hour_id, cnt, list(cnt) OVER tw AS l
+  FROM dense
+  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_id
+                ROWS BETWEEN {_ZS_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+staged AS (
+  SELECT event_type, hour_id, cnt,
+         coalesce(len(l), 0) AS c,
+         list_sort(l)[(len(l) + 1) // 2] AS med,
+         l
+  FROM arr
+),
+staged2 AS (
+  SELECT event_type, hour_id, cnt, c, med,
+         list_sort(list_transform(l, x -> abs(x - med)))[(c + 1) // 2] AS mad
+  FROM staged
+)
+SELECT event_type, hour_id, cnt,
+       CAST(med AS BIGINT) AS med,
+       CAST(mad AS BIGINT) AS mad,
+       CASE WHEN c >= {_ZS_WINDOW} AND mad > 0
+            THEN round(abs(cnt - med) / (mad * 1.4826), 4)
+       END AS robust_z,
+       CASE WHEN c < {_ZS_WINDOW} THEN NULL
+            WHEN abs(cnt - med) = 0 THEN 0
+            WHEN abs(cnt - med) > 3 * mad THEN 1
+            ELSE 0
+       END AS is_anomaly
+FROM staged2
+ORDER BY event_type, hour_id
+"""
+
+
 def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation revenue TREND: ordinary-least-squares slope of
     monthly revenue over the nation's observed months -- the
@@ -2266,6 +2385,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_OLS_TREND,
                   "per-nation monthly-revenue OLS slope with exact "
                   "integer normal equations"),
+        QuerySpec("mad_anomaly_hours", q_mad_anomaly_hours,
+                  ORACLE_MAD_ANOMALY,
+                  "median/MAD robust anomaly flags over the trailing "
+                  "24h window (integer predicate)"),
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),

@@ -2204,6 +2204,114 @@ ORDER BY digit
 """
 
 
+_SNAP_ADD_OFFSET = 1_000_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection -- the data-engineering primitive
+    behind incremental loads and reconciliation audits ('what changed
+    between yesterday's and today's extract'): full-outer join two
+    snapshots on the business key and classify every key as added /
+    deleted / changed / unchanged, with per-column change counts.
+
+    The 'new' snapshot is DERIVED deterministically (the aligned
+    self-augmentation pattern): keys % 97 == 0 are deleted, % 7 == 0
+    get a changed priority and a +1.50 total, % 101 == 0 spawn an
+    added row in a disjoint key space -- so every class is non-vacuous
+    and both engines replay the mutation exactly.  Comparison is
+    NULL-SAFE equality (Spark <=>, DuckDB IS NOT DISTINCT FROM); the
+    +1.50 is exact double arithmetic on both engines.
+
+    Scale shape: one full-outer equi-join on the key -- the minimal
+    possible shuffle for this question -- then a single
+    conditional-count aggregate to one row.  No window, no sort."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    old = t["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    mutated = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-CHANGED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + _SNAP_ADD_OFFSET).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    new = mutated.unionByName(added)
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    pr_same = F.col("o.o_orderpriority").eqNullSafe(F.col("n.o_orderpriority"))
+    tp_same = F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+    st_same = F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+    is_add = F.col("o.o_orderkey").isNull()
+    is_del = F.col("n.o_orderkey").isNull()
+    is_chg = ~is_add & ~is_del & ~(pr_same & tp_same & st_same)
+    return joined.agg(
+        F.count(F.col("o.o_orderkey")).cast("long").alias("n_old"),
+        F.count(F.col("n.o_orderkey")).cast("long").alias("n_new"),
+        F.count(F.when(is_add, 1)).cast("long").alias("n_added"),
+        F.count(F.when(is_del, 1)).cast("long").alias("n_deleted"),
+        F.count(F.when(is_chg, 1)).cast("long").alias("n_changed"),
+        F.count(F.when(~is_add & ~is_del & pr_same & tp_same & st_same, 1))
+        .cast("long")
+        .alias("n_unchanged"),
+        F.count(F.when(~is_add & ~is_del & ~pr_same, 1))
+        .cast("long")
+        .alias("n_changed_priority"),
+        F.count(F.when(~is_add & ~is_del & ~tp_same, 1))
+        .cast("long")
+        .alias("n_changed_totalprice"),
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH old AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN '9-CHANGED' ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_SNAP_ADD_OFFSET}, o_orderpriority, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) AS pr_same,
+         (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) AS tp_same,
+         (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS st_same
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CAST(count(ok) AS BIGINT) AS n_old,
+       CAST(count(nk) AS BIGINT) AS n_new,
+       CAST(count(CASE WHEN ok IS NULL THEN 1 END) AS BIGINT) AS n_added,
+       CAST(count(CASE WHEN nk IS NULL THEN 1 END) AS BIGINT) AS n_deleted,
+       CAST(count(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                        AND NOT (pr_same AND tp_same AND st_same) THEN 1 END) AS BIGINT) AS n_changed,
+       CAST(count(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                        AND pr_same AND tp_same AND st_same THEN 1 END) AS BIGINT) AS n_unchanged,
+       CAST(count(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND NOT pr_same THEN 1 END) AS BIGINT) AS n_changed_priority,
+       CAST(count(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND NOT tp_same THEN 1 END) AS BIGINT) AS n_changed_totalprice
+FROM j
+"""
+
+
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec end-to-end -- the WAV/PCM16 sibling of the BMP
     tier (q_multimodal_decode): synthesize genuine RIFF/WAVE mono
@@ -2395,6 +2503,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_SKEW_KEYS,
                   "top-20 heaviest keys with share and skew ratio "
                   "(salting planning input)"),
+        QuerySpec("snapshot_diff", q_snapshot_diff,
+                  ORACLE_SNAPSHOT_DIFF,
+                  "full-outer snapshot change detection with per-column "
+                  "change counts"),
         QuerySpec("audio_decode", q_audio_decode,
                   ORACLE_AUDIO_DECODE,
                   "real WAV/PCM16 encode+decode with format-spec oracle"),

@@ -739,3 +739,80 @@ def test_skew_key_report_hand_computed(spark):
     assert got[0].n_keys == 3
     assert got[0].share == round(5 / 9, 6)
     assert got[0].skew_ratio == round(5 * 3 / 9, 4)  # 1.6667x the mean
+
+
+def test_mad_anomaly_robust_to_baseline_spike(spark):
+    """The median/MAD detector's reason to exist: a wild spike INSIDE
+    the trailing baseline inflates mean/sigma (masking the next
+    anomaly for the z-score test) but moves median/MAD by at most one
+    rank -- the crafted series pins that the hour after a
+    contaminated baseline still flags, that warmup is NULL, and that
+    a zero-MAD constant window flags any deviation."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_mad_anomaly_hours,
+        q_zscore_anomaly_hours,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = []
+    # type A: 4/5/6 cycling baseline for 23 hours + a wild 100-spike
+    # at hour 23 (inside the next hour's baseline), then 12 at hour 24:
+    # 12 is within 3 sigma of the spike-inflated z baseline but far
+    # beyond 3 MAD of the median baseline.  (An alternating 4/6
+    # baseline would give MAD=0 -- half the window sits exactly on the
+    # median -- so the cycle includes the median value only 8/24 times.)
+    for h in range(23):
+        rows += [Row(event_type="A", ts=t0 + timedelta(hours=h))] * (4 + h % 3)
+    rows += [Row(event_type="A", ts=t0 + timedelta(hours=23))] * 100
+    rows += [Row(event_type="A", ts=t0 + timedelta(hours=24))] * 12
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        mad = {r.hour_id: r for r in q_mad_anomaly_hours(spark, "unused").collect()}
+        zs = {r.hour_id: r for r in q_zscore_anomaly_hours(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+    hours = sorted(mad)
+    first, target = hours[0], hours[24]
+    assert mad[first].is_anomaly is None  # warmup
+    r = mad[target]
+    # baseline window = hours 0..23: 8x4, 8x5, 7x6 and one 100
+    # -> sorted index 12 -> median 5; deviations 8x0, 15x1, 95
+    # -> MAD 1; dev = |12-5| = 7 > 3*1 -> flagged
+    assert (r.med, r.mad, r.cnt, r.is_anomaly) == (5, 1, 12, 1)
+    # the mean/sigma test is masked by the spike it ate: mean ~9,
+    # sigma ~19 -> z(12) < 1 -> NOT flagged.  That contrast is the
+    # operator's justification.
+    assert zs[target].is_anomaly == 0
+
+
+def test_snapshot_diff_hand_computed(spark):
+    """Crafted keys hit every class: 97 deletes, 7 changes (priority
+    AND totalprice), 101 spawns an added twin while itself staying
+    unchanged, 1 stays unchanged."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_snapshot_diff
+
+    mk = lambda k: Row(  # noqa: E731
+        o_orderkey=k, o_orderpriority="1-URGENT", o_totalprice=10.0,
+        o_orderstatus="O",
+    )
+    orders = spark.createDataFrame([mk(1), mk(7), mk(97), mk(101)])
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"orders": orders}
+        r = q_snapshot_diff(spark, "unused").collect()[0]
+    finally:
+        ext.load_tables = orig
+    assert (r.n_old, r.n_new) == (4, 4)  # one deleted, one added
+    assert (r.n_added, r.n_deleted) == (1, 1)
+    assert (r.n_changed, r.n_unchanged) == (1, 2)
+    assert (r.n_changed_priority, r.n_changed_totalprice) == (1, 1)
