@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "audio_frame_energy",
     "mad_anomaly_hours",
     "snapshot_diff",
+    "cumulative_unique_users",
+    "revenue_concentration",
 ]
 
 

@@ -2146,6 +2146,159 @@ ORDER BY event_type
 """
 
 
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-growth curve: per day, the number of NEW users (first
+    ever seen that day) and the cumulative distinct-user count to date
+    -- the growth-accounting primitive a naive per-day COUNT(DISTINCT)
+    cannot produce (it double-counts returners) and a corpus-wide
+    running distinct cannot afford.
+
+    Exactness & scale shape: the stream collapses to one row per USER
+    (min first-seen day -- map-side combinable), then to one row per
+    DAY; the running sum windows over the clock-sized day spine only.
+    All integers under the hash.  Days with no new users still appear
+    (gap-filled spine) with new_users = 0 and a flat cumulative."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_id"),
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day_id").alias("day_id"))
+    daily_new = first_seen.groupBy("day_id").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    bounds = ev.agg(F.min("day_id").alias("__mn"), F.max("day_id").alias("__mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"))).alias("day_id")
+    )
+    dense = spine.join(daily_new, "day_id", "left").select(
+        "day_id", F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dense.select(
+            "day_id",
+            "new_users",
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+        .orderBy("day_id")
+    )
+
+
+ORACLE_CUMULATIVE_USERS = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day_id
+  FROM events WHERE user_id IS NOT NULL
+),
+first_seen AS (SELECT user_id, min(day_id) AS day_id FROM ev GROUP BY user_id),
+daily_new AS (
+  SELECT day_id, CAST(count(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY day_id
+),
+bounds AS (SELECT min(day_id) AS mn, max(day_id) AS mx FROM ev),
+spine AS (SELECT unnest(generate_series(mn, mx)) AS day_id FROM bounds),
+dense AS (
+  SELECT s.day_id, CAST(coalesce(d.new_users, 0) AS BIGINT) AS new_users
+  FROM spine s LEFT JOIN daily_new d ON s.day_id = d.day_id
+)
+SELECT day_id, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM dense
+ORDER BY day_id
+"""
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: what share of total
+    revenue comes from the top 1% / 5% / 20% of customers -- the
+    whale-dependence metric behind pricing and risk reviews.
+
+    Exactness: per-customer revenue uses the money_sum fixed-point
+    recipe (exact BIGINT units); the tier cuts are DISCRETE customer
+    counts k = ceil(p * n) by exact integer arithmetic, customers
+    ranked on the pinned integer revenue with custkey tie-break (a
+    revenue tie cannot reorder the cut); tier sums are BIGINT under
+    the hash and shares are display-rounded ratios of pinned integers.
+
+    Scale shape: facts collapse to one row per customer (map-side
+    combinable); ranking windows over the customer-count table, not
+    raw facts; three tier sums come from ONE conditional aggregate
+    (the table_profile 38-scans lesson)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+            ).alias("__rev_fp")
+        )
+    )
+    w = Window.orderBy(F.desc("__rev_fp"), "o_custkey")
+    ranked = per_cust.select(
+        "__rev_fp",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    )
+    tiers = [("top_1pct", 1, 100), ("top_5pct", 5, 100), ("top_20pct", 20, 100)]
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("__rev_fp").alias("__total_fp"),
+    ]
+    for name, num, den in tiers:
+        k = F.expr(f"({num} * __n + {den - 1}) div {den}")
+        aggs.append(
+            F.sum(F.when(F.col("__rn") <= k, F.col("__rev_fp")))
+            .alias(f"__{name}_fp")
+        )
+    totals = ranked.agg(*aggs)
+    out_cols = [
+        "n_customers",
+        F.round(F.col("__total_fp") / 10000.0, 2).alias("total_revenue"),
+    ]
+    for name, _num, _den in tiers:
+        out_cols.append(
+            F.round(F.col(f"__{name}_fp") / 10000.0, 2).alias(f"{name}_revenue")
+        )
+        out_cols.append(
+            F.round(
+                F.col(f"__{name}_fp").cast("double") / F.col("__total_fp"), 4
+            ).alias(f"{name}_share")
+        )
+    return totals.select(*out_cols)
+
+
+ORACLE_REVENUE_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_fp
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_fp,
+         row_number() OVER (ORDER BY rev_fp DESC, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM per_cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(rev_fp) AS DOUBLE) / 10000.0, 2) AS total_revenue,
+       round(CAST(sum(CASE WHEN rn <= (1 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / 10000.0, 2) AS top_1pct_revenue,
+       round(CAST(sum(CASE WHEN rn <= (1 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / sum(rev_fp), 4) AS top_1pct_share,
+       round(CAST(sum(CASE WHEN rn <= (5 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / 10000.0, 2) AS top_5pct_revenue,
+       round(CAST(sum(CASE WHEN rn <= (5 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / sum(rev_fp), 4) AS top_5pct_share,
+       round(CAST(sum(CASE WHEN rn <= (20 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / 10000.0, 2) AS top_20pct_revenue,
+       round(CAST(sum(CASE WHEN rn <= (20 * n + 99) // 100 THEN rev_fp END) AS DOUBLE) / sum(rev_fp), 4) AS top_20pct_share
+FROM ranked
+"""
+
+
 def q_mad_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) anomaly flags -- the heavy-tail-tolerant
     twin of q_zscore_anomaly_hours: per event type, flag hours whose
@@ -2389,6 +2542,14 @@ def specs() -> list[QuerySpec]:
                   ORACLE_MAD_ANOMALY,
                   "median/MAD robust anomaly flags over the trailing "
                   "24h window (integer predicate)"),
+        QuerySpec("cumulative_unique_users", q_cumulative_unique_users,
+                  ORACLE_CUMULATIVE_USERS,
+                  "daily new + cumulative distinct users over the "
+                  "gap-filled day spine"),
+        QuerySpec("revenue_concentration", q_revenue_concentration,
+                  ORACLE_REVENUE_CONCENTRATION,
+                  "top-1/5/20% customer revenue shares via discrete "
+                  "rank cuts on fixed-point revenue"),
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),

@@ -816,3 +816,70 @@ def test_snapshot_diff_hand_computed(spark):
     assert (r.n_added, r.n_deleted) == (1, 1)
     assert (r.n_changed, r.n_unchanged) == (1, 2)
     assert (r.n_changed_priority, r.n_changed_totalprice) == (1, 1)
+
+
+def test_cumulative_unique_users_hand_computed(spark):
+    """Returners don't re-count, gap days carry the running total
+    flat, and the curve is monotone."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_cumulative_unique_users,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0),                          # day 0: new
+        Row(user_id=2, ts=t0),                          # day 0: new
+        Row(user_id=1, ts=t0 + timedelta(days=1)),      # day 1: returner
+        # day 2: nothing (gap)
+        Row(user_id=3, ts=t0 + timedelta(days=3)),      # day 3: new
+        Row(user_id=2, ts=t0 + timedelta(days=3)),      # day 3: returner
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = q_cumulative_unique_users(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+    assert [(r.new_users, r.cumulative_users) for r in got] == [
+        (2, 2), (0, 2), (0, 2), (1, 3)
+    ]
+
+
+def test_revenue_concentration_hand_computed(spark):
+    """Discrete rank cuts: with 10 customers, top-1% == top customer
+    (k = ceil(0.01*10) = 1); ties on revenue break by custkey so the
+    cut is deterministic."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_revenue_concentration,
+    )
+
+    # customer k has revenue 100*k except 9 and 10 tie at 1000
+    rows = []
+    for k in range(1, 9):
+        rows.append(Row(o_custkey=k, o_totalprice=100.0 * k))
+    rows += [Row(o_custkey=9, o_totalprice=1000.0),
+             Row(o_custkey=10, o_totalprice=1000.0)]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"orders": df}
+        r = q_revenue_concentration(spark, "unused").collect()[0]
+    finally:
+        adv.load_tables = orig
+    total = sum(100.0 * k for k in range(1, 9)) + 2000.0  # 5600
+    assert r.n_customers == 10
+    assert r.total_revenue == total
+    # top-1% -> k=1 -> the lower-custkey 1000 tie (custkey 9)
+    assert r.top_1pct_revenue == 1000.0
+    assert r.top_1pct_share == round(1000.0 / total, 4)
+    # top-20% -> k=2 -> both 1000s
+    assert r.top_20pct_revenue == 2000.0
