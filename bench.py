@@ -189,6 +189,9 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "cumulative_unique_users",
     "revenue_concentration",
+    # round-6, second session: distribution profiling + series repair
+    "value_histogram",
+    "gapfill_interpolate",
 ]
 
 

@@ -2522,6 +2522,198 @@ ORDER BY nation
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of ``events.value`` (20 bins) -- the
+    distribution-profiling primitive behind dashboards and data-drift
+    monitors.  Spark's ``histogram_numeric`` is approximate and its
+    bin centroids are float accumulations (never hash-comparable);
+    this is the exact fixed-width construction.
+
+    Exactness: values move to 1e-2 fixed point (``floor(v*100+0.5)``,
+    the money_sum per-row recipe -- identical double math both
+    engines), the bin index is pure integer arithmetic
+    ``((v_fp - mn) * B) div (mx - mn + 1)``, and bin edges shown are
+    derived from the same pinned integers, so no float threshold ever
+    decides membership (the discrete-threshold lesson).  Degenerate
+    single-value distributions land wholly in bin 0.
+
+    Scale shape: one full-scan min/max agg (map-side combinable), one
+    groupBy on the bin id (<= B groups), spine join over the B-row bin
+    list -- empty bins still appear.  Nothing is event-volume-sized
+    past the first aggregate."""
+    n_bins = 20
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("value").isNotNull()).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__v_fp")
+    )
+    bounds = ev.agg(F.min("__v_fp").alias("__mn"), F.max("__v_fp").alias("__mx"))
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"((__v_fp - __mn) * {n_bins}) div (__mx - __mn + 1)")
+            .alias("bin_id"),
+            "__v_fp",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("__v_fp").alias("__sum_fp"),
+        )
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin_id"),
+        "__mn",
+        "__mx",
+    )
+    return (
+        spine.join(binned, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.round(
+                F.expr(f"(__mn + (bin_id * (__mx - __mn + 1)) div {n_bins})")
+                / 100.0,
+                2,
+            ).alias("bin_lo"),
+            F.round(
+                F.expr(f"(__mn + ((bin_id + 1) * (__mx - __mn + 1)) div {n_bins})")
+                / 100.0,
+                2,
+            ).alias("bin_hi"),
+            F.coalesce("n_values", F.lit(0)).cast("long").alias("n_values"),
+            F.coalesce("__sum_fp", F.lit(0)).cast("long").alias("sum_value_fp"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH ev AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(v_fp) AS mn, max(v_fp) AS mx FROM ev),
+binned AS (
+  SELECT ((v_fp - mn) * 20) // (mx - mn + 1) AS bin_id,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(v_fp) AS BIGINT) AS sum_value_fp
+  FROM ev, bounds
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(0, 19)) AS bin_id, mn, mx FROM bounds
+)
+SELECT s.bin_id,
+       round((s.mn + (s.bin_id * (s.mx - s.mn + 1)) // 20) / 100.0, 2) AS bin_lo,
+       round((s.mn + ((s.bin_id + 1) * (s.mx - s.mn + 1)) // 20) / 100.0, 2) AS bin_hi,
+       CAST(coalesce(b.n_values, 0) AS BIGINT) AS n_values,
+       CAST(coalesce(b.sum_value_fp, 0) AS BIGINT) AS sum_value_fp
+FROM spine s LEFT JOIN binned b USING (bin_id)
+ORDER BY bin_id
+"""
+
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over series gaps: hourly purchase revenue
+    with missing hours filled by the straight line between the
+    neighboring OBSERVED hours -- the time-series repair step between
+    plain gap-fill-with-zero (q_hourly_gapfill) and modeling
+    (q_forecast_baseline).  Zero would be a lie for a metric that was
+    merely unobserved; interpolation is the standard imputation.
+
+    Exactness: observed hourly revenue is fixed-point BIGINT (money_
+    sum recipe); the interpolated value is the integer-weighted mean
+    ``(pv*(nt-t) + nv*(t-pt)) div (nt-pt)`` whose numerator is a sum
+    of two non-negative BIGINT products -- no float and no negative
+    division anywhere (Spark div / DuckDB // agree on truncation, but
+    non-negative operands make even that moot).  Overflow: pv,nv <
+    2^45 fixed-point dollars and gaps < 2^10 hours -- far under 2^63.
+
+    Scale shape: facts collapse to observed (hour, rev_fp) cells
+    (map-side combinable); the spine is clock-sized; prev/next carries
+    are IGNORE NULLS window functions over the spine, never over raw
+    events."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("event_type") == "purchase").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_id"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("__v_fp"),
+    )
+    hourly = ev.groupBy("hour_id").agg(F.sum("__v_fp").alias("__obs_fp"))
+    bounds = ev.agg(F.min("hour_id").alias("__mn"), F.max("hour_id").alias("__mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("__mn", "__mx")).alias("hour_id")
+    )
+    dense = spine.join(hourly, "hour_id", "left")
+    w_prev = Window.orderBy("hour_id").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("hour_id").rowsBetween(1, Window.unboundedFollowing)
+    # carry (value, hour) pairs so the interpolation knows the gap width;
+    # struct wrapper keeps value+hour atomically (the asof NULL-carry trick)
+    obs = F.when(
+        F.col("__obs_fp").isNotNull(),
+        F.struct(F.col("__obs_fp").alias("v"), F.col("hour_id").alias("t")),
+    )
+    staged = dense.select(
+        "hour_id",
+        "__obs_fp",
+        F.last(obs, ignorenulls=True).over(w_prev).alias("__p"),
+        F.first(obs, ignorenulls=True).over(w_next).alias("__nx"),
+    )
+    interp = F.expr(
+        "(__p.v * (__nx.t - hour_id) + __nx.v * (hour_id - __p.t))"
+        " div (__nx.t - __p.t)"
+    )
+    return (
+        staged.select(
+            "hour_id",
+            F.coalesce(F.col("__obs_fp"), interp).cast("long").alias("revenue_fp"),
+            F.round(
+                F.coalesce(F.col("__obs_fp"), interp) / 100.0, 2
+            ).alias("revenue"),
+            F.col("__obs_fp").isNull().cast("int").alias("is_interpolated"),
+        )
+        .orderBy("hour_id")
+    )
+
+
+ORACLE_GAPFILL_INTERPOLATE = """
+WITH ev AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_fp
+  FROM events WHERE event_type = 'purchase'
+),
+hourly AS (
+  SELECT hour_id, CAST(sum(v_fp) AS BIGINT) AS obs_fp FROM ev GROUP BY hour_id
+),
+bounds AS (SELECT min(hour_id) AS mn, max(hour_id) AS mx FROM ev),
+spine AS (SELECT unnest(generate_series(mn, mx)) AS hour_id FROM bounds),
+dense AS (
+  SELECT s.hour_id, h.obs_fp
+  FROM spine s LEFT JOIN hourly h USING (hour_id)
+),
+staged AS (
+  SELECT hour_id, obs_fp,
+         last_value(CASE WHEN obs_fp IS NOT NULL THEN obs_fp END IGNORE NULLS)
+           OVER pw AS pv,
+         last_value(CASE WHEN obs_fp IS NOT NULL THEN hour_id END IGNORE NULLS)
+           OVER pw AS pt,
+         first_value(CASE WHEN obs_fp IS NOT NULL THEN obs_fp END IGNORE NULLS)
+           OVER nw AS nv,
+         first_value(CASE WHEN obs_fp IS NOT NULL THEN hour_id END IGNORE NULLS)
+           OVER nw AS nt
+  FROM dense
+  WINDOW pw AS (ORDER BY hour_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         nw AS (ORDER BY hour_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT hour_id,
+       CAST(coalesce(obs_fp, (pv * (nt - hour_id) + nv * (hour_id - pt))
+                              // (nt - pt)) AS BIGINT) AS revenue_fp,
+       round(coalesce(obs_fp, (pv * (nt - hour_id) + nv * (hour_id - pt))
+                               // (nt - pt)) / 100.0, 2) AS revenue,
+       CAST(obs_fp IS NULL AS INT) AS is_interpolated
+FROM staged
+ORDER BY hour_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("event_transitions", q_event_transitions,
@@ -2553,6 +2745,14 @@ def specs() -> list[QuerySpec]:
         QuerySpec("session_path_mining", q_session_path_mining,
                   ORACLE_SESSION_PATHS,
                   "top-20 frequent 3-step event paths within 30-min sessions"),
+        QuerySpec("value_histogram", q_value_histogram,
+                  ORACLE_VALUE_HISTOGRAM,
+                  "exact 20-bin equi-width histogram via integer bin "
+                  "arithmetic on fixed-point values"),
+        QuerySpec("gapfill_interpolate", q_gapfill_interpolate,
+                  ORACLE_GAPFILL_INTERPOLATE,
+                  "linear interpolation of missing hours via integer-"
+                  "weighted neighbor mean"),
         QuerySpec("iqr_outlier_summary", q_iqr_outlier_summary,
                   ORACLE_IQR_OUTLIERS,
                   "Tukey-fence robust outlier counts per event type"),

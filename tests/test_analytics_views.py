@@ -883,3 +883,74 @@ def test_revenue_concentration_hand_computed(spark):
     assert r.top_1pct_share == round(1000.0 / total, 4)
     # top-20% -> k=2 -> both 1000s
     assert r.top_20pct_revenue == 2000.0
+
+
+def test_value_histogram_hand_computed(spark):
+    """20 bins over fp range [100, 299] -> width 10 fp each; boundary
+    values land on the integer-arithmetic side of each edge and empty
+    bins still appear with zero counts."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_value_histogram,
+    )
+
+    # fp values: 100 (bin 0), 109 (bin 0: 9*20//200), 110 (bin 1),
+    # 299 (bin 19: 199*20//200), plus a NULL that must be ignored
+    vals = [1.00, 1.09, 1.10, 2.99, None]
+    df = spark.createDataFrame([Row(value=v) for v in vals])
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.bin_id: r for r in q_value_histogram(spark, "unused").collect()}
+    finally:
+        adv.load_tables = orig
+    assert len(got) == 20
+    assert (got[0].n_values, got[0].sum_value_fp) == (2, 209)
+    assert (got[1].n_values, got[1].sum_value_fp) == (1, 110)
+    assert (got[19].n_values, got[19].sum_value_fp) == (1, 299)
+    assert got[0].bin_lo == 1.00 and got[0].bin_hi == 1.10
+    assert got[19].bin_hi == 3.00  # mn + 20*width == mx+1 fp
+    assert all(got[b].n_values == 0 for b in range(2, 19))
+
+
+def test_gapfill_interpolate_hand_computed(spark):
+    """Interior gaps take the exact integer-weighted line between the
+    neighboring observed hours; observed hours pass through unchanged;
+    the odd-width gap exercises the integer division."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_gapfill_interpolate,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        # hour 0 observed: 100.00; hours 1,2 missing; hour 3: 400.00
+        Row(ts=t0, event_type="purchase", value=100.0),
+        Row(ts=t0 + timedelta(hours=3), event_type="purchase", value=400.0),
+        # hour 4 missing; hour 5: 105.00 (odd split vs hour 3)
+        Row(ts=t0 + timedelta(hours=5), event_type="purchase", value=105.0),
+        # non-purchase rows must not create observed hours
+        Row(ts=t0 + timedelta(hours=1), event_type="view", value=999.0),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = q_gapfill_interpolate(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+    by_h = {r.hour_id - got[0].hour_id: r for r in got}
+    assert len(got) == 6
+    assert (by_h[0].revenue_fp, by_h[0].is_interpolated) == (10000, 0)
+    assert (by_h[1].revenue_fp, by_h[1].is_interpolated) == (20000, 1)
+    assert (by_h[2].revenue_fp, by_h[2].is_interpolated) == (30000, 1)
+    assert (by_h[3].revenue_fp, by_h[3].is_interpolated) == (40000, 0)
+    # hour 4: (40000*1 + 10500*1) div 2 = 25250 -> 252.50
+    assert (by_h[4].revenue_fp, by_h[4].revenue) == (25250, 252.5)
+    assert by_h[5].revenue_fp == 10500
