@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     # round-6, second session: distribution profiling + series repair
     "value_histogram",
     "gapfill_interpolate",
+    "asof_quotes",
 ]
 
 

@@ -2444,6 +2444,118 @@ LIMIT 20
 """
 
 
+def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General TWO-TABLE as-of join (trades x quotes, the kdb+
+    canonical): every event is enriched with the most recent quote
+    tick at-or-before its timestamp in the same segment -- through the
+    production ``operators/asof.asof_join_pandas`` cogroup +
+    ``pandas.merge_asof`` path, so the Arrow two-sided co-partition
+    operator itself sits under the driver hash (the window flavor is
+    already driver-checked via purchase_attribution; this was the last
+    asof tier with pytest-only evidence).  The oracle replays it with
+    DuckDB's native ``ASOF LEFT JOIN``.
+
+    The fixtures carry no second timestamped table in the events epoch
+    (orders are 1995-2001, events 2024 -- an orders/events as-of is
+    vacuous), so the quote table is SYNTHESIZED deterministically from
+    the clock: one tick per (segment, hour) at a segment-dependent
+    second offset, plus an opening tick per segment at the spine
+    start so every event has a matchable quote (all-integer value
+    formula; both engines regenerate the identical table).
+
+    Exactness: timestamps compare as epoch-microsecond BIGINTs (never
+    raw timestamps -- the nanos-vs-micros rule); quote values and lag
+    seconds are pure integer arithmetic.  Tick timestamps are unique
+    per segment (the only collision, segment 0's opening-vs-hourly
+    tick, carries an identical value and is deduplicated), so the
+    as-of pick is deterministic on both engines.
+
+    Scale shape: both sides shuffle ONCE on the segment key into the
+    cogroup; per-key state is one segment's ticks (clock-sized) plus
+    its events -- the merge is a linear two-pointer scan per group.
+    At 100 TB the key would be the instrument/entity id (thousands of
+    groups); the fixture uses user_id % 50 to keep 50 non-trivial
+    groups at every SF."""
+    n_seg = 50
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].filter(F.col("user_id").isNotNull()).select(
+        "event_id",
+        (F.col("user_id") % n_seg).cast("long").alias("segment"),
+        F.expr("unix_micros(ts)").alias("event_us"),
+    )
+    bounds = ev.agg(
+        F.expr("min(event_us div 3600000000)").alias("__mn"),
+        F.expr("max(event_us div 3600000000)").alias("__mx"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("__mn", "__mx")).alias("__h")
+    )
+    segs = spark.range(n_seg).select(F.col("id").alias("segment"))
+    hourly_ticks = hours.crossJoin(segs).select(
+        "segment",
+        F.expr(f"__h * 3600000000 + ((segment * 97) % 3600) * 1000000")
+        .alias("tick_us"),
+        F.expr("(__h * 31 + segment * 7) % 1000 + 100").alias("quote_fp"),
+    )
+    opening_ticks = bounds.crossJoin(segs).select(
+        "segment",
+        F.expr("__mn * 3600000000").alias("tick_us"),
+        F.expr("(__mn * 31 + segment * 7) % 1000 + 100").alias("quote_fp"),
+    )
+    ticks = (
+        hourly_ticks.unionByName(opening_ticks)
+        .distinct()
+        .withColumn("quote_us", F.col("tick_us"))
+    )
+    from ..operators.asof import asof_join_pandas
+
+    joined = asof_join_pandas(
+        ev,
+        ticks.select("segment", "tick_us", "quote_us", "quote_fp"),
+        key="segment",
+        left_ts="event_us",
+        right_ts="tick_us",
+        right_values=["quote_us", "quote_fp"],
+    )
+    return joined.select(
+        "event_id",
+        "segment",
+        "event_us",
+        "quote_fp",
+        F.expr("(event_us - quote_us) div 1000000").alias("lag_sec"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_QUOTES = """
+WITH ev AS (
+  SELECT event_id, CAST(user_id % 50 AS BIGINT) AS segment,
+         epoch_us(ts) AS event_us
+  FROM events WHERE user_id IS NOT NULL
+),
+bounds AS (SELECT min(event_us // 3600000000) AS mn,
+                  max(event_us // 3600000000) AS mx FROM ev),
+segs AS (SELECT unnest(range(0, 50)) AS segment),
+hours AS (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds),
+ticks AS (
+  SELECT DISTINCT segment, tick_us, quote_fp FROM (
+    SELECT s.segment,
+           h.h * 3600000000 + ((s.segment * 97) % 3600) * 1000000 AS tick_us,
+           (h.h * 31 + s.segment * 7) % 1000 + 100 AS quote_fp
+    FROM hours h, segs s
+    UNION ALL
+    SELECT s.segment, b.mn * 3600000000,
+           (b.mn * 31 + s.segment * 7) % 1000 + 100
+    FROM bounds b, segs s
+  )
+)
+SELECT e.event_id, e.segment, e.event_us, t.quote_fp,
+       (e.event_us - t.tick_us) // 1000000 AS lag_sec
+FROM ev e ASOF LEFT JOIN ticks t
+  ON e.segment = t.segment AND e.event_us >= t.tick_us
+ORDER BY event_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("props_json", q_props_json, ORACLE_PROPS_JSON,
@@ -2503,6 +2615,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_SKEW_KEYS,
                   "top-20 heaviest keys with share and skew ratio "
                   "(salting planning input)"),
+        QuerySpec("asof_quotes", q_asof_quotes,
+                  ORACLE_ASOF_QUOTES,
+                  "two-table as-of join (cogroup merge_asof) vs DuckDB "
+                  "native ASOF JOIN"),
         QuerySpec("snapshot_diff", q_snapshot_diff,
                   ORACLE_SNAPSHOT_DIFF,
                   "full-outer snapshot change detection with per-column "

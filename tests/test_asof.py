@@ -102,3 +102,42 @@ def test_asof_pandas_null_ts_rows_survive(spark):
 
     with pytest.raises(ValueError, match="collide"):
         asof_join_pandas(trades, quotes, "sym", "ts", "ts", ["px"])
+
+
+def test_asof_quotes_tick_selection(spark):
+    """Pins the production asof_quotes semantics: the pre-offset
+    window falls back to the opening tick, an event exactly on a tick
+    matches it (lag 0), later hours pick their own hour's tick, and
+    segments never leak ticks into each other."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_asof_quotes
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)  # exact hour boundary
+    mn = int(t0.timestamp() * 1_000_000) // 3_600_000_000
+
+    def fp(h, s):
+        return (h * 31 + s * 7) % 1000 + 100
+
+    rows = [
+        # user 3 -> segment 3, hourly tick offset 3*97 % 3600 = 291 s
+        Row(event_id=1, user_id=3, ts=t0 + timedelta(seconds=100)),   # opening
+        Row(event_id=2, user_id=3, ts=t0 + timedelta(seconds=291)),   # exact tick
+        Row(event_id=3, user_id=3, ts=t0 + timedelta(seconds=4000)),  # hour 1 tick
+        # user 7 -> segment 7, offset 7*97 % 3600 = 679 s
+        Row(event_id=4, user_id=7, ts=t0 + timedelta(seconds=300)),   # opening
+    ]
+    df = spark.createDataFrame(rows)
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.event_id: r for r in q_asof_quotes(spark, "unused").collect()}
+    finally:
+        ext.load_tables = orig
+    assert (got[1].quote_fp, got[1].lag_sec) == (fp(mn, 3), 100)
+    assert (got[2].quote_fp, got[2].lag_sec) == (fp(mn, 3), 0)
+    assert (got[3].quote_fp, got[3].lag_sec) == (fp(mn + 1, 3), 4000 - 3600 - 291)
+    assert (got[4].quote_fp, got[4].lag_sec) == (fp(mn, 7), 300)
