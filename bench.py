@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "gapfill_interpolate",
     "asof_quotes",
+    "bfs_reachability",
 ]
 
 

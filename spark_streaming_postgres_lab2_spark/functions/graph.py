@@ -115,6 +115,52 @@ def pagerank_fixed_point(
     return ranks.select(F.col("__id").alias(id_col), F.col("__rank").alias("rank_fp"))
 
 
+def bfs_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS shortest-hop labels over a DIRECTED edge list,
+    bounded at ``depth``.  Returns (id, hop) for EVERY node: hop 0 for
+    seeds, k for first reach at round k, -1 for nodes unreached within
+    the bound.
+
+    Per round: one hash join frontier->edges (slim id stream), a
+    distinct, and a left-anti join against the visited set; lineage is
+    cut per round (the pagerank localCheckpoint discipline), so the
+    plan stays a fixed ``depth``-stage pipeline at any data size.
+    Frontiers are vertex-bounded -- paths are never enumerated."""
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    e = e.localCheckpoint(eager=False)
+    visited = seeds.select(
+        F.col(id_col).alias("__id"), F.lit(0).cast("int").alias("hop")
+    )
+    frontier = visited.select("__id")
+    for k in range(1, depth + 1):
+        nxt = (
+            frontier.join(e, frontier["__id"] == e["__src"])
+            .select(F.col("__dst").alias("__id"))
+            .distinct()
+        )
+        new = nxt.join(visited, "__id", "left_anti").select(
+            "__id", F.lit(k).cast("int").alias("hop")
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("__id").localCheckpoint(eager=False)
+    return (
+        nodes.select(F.col(id_col).alias("__n_id"))
+        .join(visited, F.col("__n_id") == F.col("__id"), "left")
+        .select(
+            F.col("__n_id").alias(id_col),
+            F.coalesce("hop", F.lit(-1)).cast("int").alias("hop"),
+        )
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

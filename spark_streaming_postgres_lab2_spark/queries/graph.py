@@ -36,7 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.graph import PAGERANK_SCALE, pagerank_fixed_point, triangle_count
+from ..functions.graph import (
+    PAGERANK_SCALE,
+    bfs_hops,
+    pagerank_fixed_point,
+    triangle_count,
+)
 from ..sources.tables import load_tables
 from . import QuerySpec
 
@@ -192,6 +197,68 @@ LIMIT 20
 """
 
 
+_BFS_DEPTH = 6
+_BFS_SEED_MOD = 100  # doc_id % mod == 0 -> seed (seed count scales with n)
+
+
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the DIRECTED link graph: per hop count
+    0..6, how many documents sit at that shortest distance from the
+    seed set (every 100th doc -- think 'trusted domains'), plus an
+    id-sum checksum per ring and a hop = -1 row for the unreached
+    remainder.  This is the crawl-frontier / TrustRank-radius
+    primitive the PageRank + CC + triangle tier was missing, and the
+    one Spark shape they don't cover: iterative FRONTIER expansion
+    with a visited set (vs PageRank's fixed per-round relaxation).
+
+    Exactness: everything is BIGINT ids and counts; the oracle replays
+    the search with a DuckDB recursive CTE over (id, hop) pairs
+    (UNION-distinct fixpoint, depth-guarded) and takes min(hop) per
+    vertex -- identical to the frontier algorithm's first-visit hop
+    because BFS visits in hop order.
+
+    Scale shape: per round one hash join frontier->edges (slim id
+    stream), a distinct, and an anti join against the visited set;
+    lineage cut per round (the pagerank localCheckpoint discipline).
+    Frontiers are vertex-bounded; nothing is ever path-enumerated
+    (the oracle's pair-space is n x depth bounded too).  Depth is a
+    constant 6, so the whole query is a fixed 6-stage pipeline at any
+    data size."""
+    nodes, edges = _link_graph(spark, sf_dir)
+    seeds = nodes.filter(F.col("id") % _BFS_SEED_MOD == 0)
+    labeled = bfs_hops(nodes, edges, seeds, depth=_BFS_DEPTH)
+    return (
+        labeled.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("id").cast("long").alias("sum_id"),
+        )
+        .orderBy("hop")
+    )
+
+
+ORACLE_BFS = f"""
+WITH RECURSIVE {_EDGES_SQL.strip()},
+bfs AS (
+  SELECT id, 0 AS hop FROM nodes WHERE id % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst AS id, b.hop + 1 AS hop
+  FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.hop < {_BFS_DEPTH}
+),
+best AS (SELECT id, min(hop) AS hop FROM bfs GROUP BY id),
+labeled AS (
+  SELECT n.id, CAST(coalesce(b.hop, -1) AS INT) AS hop
+  FROM nodes n LEFT JOIN best b ON b.id = n.id
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(id) AS BIGINT) AS sum_id
+FROM labeled
+GROUP BY hop
+ORDER BY hop
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -206,5 +273,12 @@ def specs() -> list[QuerySpec]:
             q_triangle_counts,
             ORACLE_TRIANGLES,
             "degree-oriented distributed triangle counting, top-20 vertices",
+        ),
+        QuerySpec(
+            "bfs_reachability",
+            q_bfs_reachability,
+            ORACLE_BFS,
+            "multi-source BFS hop-ring census (frontier + visited-set "
+            "iteration vs recursive-CTE oracle)",
         ),
     ]

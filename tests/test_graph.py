@@ -151,3 +151,37 @@ def test_pagerank_loop_shuffles_visible_to_stage_counter(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert executed_shuffle_stages(spark, group) >= 3
+
+
+def test_bfs_hops_path_graph_depth_bound(spark):
+    """Directed 10-node path from seed 0: hop == node id up to the
+    depth bound, everything past it is -1; edges are not followed
+    backwards."""
+    from spark_streaming_postgres_lab2_spark.functions.graph import bfs_hops
+
+    nodes = spark.range(10).select(F.col("id"))
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    seeds = nodes.filter(F.col("id") == 0)
+    got = {r.id: r.hop for r in bfs_hops(nodes, edges, seeds, depth=6).collect()}
+    assert got == {i: (i if i <= 6 else -1) for i in range(10)}
+
+
+def test_bfs_hops_multi_source_first_visit_wins(spark):
+    """Two seeds converging on a diamond: the hop label is the MIN
+    distance from any seed, revisits never relabel, and parallel /
+    duplicate edges don't double-count ring membership."""
+    from spark_streaming_postgres_lab2_spark.functions.graph import bfs_hops
+
+    nodes = spark.range(6).select(F.col("id"))
+    #   0 -> 2 -> 3 -> 4;  1 -> 4 (shortcut);  4 -> 2 (back edge); dup 0->2
+    edges = spark.createDataFrame(
+        [(0, 2), (0, 2), (2, 3), (3, 4), (1, 4), (4, 2)],
+        "src long, dst long",
+    )
+    seeds = nodes.filter(F.col("id").isin(0, 1))
+    got = {r.id: r.hop for r in bfs_hops(nodes, edges, seeds, depth=6).collect()}
+    # 4 is reached at hop 1 via seed 1, NOT at hop 3 via 0->2->3->4;
+    # 2 keeps hop 1 (via 0) despite the 4->2 back edge; 5 is isolated
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 1, 5: -1}
