@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "gapfill_interpolate",
     "asof_quotes",
     "bfs_reachability",
+    "kmeans_cluster_profile",
 ]
 
 

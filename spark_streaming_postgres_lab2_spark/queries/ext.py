@@ -2526,6 +2526,193 @@ def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+_KM_K = 4          # clusters
+_KM_ROUNDS = 3     # assignment rounds (2 centroid updates + final assign)
+_KM_DIM = 64       # embedding dim (static, like the LSH plane truncation)
+_KM_QSCALE = 16384  # 2^14 quantization -- exact double multiply
+
+
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-means replay (Lloyd's algorithm) over integer-quantized
+    embeddings: 3 assignment rounds from deterministic seeds (the K
+    lowest vec_ids), centroid updates as element-wise integer means.
+    The IVF tier's float k-means (``similarity.kmeans_lite``) can
+    never be hash-compared across engines -- float centroid sums
+    depend on accumulation order -- so this is the clustering analog
+    of ann_ivf_lossless_audit: the full algorithm (distances,
+    assignment, update, empty-cluster carry, inertia) recomputed
+    bit-for-bit by DuckDB.  Fixture vectors are near-random, so the
+    evidence is ALGORITHM correctness, not cluster quality (the ANN
+    recall audits own that).
+
+    Exactness: vectors quantize as ``floor(double(v) * 2^14)`` (exact
+    power-of-two multiply, the emb-LSH-portable recipe); distances are
+    BIGINT sums of squared integer differences (<= 2^36 per pair);
+    assignment tie-breaks on (d2, cluster_id) struct-min; centroid
+    update is ``sum div count`` per position; a cluster that loses all
+    members KEEPS its previous centroid (explicit carry, both
+    engines).  Inertia and all checksums are BIGINT under the hash.
+
+    Scale shape: the quantized corpus lives in long format (vec_id,
+    pos, q) -- each round is one join on pos against the K*64-row
+    centroid table (broadcast), one (vec_id, cluster) partial-agg
+    distance sum, one struct-min argmin, one (cluster, pos) update
+    agg; lineage cut per round.  Nothing is ever all-pairs; the
+    centroid side is constant-sized at any corpus scale."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qv = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_KM_DIM}),"
+            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ql = qv.select(
+        "vec_id", F.posexplode("qv").alias("pos", "q")
+    ).localCheckpoint(eager=False)
+
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster_id"),
+        )
+    )
+    cent = (
+        seeds.join(ql, "vec_id")
+        .select("cluster_id", "pos", F.col("q").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    assign = None
+    for r in range(_KM_ROUNDS):
+        d2 = (
+            ql.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cluster_id")
+            .agg(F.sum(F.expr("(q - c) * (q - c)")).alias("d2"))
+        )
+        assign = (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster_id")).alias("__m"))
+            .select(
+                "vec_id",
+                F.col("__m.cluster_id").alias("cluster_id"),
+                F.col("__m.d2").alias("d2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if r < _KM_ROUNDS - 1:
+            upd = (
+                assign.join(ql, "vec_id")
+                .groupBy("cluster_id", "pos")
+                .agg(F.expr("sum(q) div count(*)").alias("__c_new"))
+            )
+            cent = (
+                cent.join(upd, ["cluster_id", "pos"], "left")
+                .select(
+                    "cluster_id",
+                    "pos",
+                    F.coalesce("__c_new", "c").alias("c"),
+                )
+                .localCheckpoint(eager=False)
+            )
+
+    cent_sums = cent.groupBy("cluster_id").agg(
+        F.sum("c").cast("long").alias("centroid_sum")
+    )
+    profile = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("member_id_sum"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    return (
+        cent_sums.join(profile, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce("member_id_sum", F.lit(0)).cast("long").alias("member_id_sum"),
+            F.coalesce("inertia", F.lit(0)).cast("long").alias("inertia"),
+            "centroid_sum",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        f"""qv AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{_KM_DIM}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+)""",
+        f"p AS (SELECT unnest(range(1, {_KM_DIM + 1})) AS pos)",
+        "ql AS (SELECT vec_id, pos, qv[pos] AS q FROM qv, p)",
+        f"""seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id
+  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {_KM_K})
+)""",
+        "c0 AS (SELECT s.cluster_id, q.pos, q.q AS c FROM seeds s"
+        " JOIN ql q ON q.vec_id = s.vec_id)",
+    ]
+    for r in range(_KM_ROUNDS):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT q.vec_id, c.cluster_id,
+         CAST(sum((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS d2
+  FROM ql q JOIN c{r} c ON c.pos = q.pos
+  GROUP BY q.vec_id, c.cluster_id
+)"""
+        )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, cluster_id, d2 FROM (
+    SELECT vec_id, cluster_id, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn
+    FROM d{r}
+  ) WHERE rn = 1
+)"""
+        )
+        if r < _KM_ROUNDS - 1:
+            ctes.append(
+                f"""c{r + 1} AS (
+  SELECT prev.cluster_id, prev.pos,
+         coalesce(upd.c_new, prev.c) AS c
+  FROM c{r} prev LEFT JOIN (
+    SELECT a.cluster_id, q.pos,
+           CAST(CAST(sum(q.q) AS BIGINT) // count(*) AS BIGINT) AS c_new
+    FROM a{r} a JOIN ql q ON q.vec_id = a.vec_id
+    GROUP BY a.cluster_id, q.pos
+  ) upd ON upd.cluster_id = prev.cluster_id AND upd.pos = prev.pos
+)"""
+            )
+    last = _KM_ROUNDS - 1
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cs.cluster_id,
+       CAST(coalesce(pr.n_members, 0) AS BIGINT) AS n_members,
+       CAST(coalesce(pr.member_id_sum, 0) AS BIGINT) AS member_id_sum,
+       CAST(coalesce(pr.inertia, 0) AS BIGINT) AS inertia,
+       cs.centroid_sum
+FROM (
+  SELECT cluster_id, CAST(sum(c) AS BIGINT) AS centroid_sum
+  FROM c{last} GROUP BY cluster_id
+) cs
+LEFT JOIN (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(vec_id) AS BIGINT) AS member_id_sum,
+         CAST(sum(d2) AS BIGINT) AS inertia
+  FROM a{last} GROUP BY cluster_id
+) pr ON pr.cluster_id = cs.cluster_id
+ORDER BY cs.cluster_id
+"""
+    )
+
+
+ORACLE_KMEANS_PROFILE = _kmeans_oracle()
+
+
 ORACLE_ASOF_QUOTES = """
 WITH ev AS (
   SELECT event_id, CAST(user_id % 50 AS BIGINT) AS segment,
@@ -2619,6 +2806,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_ASOF_QUOTES,
                   "two-table as-of join (cogroup merge_asof) vs DuckDB "
                   "native ASOF JOIN"),
+        QuerySpec("kmeans_cluster_profile", q_kmeans_cluster_profile,
+                  ORACLE_KMEANS_PROFILE,
+                  "exact integer-quantized Lloyd's k-means replay "
+                  "(3 rounds, empty-cluster carry, BIGINT inertia)"),
         QuerySpec("snapshot_diff", q_snapshot_diff,
                   ORACLE_SNAPSHOT_DIFF,
                   "full-outer snapshot change detection with per-column "

@@ -107,3 +107,53 @@ def test_ivf_recall_quantized_int8(planted):
     recalls = [len(truth[q] & got[q]) / K for q in truth]
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.9, f"quantized recall@{K} = {recall:.3f}"
+
+
+def test_kmeans_profile_planted_clusters_and_empty_carry(spark):
+    """Perfectly separated planted clusters: Lloyd's recovers them
+    exactly, centroids converge to the exact integer mean, inertia is
+    the hand-computed BIGINT, and a cluster whose seed duplicates
+    another (tie-break -> lower cluster id wins every member) ends
+    EMPTY but carries its previous centroid."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_kmeans_cluster_profile,
+    )
+
+    def vec(dim, val, d=8):
+        v = [0.0] * d
+        v[dim] = float(val)
+        return v
+
+    rows = [
+        Row(vec_id=0, embedding=vec(0, 1000)),   # seed cluster 0
+        Row(vec_id=1, embedding=vec(1, 1000)),   # seed cluster 1
+        Row(vec_id=2, embedding=vec(2, 1000)),   # seed cluster 2
+        Row(vec_id=3, embedding=vec(2, 1000)),   # duplicate seed -> cluster 3 empties
+        Row(vec_id=4, embedding=vec(0, 1002)),
+        Row(vec_id=5, embedding=vec(0, 998)),
+        Row(vec_id=6, embedding=vec(1, 1002)),
+        Row(vec_id=7, embedding=vec(1, 998)),
+        Row(vec_id=8, embedding=vec(2, 1002)),
+        Row(vec_id=9, embedding=vec(2, 998)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": df}
+        got = {r.cluster_id: r for r in q_kmeans_cluster_profile(spark, "x").collect()}
+    finally:
+        ext.load_tables = orig
+    two_off = 2 * (2 * 16384) ** 2  # two members at +-2 of the converged mean
+    c_sum = 1000 * 16384
+    assert (got[0].n_members, got[0].member_id_sum, got[0].inertia,
+            got[0].centroid_sum) == (3, 9, two_off, c_sum)
+    assert (got[1].n_members, got[1].member_id_sum, got[1].inertia,
+            got[1].centroid_sum) == (3, 14, two_off, c_sum)
+    assert (got[2].n_members, got[2].member_id_sum, got[2].inertia,
+            got[2].centroid_sum) == (4, 22, two_off, c_sum)
+    # empty cluster: zero members, centroid carried from its seed
+    assert (got[3].n_members, got[3].member_id_sum, got[3].inertia,
+            got[3].centroid_sum) == (0, 0, 0, c_sum)
