@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "asof_quotes",
     "bfs_reachability",
     "kmeans_cluster_profile",
+    "png_decode",
+    "video_frame_stats",
 ]
 
 

@@ -21,6 +21,7 @@ Two codec tiers:
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -475,3 +476,289 @@ def audio_frame_energy(
     return media.mapInPandas(
         _frames, schema="media_id long, n_frames int, total_energy long"
     )
+
+
+# --- real PNG codec (pure Python + stdlib zlib, no native deps) ---------------
+#
+# The COMPRESSED-container tier the BMP/WAV codecs don't exercise: a
+# genuine PNG (signature, CRC-verified chunks, deflate-compressed
+# scanlines, per-row filter bytes) encoded and parsed per the public
+# spec.  The encoder deliberately mixes filter types (None/Sub/Up) so
+# the decoder's defiltering is on the hash path; the decoder also
+# implements Average and Paeth for spec completeness (unit-tested).
+# Pixels are arithmetic on the media id, so a SQL oracle recomputes the
+# decoded statistics without a decoder -- any chunk/CRC/inflate/filter
+# bug in encode OR decode diverges them.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(width: int, height: int, pix_fn) -> bytes:
+    """Serialize an 8-bit grayscale PNG.  ``pix_fn(x, y)`` gives the
+    pixel value.  Row filters rotate deterministically -- row 0: None,
+    odd rows: Sub, later even rows: Up -- so decoding exercises real
+    defiltering, not just inflate."""
+    scanlines = []
+    prev: bytes | None = None
+    for y in range(height):
+        row = bytes(pix_fn(x, y) & 0xFF for x in range(width))
+        if y == 0:
+            ft, enc = 0, row
+        elif y % 2 == 1:
+            ft = 1  # Sub
+            enc = bytes(
+                (row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width)
+            )
+        else:
+            ft = 2  # Up
+            enc = bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        scanlines.append(bytes([ft]) + enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(scanlines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray8(b: bytes) -> "tuple[int, int, bytes] | None":
+    """Parse an 8-bit grayscale PNG: (width, height, pixel bytes in
+    row-major order).  Verifies the signature and every chunk CRC,
+    concatenates IDAT chunks, inflates, and defilters (all five
+    standard filter types).  None if not a parseable gray8 PNG."""
+    if b is None or len(b) < len(_PNG_SIG) + 12 or b[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        if len(payload) < length or pos + 12 + length > len(b):
+            return None
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
+            if depth != 8 or ctype != 0:
+                return None
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != (width + 1) * height:
+        return None
+    out = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        base = y * (width + 1)
+        ft = raw[base]
+        enc = raw[base + 1 : base + 1 + width]
+        row = bytearray(width)
+        for i in range(width):
+            a = row[i - 1] if i else 0            # left
+            u = prev[i]                            # up
+            c = prev[i - 1] if i else 0            # upper-left
+            if ft == 0:
+                row[i] = enc[i]
+            elif ft == 1:
+                row[i] = (enc[i] + a) & 0xFF
+            elif ft == 2:
+                row[i] = (enc[i] + u) & 0xFF
+            elif ft == 3:
+                row[i] = (enc[i] + (a + u) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                p = a + u - c
+                pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (u if pb <= pc else c)
+                row[i] = (enc[i] + pred) & 0xFF
+            else:
+                return None
+        out.extend(row)
+        prev = bytes(row)
+    return width, height, bytes(out)
+
+
+def synthesize_png_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with genuine PNG bytes: width = 4 + id%5,
+    height = 3 + id%4, pixel(x, y) = (id*53 + y*19 + x*11) % 256 --
+    arithmetic on the id, so SQL oracles recompute decoded stats."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                out["media_id"].append(mid)
+                out["payload"].append(
+                    encode_png_gray8(
+                        w, h, lambda x, y, m=mid: (m * 53 + y * 19 + x * 11) % 256
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(_encode, schema="media_id long, payload binary")
+
+
+PNG_DECODE_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "sum_pixel long, mean_pixel double"
+)
+
+
+def decode_png_real(media: DataFrame) -> DataFrame:
+    """Real PNG parse inside Arrow-batched mapInPandas: dimensions,
+    exact BIGINT pixel sum, mean (unrounded here; the query layer
+    rounds JVM-side -- Python round() is banker's)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "format", "width", "height", "sum_pixel", "mean_pixel",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = decode_png_gray8(payload)
+                if parsed is None:
+                    continue
+                w, h, pix = parsed
+                s = sum(pix)
+                out["media_id"].append(int(mid))
+                out["format"].append("png_gray8")
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_pixel"].append(s)
+                out["mean_pixel"].append(s / (w * h))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_decode, schema=PNG_DECODE_SCHEMA)
+
+
+# --- video container: frame-indexed BMP concatenation -------------------------
+#
+# Video at pipeline scale is an opaque payload + frame index; the
+# operations that matter are frame sampling and per-frame decode.  The
+# container here is deliberately minimal (magic, frame count, u32 size
+# index, concatenated genuine BMP frames) so both directions are
+# byte-exact and the per-frame pixels stay arithmetic on the id.
+
+_VID_MAGIC = b"VID0"
+
+
+def encode_video(frames: "list[bytes]") -> bytes:
+    head = _VID_MAGIC + struct.pack("<H", len(frames))
+    idx = b"".join(struct.pack("<I", len(f)) for f in frames)
+    return head + idx + b"".join(frames)
+
+
+def decode_video(b: bytes) -> "list[bytes] | None":
+    """Split a VID0 container back into its frame payloads; None on a
+    bad magic / truncated index / truncated body."""
+    if b is None or len(b) < 6 or b[:4] != _VID_MAGIC:
+        return None
+    (n,) = struct.unpack_from("<H", b, 4)
+    pos = 6 + 4 * n
+    if len(b) < pos:
+        return None
+    sizes = struct.unpack_from(f"<{n}I", b, 6) if n else ()
+    frames = []
+    for sz in sizes:
+        if pos + sz > len(b):
+            return None
+        frames.append(b[pos : pos + sz])
+        pos += sz
+    return frames
+
+
+def synthesize_video_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) with a genuine VID0 container of BMP frames:
+    n_frames = 3 + id%4, frame dims w = 4 + id%3 / h = 3 + id%3,
+    pixel(x, y, c) of frame f = (id*31 + f*101 + y*17 + x*7 + c) % 256."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n_frames = 3 + mid % 4
+                w, h = 4 + mid % 3, 3 + mid % 3
+                frames = [
+                    encode_bmp24(
+                        w, h,
+                        lambda x, y, c, m=mid, f=f: (m * 31 + f * 101 + y * 17 + x * 7 + c) % 256,
+                    )
+                    for f in range(n_frames)
+                ]
+                out["media_id"].append(mid)
+                out["payload"].append(encode_video(frames))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(_encode, schema="media_id long, payload binary")
+
+
+VIDEO_STATS_SCHEMA = (
+    "media_id long, n_frames int, n_sampled int, frame_width int, "
+    "frame_height int, sampled_pixel_sum long"
+)
+
+
+def video_frame_stats(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling: split the container, decode every
+    ``every``-th BMP frame, and emit the exact BIGINT pixel sum over
+    the sampled frames (padding excluded) -- the decode-subset pattern
+    of real video pipelines (you never decode every frame).  Videos
+    that fail container or frame parse are dropped (dead-letter
+    downstream)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_frames", "n_sampled", "frame_width",
+                "frame_height", "sampled_pixel_sum",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_video(payload)
+                if frames is None or not frames:
+                    continue
+                sampled = frames[::every]
+                total = 0
+                w = h = None
+                ok = True
+                for fb in sampled:
+                    arr = _bmp_pixels(fb)
+                    if arr is None:
+                        ok = False
+                        break
+                    h, w = int(arr.shape[0]), int(arr.shape[1])
+                    total += int(arr.astype("int64").sum())
+                if not ok:
+                    continue
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(len(frames))
+                out["n_sampled"].append(len(sampled))
+                out["frame_width"].append(w)
+                out["frame_height"].append(h)
+                out["sampled_pixel_sum"].append(total)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_stats, schema=VIDEO_STATS_SCHEMA)

@@ -2526,6 +2526,95 @@ def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-container codec end-to-end: synthesize genuine
+    8-bit grayscale PNGs keyed on doc_id (signature, CRC-verified
+    chunks, deflate-compressed scanlines, rotating None/Sub/Up row
+    filters), parse them back with the pure-Python PNG decoder, emit
+    dimensions + the exact pixel sum.  This is the tier the BMP/WAV
+    codecs don't cover -- the payload bytes are COMPRESSED, so the
+    zlib round trip, chunk framing, CRCs, and defiltering all sit on
+    the hash path.  The pixel formula is arithmetic on doc_id, so the
+    oracle recomputes the expected stats in SQL without a decoder."""
+    from ..functions.multimodal import decode_png_real, synthesize_png_media
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_png_media(t["documents"].select("doc_id"))
+    decoded = decode_png_real(media)
+    return decoded.select(
+        "media_id", "format", "width", "height", "sum_pixel",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+    ).orderBy("media_id")
+
+
+ORACLE_PNG_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id * 53 + y.v * 19 + x.v * 11) % 256 AS pv
+  FROM d, range(0, 6) y(v), range(0, 9) x(v)
+  WHERE y.v < d.height AND x.v < d.width
+)
+SELECT doc_id AS media_id,
+       'png_gray8' AS format,
+       width,
+       height,
+       CAST(sum(pv) AS BIGINT) AS sum_pixel,
+       round(CAST(sum(pv) AS DOUBLE) / (width * height), 4) AS mean_pixel
+FROM px
+GROUP BY doc_id, width, height
+ORDER BY media_id
+"""
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: synthesize a genuine frame-indexed
+    container (VID0 magic + u32 size index + concatenated real BMP
+    frames) per doc_id, split it, decode every 2nd frame, emit the
+    exact BIGINT pixel sum over the sampled frames -- the
+    decode-subset pattern of production video pipelines (nobody
+    decodes every frame).  Container framing, the per-frame BMP
+    parse, and the sampling stride are all on the hash path; frame
+    pixels are arithmetic on (doc_id, frame), so the oracle replays
+    the sampled sum with range joins."""
+    from ..functions.multimodal import synthesize_video_media, video_frame_stats
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = synthesize_video_media(t["documents"].select("doc_id"))
+    return video_frame_stats(media, every=2).orderBy("media_id")
+
+
+ORACLE_VIDEO_FRAME_STATS = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 4 AS INTEGER) AS n_frames,
+         CAST(4 + doc_id % 3 AS INTEGER) AS w,
+         CAST(3 + doc_id % 3 AS INTEGER) AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 31 + f.v * 101 + y.v * 17 + x.v * 7 + c.v) % 256 AS pv
+  FROM d, range(0, 7, 2) f(v), range(0, 5) y(v), range(0, 6) x(v),
+       range(0, 3) c(v)
+  WHERE f.v < d.n_frames AND y.v < d.h AND x.v < d.w
+)
+SELECT d.doc_id AS media_id,
+       d.n_frames,
+       CAST((d.n_frames + 1) // 2 AS INTEGER) AS n_sampled,
+       d.w AS frame_width,
+       d.h AS frame_height,
+       CAST(s.sum_pv AS BIGINT) AS sampled_pixel_sum
+FROM d JOIN (
+  SELECT doc_id, sum(pv) AS sum_pv FROM px GROUP BY doc_id
+) s ON s.doc_id = d.doc_id
+ORDER BY media_id
+"""
+
+
 _KM_K = 4          # clusters
 _KM_ROUNDS = 3     # assignment rounds (2 centroid updates + final assign)
 _KM_DIM = 64       # embedding dim (static, like the LSH plane truncation)
@@ -2810,6 +2899,14 @@ def specs() -> list[QuerySpec]:
                   ORACLE_KMEANS_PROFILE,
                   "exact integer-quantized Lloyd's k-means replay "
                   "(3 rounds, empty-cluster carry, BIGINT inertia)"),
+        QuerySpec("png_decode", q_png_decode,
+                  ORACLE_PNG_DECODE,
+                  "real PNG codec round trip (zlib chunks, CRCs, "
+                  "defiltering) vs format-spec oracle"),
+        QuerySpec("video_frame_stats", q_video_frame_stats,
+                  ORACLE_VIDEO_FRAME_STATS,
+                  "frame-indexed video container + every-2nd-frame BMP "
+                  "decode vs format-spec oracle"),
         QuerySpec("snapshot_diff", q_snapshot_diff,
                   ORACLE_SNAPSHOT_DIFF,
                   "full-outer snapshot change detection with per-column "
