@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "kmeans_cluster_profile",
     "png_decode",
     "video_frame_stats",
+    "freq_items_audit",
 ]
 
 

@@ -1364,6 +1364,60 @@ ORDER BY canonical_url
 """
 
 
+def q_freq_items_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible quality gate for the FREQUENT-ITEMS sketch
+    (``df.stat.freqItems``, Karp/Misra-Gries) -- the last approximate
+    family without oracle evidence (HLL++, Bernoulli sampling, and the
+    quantile sketch already have audits).  Over the Zipfian corpus
+    token stream: every term whose exact count exceeds 1% of all
+    tokens (the integer cross-multiply ``cnt*100 > total``, no float
+    threshold) is emitted with its exact count and an ``in_sketch``
+    flag.  Misra-Gries' containment guarantee -- any item with
+    frequency > support*n is ALWAYS reported, independent of partition
+    order -- makes the flag deterministically 1, so a sketch
+    regression fails the driver hash while the sketch's (permitted)
+    false positives never enter the result.
+
+    Scale shape: one map-side-combinable term count; the sketch pass
+    is a single aggregation with <= 1/support state entries per
+    partition; the collected sketch row is bounded at 1/support = 100
+    items (the bounded-collect precedent: k-means seeds, CC probe)."""
+    support = 0.01
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        F.explode(_clean_tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("term_count")
+    )
+    total = counts.agg(F.sum("term_count").cast("bigint").alias("__total"))
+    sketch_items = set(toks.stat.freqItems(["term"], support).collect()[0][0])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("term_count") * 100 > F.col("__total"))
+        .select(
+            "term",
+            "term_count",
+            F.col("term").isin(list(sketch_items)).cast("int").alias("in_sketch"),
+        )
+        .orderBy(F.desc("term_count"), "term")
+    )
+
+
+ORACLE_FREQ_ITEMS_AUDIT = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS term_count FROM tok GROUP BY term),
+tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS total FROM c)
+SELECT term, term_count, CAST(1 AS INTEGER) AS in_sketch
+FROM c, tot
+WHERE term_count * 100 > total
+ORDER BY term_count DESC, term
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec(
@@ -1389,6 +1443,13 @@ def specs() -> list[QuerySpec]:
             q_zipf_top_terms,
             ORACLE_ZIPF_TOP_TERMS,
             "corpus term-frequency top-K with cumulative share",
+        ),
+        QuerySpec(
+            "freq_items_audit",
+            q_freq_items_audit,
+            ORACLE_FREQ_ITEMS_AUDIT,
+            "Misra-Gries heavy-hitters sketch audit: containment of all "
+            "true >1% terms pinned under the hash",
         ),
         QuerySpec(
             "tfidf_top_terms",

@@ -470,3 +470,30 @@ def test_term_pmi_hand_computed(spark, tmp_path):
     assert got[("b", "x")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
     assert got[("c", "x")] == (1, 2, 2, round(math.log(1 * n / 4), 4))
     assert len(got) == 5  # no (a,x): never co-occur
+
+
+def test_freq_items_audit_planted_heavy_hitters(spark):
+    """Planted Zipf: only terms above the exact integer 1% threshold
+    appear, their counts are exact, and the Misra-Gries containment
+    guarantee holds (in_sketch == 1 for every true heavy hitter)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_freq_items_audit,
+    )
+
+    # 5x 'hot', 2x 'warm', 96 unique fillers -> total 103 tokens;
+    # heavy iff cnt*100 > 103 -> cnt >= 2 -> {hot, warm}
+    fillers = " ".join(f"f{i}" for i in range(96))
+    text = "hot hot hot hot hot warm warm " + fillers
+    df = spark.createDataFrame([Row(doc_id=0, text=text)])
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = q_freq_items_audit(spark, "unused").collect()
+    finally:
+        cur.load_tables = orig
+    assert [(r.term, r.term_count, r.in_sketch) for r in got] == [
+        ("hot", 5, 1), ("warm", 2, 1)
+    ]
