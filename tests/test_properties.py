@@ -736,3 +736,140 @@ def test_forecast_baseline_matches_mirror(spark, day_counts):
         assert r.n_days == len(scored)
         assert r.sum_abs_err_seasonal == sum(abs(c - s) for c, s, _ in scored)
         assert r.sum_abs_err_persist == sum(abs(c - p) for c, _, p in scored)
+
+
+# --- round 6, second session: histogram / interpolation / BFS mirrors --------
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_value_histogram_matches_python_mirror(spark, values):
+    """Bin membership, counts, and fixed-point sums match a pure-Python
+    replay of the integer bin arithmetic; every value lands in exactly
+    one of the 20 bins (conservation) including single-value inputs."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_value_histogram,
+    )
+
+    import math
+
+    fps = [int(math.floor(v * 100 + 0.5)) for v in values]
+    mn, mx = min(fps), max(fps)
+    exp_n = [0] * 20
+    exp_s = [0] * 20
+    for fp in fps:
+        b = ((fp - mn) * 20) // (mx - mn + 1)
+        exp_n[b] += 1
+        exp_s[b] += fp
+    df = spark.createDataFrame([Row(value=float(v)) for v in values])
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = q_value_histogram(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+    assert [r.n_values for r in got] == exp_n
+    assert [r.sum_value_fp for r in got] == exp_s
+    assert sum(exp_n) == len(values)  # conservation
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=20),   # hour offsets observed
+        st.integers(min_value=0, max_value=10_000_00),  # revenue fp
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gapfill_interpolate_matches_python_mirror(spark, observed):
+    """Every spine hour appears exactly once; observed hours pass
+    through; every gap hour equals the integer-weighted line between
+    its neighboring observed hours."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_gapfill_interpolate,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        Row(ts=t0 + timedelta(hours=h), event_type="purchase",
+            value=fp / 100.0)
+        for h, fp in observed.items()
+    ]
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = q_gapfill_interpolate(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+    hours = sorted(observed)
+    lo, hi = hours[0], hours[-1]
+    assert len(got) == hi - lo + 1
+    base = got[0].hour_id
+    for r in got:
+        h = r.hour_id - base + lo
+        if h in observed:
+            assert (r.revenue_fp, r.is_interpolated) == (observed[h], 0)
+        else:
+            pt = max(x for x in hours if x < h)
+            nt = min(x for x in hours if x > h)
+            pv, nv = observed[pt], observed[nt]
+            exp = (pv * (nt - h) + nv * (h - pt)) // (nt - pt)
+            assert (r.revenue_fp, r.is_interpolated) == (exp, 1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sets(st.integers(0, 14), min_size=1, max_size=3),
+)
+def test_bfs_hops_matches_python_bfs(spark, edge_list, seed_set):
+    """Distributed frontier BFS equals a textbook Python BFS on random
+    directed multigraphs with self-loops and duplicate edges."""
+    from collections import deque
+
+    from spark_streaming_postgres_lab2_spark.functions.graph import bfs_hops
+
+    n, depth = 15, 6
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+    exp = {v: -1 for v in range(n)}
+    dq = deque()
+    for s in seed_set:
+        exp[s] = 0
+        dq.append(s)
+    while dq:
+        v = dq.popleft()
+        if exp[v] >= depth:
+            continue
+        for w in adj.get(v, ()):
+            if exp[w] == -1:
+                exp[w] = exp[v] + 1
+                dq.append(w)
+    nodes = spark.range(n).select("id")
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in edge_list], "src long, dst long"
+    )
+    seeds = nodes.filter(nodes["id"].isin(*seed_set))
+    got = {r.id: r.hop for r in bfs_hops(nodes, edges, seeds, depth=depth).collect()}
+    assert got == exp
