@@ -552,6 +552,8 @@ def decode_png_gray8(b: bytes) -> "tuple[int, int, bytes] | None":
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             return None
         if tag == b"IHDR":
+            if length != 13:  # spec-fixed IHDR size; shorter would crash unpack
+                return None
             width, height, depth, ctype = struct.unpack_from(">IIBB", payload, 0)
             if depth != 8 or ctype != 0:
                 return None

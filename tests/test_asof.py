@@ -105,10 +105,13 @@ def test_asof_pandas_null_ts_rows_survive(spark):
 
 
 def test_asof_quotes_tick_selection(spark):
-    """Pins the production asof_quotes semantics: the pre-offset
-    window falls back to the opening tick, an event exactly on a tick
-    matches it (lag 0), later hours pick their own hour's tick, and
-    segments never leak ticks into each other."""
+    """Pins the production asof_quotes semantics against a pure-Python
+    mirror of the tick grammar, keyed on the RETURNED event_us so the
+    expectations are timezone-proof (a naive-datetime epoch conversion
+    under a non-whole-hour OS timezone must not shift the grid): the
+    pre-offset window falls back to the opening tick, an event exactly
+    on a tick matches it (lag 0), later hours pick their own hour's
+    tick, and segments never leak ticks into each other."""
     from datetime import datetime, timedelta
 
     from pyspark.sql import Row
@@ -116,19 +119,14 @@ def test_asof_quotes_tick_selection(spark):
     import spark_streaming_postgres_lab2_spark.queries.ext as ext
     from spark_streaming_postgres_lab2_spark.queries.ext import q_asof_quotes
 
-    t0 = datetime(2024, 1, 1, 0, 0, 0)  # exact hour boundary
-    mn = int(t0.timestamp() * 1_000_000) // 3_600_000_000
-
-    def fp(h, s):
-        return (h * 31 + s * 7) % 1000 + 100
-
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
     rows = [
         # user 3 -> segment 3, hourly tick offset 3*97 % 3600 = 291 s
-        Row(event_id=1, user_id=3, ts=t0 + timedelta(seconds=100)),   # opening
-        Row(event_id=2, user_id=3, ts=t0 + timedelta(seconds=291)),   # exact tick
-        Row(event_id=3, user_id=3, ts=t0 + timedelta(seconds=4000)),  # hour 1 tick
+        Row(event_id=1, user_id=3, ts=t0 + timedelta(seconds=100)),
+        Row(event_id=2, user_id=3, ts=t0 + timedelta(seconds=291)),
+        Row(event_id=3, user_id=3, ts=t0 + timedelta(seconds=4000)),
         # user 7 -> segment 7, offset 7*97 % 3600 = 679 s
-        Row(event_id=4, user_id=7, ts=t0 + timedelta(seconds=300)),   # opening
+        Row(event_id=4, user_id=7, ts=t0 + timedelta(seconds=300)),
     ]
     df = spark.createDataFrame(rows)
     orig = ext.load_tables
@@ -137,7 +135,22 @@ def test_asof_quotes_tick_selection(spark):
         got = {r.event_id: r for r in q_asof_quotes(spark, "unused").collect()}
     finally:
         ext.load_tables = orig
-    assert (got[1].quote_fp, got[1].lag_sec) == (fp(mn, 3), 100)
-    assert (got[2].quote_fp, got[2].lag_sec) == (fp(mn, 3), 0)
-    assert (got[3].quote_fp, got[3].lag_sec) == (fp(mn + 1, 3), 4000 - 3600 - 291)
-    assert (got[4].quote_fp, got[4].lag_sec) == (fp(mn, 7), 300)
+
+    # python mirror of the tick grammar, driven by the returned epochs
+    hour_us = 3_600_000_000
+    mn = min(r.event_us for r in got.values()) // hour_us
+
+    def expected(seg: int, event_us: int) -> tuple[int, int]:
+        ticks = [(mn * hour_us, (mn * 31 + seg * 7) % 1000 + 100)]
+        for h in range(mn, event_us // hour_us + 1):
+            ts = h * hour_us + ((seg * 97) % 3600) * 1_000_000
+            ticks.append((ts, (h * 31 + seg * 7) % 1000 + 100))
+        best = max((t for t in ticks if t[0] <= event_us), key=lambda t: t[0])
+        return best[1], (event_us - best[0]) // 1_000_000
+
+    for eid, seg in [(1, 3), (2, 3), (3, 3), (4, 7)]:
+        r = got[eid]
+        assert (r.quote_fp, r.lag_sec) == expected(seg, r.event_us), eid
+    # the crafted relative geometry is TZ-free even when the absolute
+    # grid alignment isn't
+    assert got[2].event_us - got[1].event_us == 191 * 1_000_000

@@ -225,6 +225,17 @@ def test_png_rejects_corruption():
     good = encode_png_gray8(4, 3, lambda x, y: x + y)
     assert decode_png_gray8(good[: len(good) - 15]) is None
     assert decode_png_gray8(b"not a png") is None
+    # CRC-valid but spec-short IHDR payload: None, never struct.error
+    # (review finding: unpack_from would otherwise crash the executor)
+    import struct as _s
+
+    from spark_streaming_postgres_lab2_spark.functions.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+    )
+
+    short = _PNG_SIG + _png_chunk(b"IHDR", _s.pack(">II", 4, 3)) + _png_chunk(b"IEND", b"")
+    assert decode_png_gray8(short) is None
 
 
 def test_video_container_roundtrip_and_truncation():
