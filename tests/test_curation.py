@@ -21,6 +21,7 @@ from spark_streaming_postgres_lab2_spark.queries.curation import (
     q_tfidf_top_terms,
     q_zipf_top_terms,
 )
+from conftest import round_half_up
 
 
 # --- plan pins ----------------------------------------------------------------
@@ -464,11 +465,11 @@ def test_term_pmi_hand_computed(spark, tmp_path):
         for r in q_term_pmi_cooccurrence(spark, str(tmp_path)).collect()
     }
     n = 5
-    assert got[("a", "b")] == (2, 3, 3, round(math.log(2 * n / 9), 4))
-    assert got[("a", "c")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
-    assert got[("b", "c")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
-    assert got[("b", "x")] == (1, 3, 2, round(math.log(1 * n / 6), 4))
-    assert got[("c", "x")] == (1, 2, 2, round(math.log(1 * n / 4), 4))
+    assert got[("a", "b")] == (2, 3, 3, round_half_up(math.log(2 * n / 9), 4))
+    assert got[("a", "c")] == (1, 3, 2, round_half_up(math.log(1 * n / 6), 4))
+    assert got[("b", "c")] == (1, 3, 2, round_half_up(math.log(1 * n / 6), 4))
+    assert got[("b", "x")] == (1, 3, 2, round_half_up(math.log(1 * n / 6), 4))
+    assert got[("c", "x")] == (1, 2, 2, round_half_up(math.log(1 * n / 4), 4))
     assert len(got) == 5  # no (a,x): never co-occur
 
 

@@ -19,7 +19,7 @@ from spark_streaming_postgres_lab2_spark.operators.validate import (
 from spark_streaming_postgres_lab2_spark.schema.registry import SchemaRegistry
 from spark_streaming_postgres_lab2_spark.utils.retry import retry_with_backoff
 
-from conftest import EVENT_V2_DDL
+from conftest import EVENT_V2_DDL, round_half_up
 
 
 def python_spec_tag(ev: dict) -> str | None:
@@ -358,7 +358,7 @@ def test_snm_soundness(spark, tmp_path_factory, texts):
         a, b = toks[r.doc_id_1], toks[r.doc_id_2]
         inter, union = len(a & b), len(a | b)
         assert 5 * inter >= 4 * union
-        assert r.jac == round(inter / union, 4)
+        assert r.jac == round_half_up(inter / union, 4)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -456,7 +456,7 @@ def test_market_basket_matches_itertools_mirror(spark, baskets):
     for (a, b), cnt in pair.items():
         r = got[(a, b)]
         assert (r.pair_count, r.count_a, r.count_b) == (cnt, item[a], item[b])
-        assert r.lift == round(cnt * n / (item[a] * item[b]), 4)
+        assert r.lift == round_half_up(cnt * n / (item[a] * item[b]), 4)
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

@@ -17,6 +17,7 @@ from spark_streaming_postgres_lab2_spark.queries.ext import (
     q_stratified_sample,
 )
 from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+from conftest import round_half_up
 
 
 def test_approx_distinct_within_5pct(spark, sf_dir):
@@ -144,5 +145,5 @@ def test_approx_quantiles_audit_flags_and_exact_side(spark, sf_dir):
     for r in rows:
         v = np.array(sorted(vals[r.event_type]))
         # numpy 'linear' interpolation == Spark percentile == quantile_cont
-        assert round(float(np.quantile(v, 0.5)), 4) == r.p50_exact
-        assert round(float(np.quantile(v, 0.95)), 4) == r.p95_exact
+        assert round_half_up(float(np.quantile(v, 0.5)), 4) == r.p50_exact
+        assert round_half_up(float(np.quantile(v, 0.95)), 4) == r.p95_exact

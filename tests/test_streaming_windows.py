@@ -20,6 +20,7 @@ from spark_streaming_postgres_lab2_spark.streaming.windows import (
     session_window_rollup,
     windowed_event_counts,
 )
+from conftest import round_half_up
 
 NOW = datetime(2024, 3, 15, 12, 0, 0, tzinfo=timezone.utc)
 
@@ -207,7 +208,7 @@ def test_streaming_zscore_anomaly_state_across_batches(spark, tmp_path):
     assert (spike.cnt, spike.is_anomaly, spike.z) == (20, 1, None)  # zero-var
     after = rows[base + 25]
     assert (after.cnt, after.is_anomaly) == (5, 0)
-    assert after.z == round(-15 / 5175 ** 0.5, 4)  # same exact z as batch op
+    assert after.z == round_half_up(-15 / 5175 ** 0.5, 4)  # same exact z as batch op
 
 
 def test_trending_stream_decays_across_batches(spark, tmp_path):

@@ -116,8 +116,17 @@ def main() -> int:
     if json_out:
         import json as _json
 
+        # subset runs MERGE into an existing artifact (so adding one
+        # operator mid-round updates its row without re-running the
+        # whole inventory; the artifact-coverage pytest guard demands
+        # every queries() name has a row)
+        merged = results
+        if only and os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = _json.load(f)
+            merged.update(results)
         with open(json_out, "w") as f:
-            _json.dump(results, f, indent=1)
+            _json.dump(merged, f, indent=1)
 
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
