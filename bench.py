@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "png_decode",
     "video_frame_stats",
     "freq_items_audit",
+    # round-7: sink-twin ranking + table maintenance
+    "trending_topk",
+    "compaction_plan",
 ]
 
 
@@ -297,9 +300,15 @@ def main() -> None:
     bucket_write_sec = round(time.time() - t0, 3)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 scopes the suite for regression
+    # bisection (streaming is skipped unless named); the full suite
+    # remains the default artifact
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = [q for q in only_env.split(",") if q] or None
+    bench_list = [q for q in BENCH_QUERIES if only is None or q in only]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_list:
         samples = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -313,10 +322,13 @@ def main() -> None:
     # setup; the second is the steady-state number (±15% run-to-run
     # variance documented in SCALING.md -- the cold/warm split keeps
     # that noise out of round-over-round comparisons)
-    stream_cold = bench_streaming_pipeline(spark)
-    stream = bench_streaming_pipeline(spark)
-    timings["streaming_pipeline_20k_events"] = stream["streaming_pipeline_20k_events"]
-    cold["streaming_pipeline_20k_events"] = stream_cold["streaming_pipeline_20k_events"]
+    if only is None or "streaming_pipeline_20k_events" in only:
+        stream_cold = bench_streaming_pipeline(spark)
+        stream = bench_streaming_pipeline(spark)
+        timings["streaming_pipeline_20k_events"] = stream["streaming_pipeline_20k_events"]
+        cold["streaming_pipeline_20k_events"] = stream_cold["streaming_pipeline_20k_events"]
+    else:
+        stream_cold = stream = {}
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -335,7 +347,8 @@ def main() -> None:
         "queries_cold": cold,
     }
     out.update({k: v for k, v in stream.items() if k != "streaming_pipeline_20k_events"})
-    out["streaming_events_per_sec_cold"] = stream_cold["streaming_events_per_sec"]
+    if "streaming_events_per_sec" in stream_cold:
+        out["streaming_events_per_sec_cold"] = stream_cold["streaming_events_per_sec"]
     out["queries"] = timings
     out["summary"] = {
         "warm_total_sec": total,

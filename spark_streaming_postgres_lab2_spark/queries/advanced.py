@@ -2146,6 +2146,67 @@ ORDER BY event_type
 """
 
 
+_TREND_TOPK = 5
+
+
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k trending keys -- the batch twin of the SINK-side
+    ranking (streaming/topk.TrendingTopKSink): rank every key's
+    decayed score and keep the k best.  Cross-key ranking cannot live
+    inside the per-key stateful operator, so in the streaming pipeline
+    it happens in foreachBatch; this twin puts the identical ranking
+    rule (score_fp DESC, event_type ASC -- deterministic on ties)
+    under the driver hash.
+
+    Scale shape: the ranked input is one row per KEY (vocabulary-
+    sized, already folded by q_trending_scores' clock-bounded
+    recurrence), so the single-partition window ranks a tiny frame --
+    never the event stream."""
+    scores = q_trending_scores(spark, sf_dir)
+    w = Window.orderBy(F.col("score_fp").desc(), F.col("event_type"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TREND_TOPK)
+        .select("rank", "event_type", "score_fp", "score")
+        .orderBy("rank")
+    )
+
+
+ORACLE_TRENDING_TOPK = f"""
+WITH __h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY event_type, hour_id
+),
+__arr AS (
+  SELECT event_type, list(cnt ORDER BY hour_id) AS hc
+  FROM __h GROUP BY event_type
+),
+__folded AS (
+  SELECT event_type,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hc),
+                          (a, b) -> a // 2 + b * {_TREND_FP_SCALE}) AS BIGINT)
+           AS score_fp
+  FROM __arr
+),
+__ranked AS (
+  SELECT event_type, score_fp,
+         CAST(row_number() OVER (ORDER BY score_fp DESC, event_type)
+              AS BIGINT) AS rank
+  FROM __folded
+)
+SELECT rank, event_type, score_fp,
+       CAST(score_fp AS DOUBLE) / {_TREND_FP_SCALE} AS score
+FROM __ranked
+WHERE rank <= {_TREND_TOPK}
+ORDER BY rank
+"""
+
+
+
+
+
 def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-growth curve: per day, the number of NEW users (first
     ever seen that day) and the cumulative distinct-user count to date
@@ -2726,6 +2787,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_TRENDING_SCORES,
                   "fixed-point decayed trending score per event type "
                   "(batch twin of trending_stream)"),
+        QuerySpec("trending_topk", q_trending_topk,
+                  ORACLE_TRENDING_TOPK,
+                  "global top-k trending keys (batch twin of the "
+                  "sink-side foreachBatch ranking)"),
         QuerySpec("ols_trend", q_ols_trend,
                   ORACLE_OLS_TREND,
                   "per-nation monthly-revenue OLS slope with exact "

@@ -2841,6 +2841,77 @@ ORDER BY event_id
 ORACLE_ASOF_QUOTES = sql_asof_quotes(50)
 
 
+# target bytes per compacted output file at fixture scale; at 100 TB
+# this is spark.sql.files.maxPartitionBytes-sized (128-512 MB)
+_COMPACT_TARGET = 256 * 1024
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner -- the table-maintenance pass
+    every 100 TB lake needs: given a file inventory (path, size),
+    assign files to target-sized output bins and emit the per-bin
+    manifest (file count, total bytes, id range).  Greedy
+    order-preserving packing: a file's bin is
+    ``cumulative_bytes_before div target``, the same rule Spark's own
+    file-scan packing (maxPartitionBytes) applies, so bins are
+    contiguous in (source, doc_id) order and the plan is a pure
+    function of the inventory.
+
+    The documents table stands in for the inventory (doc_id = file id,
+    n_chars = file bytes, source = table/partition).
+
+    Exactness: all-integer (BIGINT cumulative sums, integer div).
+
+    Scale shape: the window runs over file METADATA (one row per
+    file -- millions of rows at 100 TB, not the data itself),
+    partitioned by source so each partition's running sum is
+    independent; the output is one row per BIN.  No data movement is
+    planned here -- executing the plan is an embarrassingly parallel
+    per-bin concat."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    inv = t["documents"].select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer div, not double `/`: a lake-scale cumulative byte count
+    # exceeds 2^53 and double division would misplace bin boundaries
+    binned = inv.withColumn(
+        "__before", F.coalesce(F.sum("n_chars").over(w), F.lit(0)).cast("long")
+    ).withColumn("bin_id", F.expr(f"__before div {_COMPACT_TARGET}"))
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_COMPACT_TARGET} AS bin_id
+  FROM documents
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("props_json", q_props_json, ORACLE_PROPS_JSON,
@@ -2904,6 +2975,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_ASOF_QUOTES,
                   "two-table as-of join (cogroup merge_asof) vs DuckDB "
                   "native ASOF JOIN"),
+        QuerySpec("compaction_plan", q_compaction_plan,
+                  ORACLE_COMPACTION_PLAN,
+                  "small-file compaction planner: greedy cumulative-"
+                  "bytes bin packing over the file inventory"),
         QuerySpec("kmeans_cluster_profile", q_kmeans_cluster_profile,
                   ORACLE_KMEANS_PROFILE,
                   "exact integer-quantized Lloyd's k-means replay "

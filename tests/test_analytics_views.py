@@ -630,6 +630,41 @@ def test_trending_scores_recurrence_matches_stream_semantics(spark):
     assert res["B"].score == stream_score([4, 6])  # 4*0.5 + 6
 
 
+def test_trending_topk_ranks_and_ties(spark):
+    """The batch twin of the sink-side top-k: ranks by score_fp DESC
+    with key-ASC tie-break (the exact rule TrendingTopKSink.topk
+    applies), truncates to k=5, and rank is dense-free row_number."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_trending_topk,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30, 0)
+    rows = []
+    # six types; D and B tie at count 4 (one hour each); F is the
+    # 6th-ranked type and must be truncated away by k=5
+    for etype, cnt in [("C", 9), ("D", 4), ("B", 4), ("A", 2), ("E", 1), ("F", 0)]:
+        rows += [Row(event_type=etype, ts=t0)] * cnt
+    rows += [Row(event_type="F", ts=t0 + timedelta(hours=1))] * 1
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = q_trending_topk(spark, "unused").collect()
+    finally:
+        adv.load_tables = orig
+
+    # every type has one active hour -> score == its count; D/B tie
+    # broken by key ASC; E and F tie at 1 -> E kept, F truncated
+    assert [(r.rank, r.event_type, r.score) for r in got] == [
+        (1, "C", 9.0), (2, "B", 4.0), (3, "D", 4.0), (4, "A", 2.0), (5, "E", 1.0),
+    ]
+
+
 def test_ols_trend_hand_computed(spark):
     """Perfectly linear monthly revenue gives the exact slope through
     the integer normal equations; a single-month nation has den = 0

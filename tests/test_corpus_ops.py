@@ -319,3 +319,44 @@ def test_incremental_dedup_tier_semantics(spark):
 
     want = hashlib.md5(str(17 + _INC_ID_OFFSET).encode()).hexdigest()
     assert b.kept_ids_hash == want
+
+
+def test_compaction_plan_bin_packing(spark):
+    """Crafted inventory pins the greedy packing rule: bin_id =
+    cumulative-bytes-BEFORE div target, per source in doc_id order --
+    so a file that straddles the target lands in the bin its start
+    offset falls in (Spark's own maxPartitionBytes packing rule), and
+    sources pack independently."""
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    T = _COMPACT_TARGET
+    rows = [
+        # source "a": sizes chosen so cum-before = 0, T//2, T, then a
+        # big straddler starting inside bin 1
+        Row(doc_id=1, source="a", n_chars=T // 2),
+        Row(doc_id=2, source="a", n_chars=T // 2),
+        Row(doc_id=3, source="a", n_chars=T // 2),
+        Row(doc_id=4, source="a", n_chars=2 * T),
+        # source "b": one tiny file -> its own bin 0 independent of "a"
+        Row(doc_id=5, source="b", n_chars=10),
+    ]
+    df = spark.createDataFrame(rows)
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {(r.source, r.bin_id): r for r in q_compaction_plan(spark, "x").collect()}
+    finally:
+        ext.load_tables = orig
+
+    # docs 1,2 start at offsets 0 and T/2 -> bin 0; doc 3 starts at T
+    # -> bin 1; doc 4 starts at 3T/2 -> bin 1 despite its 2T size
+    assert set(got) == {("a", 0), ("a", 1), ("b", 0)}
+    a0, a1, b0 = got[("a", 0)], got[("a", 1)], got[("b", 0)]
+    assert (a0.n_files, a0.total_bytes, a0.first_doc, a0.last_doc) == (2, T, 1, 2)
+    assert (a1.n_files, a1.total_bytes, a1.first_doc, a1.last_doc) == (
+        2, T // 2 + 2 * T, 3, 4)
+    assert (b0.n_files, b0.total_bytes) == (1, 10)

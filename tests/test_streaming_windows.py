@@ -362,3 +362,83 @@ def test_trending_idle_key_evicted_with_tombstone(spark, tmp_path):
     rows = spark.sql(f"SELECT * FROM {name} WHERE event_type = 'view'").collect()
     assert any(r.score == 6.0 for r in rows)   # the active emission
     assert any(r.score == 0.0 for r in rows)   # the eviction tombstone
+
+
+def test_trending_topk_sink_ranks_globally(spark, tmp_path):
+    """The foreachBatch top-k sink folds update-mode emissions into a
+    running table and ranks ACROSS keys -- the cross-key concern the
+    per-key stateful operator cannot host.  Batch 1 makes view the
+    leader; batch 2's search surge overtakes it while view's silent
+    score stands (no decay without an invocation)."""
+    import os
+    from datetime import timedelta
+
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        TREND_DECAY,
+        trending_stream,
+    )
+    from spark_streaming_postgres_lab2_spark.streaming.topk import (
+        TrendingTopKSink,
+    )
+
+    t0 = NOW.replace(tzinfo=None)
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    os.makedirs(in_dir)
+
+    def mk(etype, i):
+        e = _mk_event(uid=i, ts=t0 + timedelta(minutes=i), etype=etype)
+        e["event_id"] = f"k{etype}_{i}"
+        return e
+
+    gen = EventGenerator(seed=5, anomaly_rate=0.0, now=NOW)
+    gen.write_csv([mk("view", i) for i in range(10)]
+                  + [mk("search", 100 + i) for i in range(4)], str(in_dir), "a.csv")
+    gen.write_csv([mk("search", 200 + i) for i in range(10)]
+                  + [mk("view", 300 + i) for i in range(2)], str(in_dir), "b.csv")
+    os.utime(in_dir / "a.csv", (1, 1))
+    os.utime(in_dir / "b.csv", (2, 2))
+
+    sink = TrendingTopKSink(k=2)
+    raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+    enriched = transform_and_enrich(validate(raw)).filter(F.col("is_valid"))
+    q = (
+        trending_stream(enriched, idle_timeout_ms=None)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert sink.batches_seen == 2
+    expect_view = 10 * TREND_DECAY + 2
+    expect_search = 4 * TREND_DECAY + 10
+    assert sink.topk() == [("search", expect_search), ("view", expect_view)]
+    assert sink.topk(1) == [("search", expect_search)]
+
+
+def test_trending_topk_sink_tombstones_and_cap(spark):
+    """Unit-level sink semantics via direct foreachBatch calls: a
+    zero-score tombstone deletes the key; max_keys keeps exactly the
+    best (score, then smallest-key-on-tie) entries; topk tie-break is
+    deterministic (score DESC, key ASC) -- the same rule the
+    trending_topk batch twin pins under the DuckDB oracle."""
+    from spark_streaming_postgres_lab2_spark.streaming.topk import (
+        TrendingTopKSink,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "event_type string, score double, batches long")
+    sink = TrendingTopKSink(k=3, max_keys=3)
+    sink(mk([("a", 5.0, 1), ("b", 3.0, 1), ("c", 3.0, 1)]), 0)
+    assert sink.topk() == [("a", 5.0), ("b", 3.0), ("c", 3.0)]  # tie: key ASC
+
+    # capacity: "d"'s 4.0 must evict the WORST tie-loser ("c", not "b")
+    sink(mk([("d", 4.0, 1)]), 1)
+    assert sink.topk() == [("a", 5.0), ("d", 4.0), ("b", 3.0)]
+    assert set(sink.scores) == {"a", "d", "b"}
+
+    # tombstone deletes; the freed slot admits a new key
+    sink(mk([("a", 0.0, 2), ("e", 1.0, 1)]), 2)
+    assert sink.topk() == [("d", 4.0), ("b", 3.0), ("e", 1.0)]
+    assert sink.batches_seen == 3
