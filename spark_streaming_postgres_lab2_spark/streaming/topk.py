@@ -4,7 +4,8 @@ Cross-key ranking cannot live inside a per-key stateful operator
 (``applyInPandasWithState`` sees one key at a time), so the global
 top-k belongs in the sink -- the same place the reference keeps its
 cross-row concerns (the analytics views it serves from Postgres,
-``reference/sql/init.sql`` view definitions).  ``TrendingTopKSink`` is
+``reference/docker/postgres/postgres_setup.sql:101-151`` view
+definitions).  ``TrendingTopKSink`` is
 a ``foreachBatch``-compatible callable that folds each micro-batch's
 *update-mode* emissions into a running score table and answers global
 ``topk(k)`` queries between (or after) batches.
@@ -17,9 +18,18 @@ trending key cardinality).  State here is one float per ever-active
 key, further bounded two ways: the upstream operator evicts idle keys
 with a zero-score tombstone (which this sink interprets as a delete),
 and ``max_keys`` hard-caps the table by deterministically dropping the
-lowest-(score, key) entries -- Misra-Gries-style admission, so the
-retained set is always the exact top ``max_keys`` of the keys seen
-since their last eviction.
+lowest-(score, key) entries.
+
+``max_keys`` trades exactness for the bound: the upstream operator
+runs in update mode and only re-emits keys whose score CHANGED, so a
+``max_keys``-evicted key whose score never changes again stays
+invisible to this sink permanently.  Results are exact whenever the
+live vocabulary fits in ``max_keys``; beyond that the sink keeps a
+Misra-Gries-style **evicted-floor watermark** (``evicted_floor`` = the
+highest score ever dropped), which makes the error quantifiable: every
+absent key's true score is <= ``evicted_floor``, so any ``topk()``
+entry scoring strictly above the floor holds its rank against ALL keys
+ever seen -- ``exact_above()`` reports the guarantee per call.
 """
 
 from __future__ import annotations
@@ -53,6 +63,10 @@ class TrendingTopKSink:
         self.max_keys = max_keys
         self.scores: dict[str, float] = {}
         self.batches_seen = 0
+        # highest score ever dropped by the max_keys cap: every key
+        # absent from `scores` has true score <= this (a dropped key
+        # only returns if upstream re-emits it, i.e. its score changed)
+        self.evicted_floor: float = 0.0
 
     # foreachBatch contract: (DataFrame, epoch_id) -> None
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -69,7 +83,12 @@ class TrendingTopKSink:
                 self.scores.items(),
                 key=lambda kv: (kv[1], _neg_key(kv[0])),
             )
-            self.scores = dict(keep)
+            kept = dict(keep)
+            self.evicted_floor = max(
+                self.evicted_floor,
+                max(v for n, v in self.scores.items() if n not in kept),
+            )
+            self.scores = kept
         self.batches_seen += 1
 
     def topk(self, k: Optional[int] = None) -> list[tuple[str, float]]:
@@ -77,6 +96,14 @@ class TrendingTopKSink:
         return heapq.nsmallest(
             kk, self.scores.items(), key=lambda kv: (-kv[1], kv[0])
         )
+
+    def exact_above(self) -> float:
+        """The exactness watermark for the current state: every
+        ``topk()`` entry with score strictly above this value is
+        guaranteed to hold its rank against every key the stream has
+        ever emitted (0.0 when no eviction has occurred, i.e. results
+        are fully exact)."""
+        return self.evicted_floor
 
 
 class _neg_key(str):

@@ -11,6 +11,9 @@ from spark_streaming_postgres_lab2_spark.config import SparkConfig
 from spark_streaming_postgres_lab2_spark.session import build_session
 
 SF_DIR = "/root/testdata/sf0.001"
+# larger fixture for tests that need key cardinality the tiny scale
+# can't provide (e.g. asof segmentation at n_seg >> cores)
+SF01_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -31,13 +34,22 @@ def round_half_up(x: float, ndigits: int) -> float:
     Python's built-in ``round()`` is banker's (HALF_EVEN): at an exact
     tie like 13/32 = 0.40625 it yields 0.4062 while both engines yield
     0.4063, so every pure-Python mirror that replays an engine-side
-    ``round(x, n)`` must use this instead (same recipe as
-    queries/core.money_sum: identical double math on both sides).
-    """
-    import math
+    ``round(x, n)`` must use this instead.
 
-    p = 10.0 ** ndigits
-    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+    Spark's ``F.round`` on doubles goes through
+    ``BigDecimal.valueOf(x)`` -- the SHORTEST decimal string of the
+    double -- then HALF_UP.  A scaled-float mirror
+    (``floor(abs(x)*p + 0.5)``) drifts on non-tie near-midpoint values:
+    2.675 is stored as 2.67499999...96, so ``2.675 * 100 = 267.4999...``
+    floors to 2.67 while Spark rounds the decimal string "2.675" up to
+    2.68.  Mirroring via ``Decimal(repr(x))`` (repr IS the shortest
+    decimal string) reproduces the engine exactly on both ties and
+    near-midpoints.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(x)).quantize(Decimal(10) ** -ndigits, rounding=ROUND_HALF_UP)
+    return float(q)
 
 
 # explicit schema for hand-built v2 event rows (None-valued fields defeat

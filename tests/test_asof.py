@@ -156,7 +156,7 @@ def test_asof_quotes_tick_selection(spark):
     assert got[2].event_us - got[1].event_us == 191 * 1_000_000
 
 
-def test_asof_quotes_high_key_cardinality(spark, sf_dir):
+def test_asof_quotes_high_key_cardinality(spark):
     """asof_quotes at n_seg=512 >> cores (tests run local[4]): the
     cogroup operator's parallelism scales with key cardinality, and
     the result stays exact vs the DuckDB native ASOF JOIN oracle
@@ -172,7 +172,9 @@ def test_asof_quotes_high_key_cardinality(spark, sf_dir):
     # sf0.01 carries 150 distinct users -> at n_seg=512 every user is
     # its own segment (the entity-grained production shape); sf0.001
     # has only 15 users, too few to demonstrate >cores cardinality
-    d = "/root/testdata/sf0.01"
+    from tests.conftest import SF01_DIR
+
+    d = SF01_DIR
     n_seg = 512
     sdf = q_asof_quotes(spark, d, n_seg=n_seg)
     srows = [(r.event_id, r.segment, r.event_us, r.quote_fp, r.lag_sec)

@@ -442,3 +442,31 @@ def test_trending_topk_sink_tombstones_and_cap(spark):
     sink(mk([("a", 0.0, 2), ("e", 1.0, 1)]), 2)
     assert sink.topk() == [("d", 4.0), ("b", 3.0), ("e", 1.0)]
     assert sink.batches_seen == 3
+
+
+def test_trending_topk_sink_evicted_floor_watermark(spark):
+    """max_keys trades exactness for a QUANTIFIED bound: the sink
+    tracks the highest score ever dropped (evicted_floor), so entries
+    scoring strictly above it are guaranteed exact even though an
+    evicted key whose score never re-emits is invisible forever."""
+    from spark_streaming_postgres_lab2_spark.streaming.topk import (
+        TrendingTopKSink,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "event_type string, score double, batches long")
+    sink = TrendingTopKSink(k=2, max_keys=2)
+    sink(mk([("a", 5.0, 1), ("b", 3.0, 1)]), 0)
+    assert sink.exact_above() == 0.0  # no eviction yet: fully exact
+
+    # "c" (4.0) evicts "b" (3.0): floor rises to the dropped score
+    sink(mk([("c", 4.0, 1)]), 1)
+    assert set(sink.scores) == {"a", "c"}
+    assert sink.exact_above() == 3.0
+
+    # floor is monotone: a later, lower-scored eviction can't lower it
+    sink(mk([("d", 3.5, 1)]), 2)  # d (3.5) loses to a/c and is dropped
+    assert set(sink.scores) == {"a", "c"}
+    assert sink.exact_above() == 3.5
+
+    # both survivors score above the floor -> their ranks are exact
+    assert all(s > sink.exact_above() for _, s in sink.topk())

@@ -115,6 +115,23 @@ def main() -> int:
     json_out = __import__("os").environ.get("PARITY_JSON")
     if json_out:
         import json as _json
+        import subprocess
+
+        # provenance: stamp every row produced by THIS run with the
+        # generating commit + wall time, so a merged artifact shows
+        # which code state each row's evidence came from (subset merges
+        # would otherwise silently mix evidence across code states)
+        try:
+            head = subprocess.run(
+                ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001 - git absent/odd state: stamp time only
+            head = "unknown"
+        stamp = {"commit": head, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        for r in results.values():
+            r.update(stamp)
 
         # subset runs MERGE into an existing artifact (so adding one
         # operator mid-round updates its row without re-running the
