@@ -41,68 +41,68 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 7, tier 0 (15): every oracle with NO driver-green row ever
-    # (VERDICT r6 item 3's corrected list): the 7 r6 slot-51+ oracles
-    # plus the 8 late-r6 operators that landed after PARITY_r06 was
-    # generated.
-    "incremental_dedup",        # ingest-time exact+near dedup vs history
-    "audio_decode",             # real WAV/PCM16 RIFF codec, format-spec oracle
-    "audio_frame_energy",       # frame-windowed PCM energy
-    "mad_anomaly_hours",        # median/MAD robust anomaly flags
-    "snapshot_diff",            # full-outer change detection
-    "cumulative_unique_users",  # first-seen growth curve
-    "revenue_concentration",    # Pareto top-p% shares on discrete cuts
-    "value_histogram",          # fixed-width histogram w/ empty buckets
-    "gapfill_interpolate",      # linear interpolation across gaps
-    "asof_quotes",              # two-table as-of join via cogroup merge_asof
-    "bfs_reachability",         # bounded-depth BFS vs recursive-CTE oracle
-    "kmeans_cluster_profile",   # exact integer Lloyd's replay
-    "png_decode",               # compressed-container codec (zlib PNG)
-    "video_frame_stats",        # frame-indexed container stats
-    "freq_items_audit",         # Misra-Gries containment audit
-    # round 7, tier 1 (34 of the 43 oracles whose last driver-green row
-    # is r4 -- verified against CORRECTNESS_r01..r06).  The 9 held out
-    # to r8 are simple single-shape SQL (user_set_ops,
-    # part_string_funcs, doc_regex_extract, props_json,
-    # parts_never_shipped, idle_customers, priority_linestatus,
-    # supplier_count_by_part, dominant_suppliers) -- the lowest-drift
-    # cohort; the LSH/dedup/multimodal/session operators stay in.
-    "user_event_paths",
-    "nation_profit",
-    "order_window_suite",
-    "doc_hof_stats",
-    "hourly_gapfill",
-    "rolling_7d_revenue",
-    "latest_event_per_user",
-    "top_spenders_lateral",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_language",
-    "ngram_jaccard_pairs",
-    "similarity_topk",
-    "embedding_near_dup",
-    "minhash_near_dup",
-    "order_first_last_nth",
-    "salted_nation_revenue",
-    "decontaminate",
-    "boilerplate_dedup",
-    "session_overlap_pairs",
-    "session_concurrency",
-    "bpe_merge_candidates",
-    "exact_ngram_decontaminate",
-    "pii_redaction",
-    "source_quota_sample",
-    "zipf_top_terms",
-    "tfidf_top_terms",
-    "corpus_filter_chain",
-    "embedding_lsh_near_dup_portable",
-    "doc_rolling_fingerprint",
-    "multimodal_features",
-    "multimodal_frames",
-    "fact_join_unbucketed",
-    "fact_join_bucketed",
+    # round 9, tier 0 (11): the ONLY two oracles never driver-green
+    # (parity hash-PASS at HEAD since r7, provenance-stamped) plus the
+    # 9 simple-SQL shapes whose last driver-green row is r4 (held out
+    # in r7; the r8 window was not rotated -- VERDICT r8 item 1).
+    "trending_topk",            # sink-side global top-k w/ evicted-floor watermark
+    "compaction_plan",          # file-metadata bin packing via window
+    "user_set_ops",
+    "part_string_funcs",
+    "doc_regex_extract",
+    "props_json",
+    "parts_never_shipped",
+    "idle_customers",
+    "priority_linestatus",
+    "supplier_count_by_part",
+    "dominant_suppliers",
+    # round 9, tier 1 (38 of the 48 oracles whose last driver-green row
+    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 10
+    # held to r10 are the lowest-drift single-shape SQL cohort
+    # (big_orders, important_parts, market_share, min_cost_supplier,
+    # sole_failed_supplier, top_supplier, order_date_math,
+    # late_arrivals, user_map_funcs, user_set_ops_all); the
+    # LSH/ANN/multimodal/session/statistics operators stay in.
+    "ann_ivf_lossless_audit",
+    "ann_recall_audit",
+    "approx_distinct_audit",
+    "approx_quantiles_audit",
+    "bm25_search",
+    "canonical_docs",
+    "cohort_retention",
+    "dlq_breakdown",
+    "doc_array_ops",
+    "doc_clean",
+    "doc_fingerprints",
+    "doc_repetition",
+    "embedding_norms",
+    "event_transitions",
+    "funnel_conversion",
+    "grouping_sets_events",
+    "html_text_extract",
+    "intra_doc_dedup",
+    "multimodal_decode",
+    "multimodal_meta",
+    "near_dup_clusters",
+    "pagerank_links",
+    "purchase_attribution",
+    "quality_classifier_filter",
+    "quality_hourly",
+    "salted_distinct_users",
+    "schema_migration",
+    "session_path_mining",
+    "sessionization",
+    "simhash_near_dup",
+    "sorted_neighborhood_dedup",
+    "stratified_sample_audit",
+    "term_pmi_cooccurrence",
+    "training_mix_upsample",
+    "triangle_counts",
+    "url_canonical_dedup",
+    "url_domain_filter",
+    "zscore_anomaly_hours",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; four
+    # the cheapest canary for another fixture timestamp drift; five
     # rounds green and counting (VERDICT r6 item 8: keep it pinned).
     "user_session_window",
 ]
