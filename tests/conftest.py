@@ -46,9 +46,16 @@ def round_half_up(x: float, ndigits: int) -> float:
     decimal string) reproduces the engine exactly on both ties and
     near-midpoints.
     """
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    q = Decimal(repr(x)).quantize(Decimal(10) ** -ndigits, rounding=ROUND_HALF_UP)
+    # default context is 28 significant digits: quantize on |x| >= ~1e24
+    # would raise InvalidOperation even though ndigits-rounding is a
+    # no-op at that magnitude -- raise precision so any double rounds
+    with localcontext() as ctx:
+        ctx.prec = 60
+        q = Decimal(repr(x)).quantize(
+            Decimal(10) ** -ndigits, rounding=ROUND_HALF_UP
+        )
     return float(q)
 
 

@@ -61,3 +61,40 @@ def test_oracle_queries_are_hash_checked_in_parity():
     assert not downgraded, (
         f"oracle-bearing queries recorded rows-only in {path.name}: {downgraded}"
     )
+
+
+def test_parity_provenance_commits_are_ancestors_of_head():
+    """Every provenance-stamped parity row must come from a commit that
+    is an ancestor of HEAD and from a clean evidence-code state --
+    otherwise a merged artifact could carry evidence produced by code
+    that never landed (divergent branch or dirty worktree).  Rows
+    without a ``commit`` key predate the stamping convention (r7 and
+    earlier) and are exempt."""
+    import subprocess
+
+    path, parity = _latest_parity()
+    stamped = {
+        r["commit"] for r in parity.values()
+        if isinstance(r, dict) and r.get("commit") not in (None, "unknown")
+    }
+    dirty = sorted(c for c in stamped if c.endswith("-dirty"))
+    assert not dirty, (
+        f"{path.name} carries rows stamped from a dirty worktree: {dirty} -- "
+        "commit the code first, then regenerate the evidence"
+    )
+    for c in sorted(stamped):
+        full = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", f"{c}^{{commit}}"],
+            capture_output=True, text=True,
+        )
+        assert full.returncode == 0, (
+            f"{path.name} stamps commit {c} which does not exist in this repo"
+        )
+        anc = subprocess.run(
+            ["git", "-C", str(REPO), "merge-base", "--is-ancestor",
+             full.stdout.strip(), "HEAD"],
+            capture_output=True, text=True,
+        )
+        assert anc.returncode == 0, (
+            f"{path.name} stamps commit {c} which is not an ancestor of HEAD"
+        )

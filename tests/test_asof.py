@@ -172,7 +172,7 @@ def test_asof_quotes_high_key_cardinality(spark):
     # sf0.01 carries 150 distinct users -> at n_seg=512 every user is
     # its own segment (the entity-grained production shape); sf0.001
     # has only 15 users, too few to demonstrate >cores cardinality
-    from tests.conftest import SF01_DIR
+    from conftest import SF01_DIR
 
     d = SF01_DIR
     n_seg = 512

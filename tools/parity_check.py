@@ -122,11 +122,25 @@ def main() -> int:
         # which code state each row's evidence came from (subset merges
         # would otherwise silently mix evidence across code states)
         try:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             head = subprocess.run(
-                ["git", "-C", os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "rev-parse", "--short", "HEAD"],
+                ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
+            # a dirty worktree means the stamped commit did not produce
+            # this evidence -- mark it so merged artifacts can't claim
+            # committed provenance for uncommitted code.  Scoped to the
+            # evidence-producing code paths: freshly written artifact
+            # files (PARITY_r*.json etc., untracked or regenerated)
+            # don't change what the queries compute.
+            porcelain = subprocess.run(
+                ["git", "-C", repo, "status", "--porcelain", "-uno", "--",
+                 "spark_streaming_postgres_lab2_spark", "__spark_entry__.py",
+                 "tools", "bench.py"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            if porcelain:
+                head += "-dirty"
         except Exception:  # noqa: BLE001 - git absent/odd state: stamp time only
             head = "unknown"
         stamp = {"commit": head, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
