@@ -46,16 +46,22 @@ def round_half_up(x: float, ndigits: int) -> float:
     decimal string) reproduces the engine exactly on both ties and
     near-midpoints.
     """
-    from decimal import ROUND_HALF_UP, Decimal, localcontext
+    from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
 
     # default context is 28 significant digits: quantize on |x| >= ~1e24
     # would raise InvalidOperation even though ndigits-rounding is a
-    # no-op at that magnitude -- raise precision so any double rounds
+    # no-op at that magnitude.  prec=60 covers every value the fixtures
+    # can produce; anything still overflowing (|x| >= ~1e58) has no
+    # fractional part a double can represent, so rounding is the
+    # identity there.
     with localcontext() as ctx:
         ctx.prec = 60
-        q = Decimal(repr(x)).quantize(
-            Decimal(10) ** -ndigits, rounding=ROUND_HALF_UP
-        )
+        try:
+            q = Decimal(repr(x)).quantize(
+                Decimal(10) ** -ndigits, rounding=ROUND_HALF_UP
+            )
+        except InvalidOperation:
+            return x
     return float(q)
 
 

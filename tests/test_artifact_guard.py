@@ -3,10 +3,15 @@ only merge together with its parity row.  Round 6 landed 8 operators
 after PARITY_r06.json was generated, leaving them with no committed
 correctness evidence; this test makes that divergence a red suite.
 
-Workflow: after adding an operator, run
-``PARITY_JSON=PARITY_r{N}.json python tools/parity_check.py
-/root/testdata/sf0.01 <new names>`` -- subset runs now MERGE into the
-existing artifact, so the row lands without re-running the inventory.
+Workflow: after adding an operator, iterate with plain
+``python tools/parity_check.py /root/testdata/sf0.01 <new names>``
+(no artifact write), COMMIT the operator, then run the same command
+with ``PARITY_JSON=PARITY_r{N}.json`` set -- subset runs MERGE into
+the existing artifact, so the row lands without re-running the
+inventory, stamped with the clean commit that produced it -- and
+commit the artifact immediately after.  Order matters: a merge run
+from a dirty tree stamps ``<sha>-dirty`` and
+test_parity_provenance_commits_are_ancestors_of_head rejects it.
 """
 
 from __future__ import annotations
@@ -70,7 +75,13 @@ def test_parity_provenance_commits_are_ancestors_of_head():
     that never landed (divergent branch or dirty worktree).  Rows
     without a ``commit`` key predate the stamping convention (r7 and
     earlier) and are exempt."""
+    import shutil
     import subprocess
+
+    import pytest
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- provenance cannot be checked here")
 
     path, parity = _latest_parity()
     stamped = {

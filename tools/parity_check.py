@@ -123,18 +123,22 @@ def main() -> int:
         # would otherwise silently mix evidence across code states)
         try:
             repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            # 12 chars: a 7-char abbreviation can become ambiguous as
+            # the repo grows, and the ancestry guard then rejects valid
+            # historical evidence it can no longer resolve
             head = subprocess.run(
-                ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+                ["git", "-C", repo, "rev-parse", "--short=12", "HEAD"],
                 capture_output=True, text=True, check=True,
             ).stdout.strip()
             # a dirty worktree means the stamped commit did not produce
             # this evidence -- mark it so merged artifacts can't claim
             # committed provenance for uncommitted code.  Scoped to the
-            # evidence-producing code paths: freshly written artifact
-            # files (PARITY_r*.json etc., untracked or regenerated)
-            # don't change what the queries compute.
+            # evidence-producing code paths (freshly written artifact
+            # files like PARITY_r*.json don't change what the queries
+            # compute), but INCLUDING untracked files there: a new
+            # module can shadow an import and change the evidence.
             porcelain = subprocess.run(
-                ["git", "-C", repo, "status", "--porcelain", "-uno", "--",
+                ["git", "-C", repo, "status", "--porcelain", "--",
                  "spark_streaming_postgres_lab2_spark", "__spark_entry__.py",
                  "tools", "bench.py"],
                 capture_output=True, text=True, check=True,
