@@ -873,3 +873,39 @@ def test_bfs_hops_matches_python_bfs(spark, edge_list, seed_set):
     seeds = nodes.filter(nodes["id"].isin(*seed_set))
     got = {r.id: r.hop for r in bfs_hops(nodes, edges, seeds, depth=depth).collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round_half_up: the test-suite mirror of Spark's F.round on doubles
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(0, 6),
+)
+def test_round_half_up_matches_spark_round(spark, values, ndigits):
+    """One Spark job per example batch: the conftest mirror must agree
+    with ``F.round`` on arbitrary finite doubles -- including the
+    magnitudes (|x| >= ~1e24) that used to raise InvalidOperation in
+    the Decimal-based mirror (ADVICE r8) and the >=1e58 band where
+    quantize overflows even at prec=60 and rounding is the identity."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = [
+        r.r for r in df.select(F.round("x", ndigits).alias("r")).collect()
+    ]
+    exp = [round_half_up(v, ndigits) for v in values]
+    assert got == exp
+
+
+def test_round_half_up_huge_magnitudes_are_identity():
+    for v in (1e24, -1e24, 1e58, -1e58, 1e308, -1e308):
+        for nd in (0, 2, 6):
+            assert round_half_up(v, nd) == v
