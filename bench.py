@@ -201,6 +201,11 @@ BENCH_QUERIES = [
     # round-7: sink-twin ranking + table maintenance
     "trending_topk",
     "compaction_plan",
+    # round-9: duplicated-substring census, contamination matrix,
+    # training-shard manifest
+    "duplicate_ngrams",
+    "source_overlap_matrix",
+    "shard_manifest",
 ]
 
 

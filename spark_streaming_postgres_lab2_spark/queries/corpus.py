@@ -11,6 +11,13 @@ stages that come AFTER near-dup detection -- actually dropping rows.
   (no RNG state), which is why production pipelines prefer it to
   rand(); lexicographic compare on the fixed-width lowercase hex
   prefix equals numeric compare, so DuckDB re-derives the exact rows.
+
+Later additions (same oracle discipline): chunking/packing/quantize
+(r3), decontamination + semantic/incremental dedup (r5-r6), and the
+round-9 trio -- ``duplicate_ngrams`` (corpus-wide repeated-substring
+census), ``source_overlap_matrix`` (cross-source contamination
+matrix), ``shard_manifest`` (deterministic hash-shuffled byte-budget
+training shards).
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import dedup_clusters, minhash_near_dupes_portable
+from ..functions.text import shingles
 from ..sources.tables import load_tables
 from . import QuerySpec
 from .ext import _SQL_SHINGLES, _sql_minhash_pairs
@@ -270,6 +278,15 @@ def specs() -> list[QuerySpec]:
         QuerySpec("training_mix_upsample", q_training_mix_upsample,
                   ORACLE_TRAINING_MIX_UPSAMPLE,
                   "deterministic fractional upsampling (epochs-per-dataset mix)"),
+        QuerySpec("duplicate_ngrams", q_duplicate_ngrams,
+                  ORACLE_DUPLICATE_NGRAMS,
+                  "corpus-wide duplicated 8-gram census (top-K by doc reach)"),
+        QuerySpec("source_overlap_matrix", q_source_overlap_matrix,
+                  ORACLE_SOURCE_OVERLAP,
+                  "per-source-pair shared-ngram contamination matrix"),
+        QuerySpec("shard_manifest", q_shard_manifest,
+                  ORACLE_SHARD_MANIFEST,
+                  "deterministic hash-shuffle + byte-budget training shards"),
     ]
 
 
@@ -880,3 +897,239 @@ GROUP BY source
 ORDER BY source
 """
     )
+
+
+# --- corpus-wide duplicated-substring census ----------------------------------
+
+# 8-token grams, the GPT-3/PaLM decontamination granularity (same n as
+# curation.exact_ngram_decontaminate -- this is the corpus-internal
+# census, that one is the train-vs-eval check).
+_DUP_NGRAM_N = 8
+_DUP_TOP_K = 50
+
+
+def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring census: the top-K verbatim
+    8-token n-grams that appear in >= 2 distinct documents, with how
+    many documents and total occurrences each has (the corpus-level
+    repeated-substring mining of Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" -- the diagnostic that
+    tells you WHAT is duplicated before a substring-dedup pass decides
+    what to cut).
+
+    Scale shape: one linear shingle pass per document (no UDF), ONE
+    shuffle keyed on the gram with map-side partial aggregation
+    (count + count-distinct collapse per mapper before the exchange);
+    the >= 2-docs filter runs post-aggregate so output is bounded by
+    true duplication, and the top-K order/limit caps the result at K
+    rows regardless of corpus size.  Nothing is ever joined -- a 100x
+    corpus only widens the single exchange."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = t["documents"].select(
+        "doc_id",
+        F.explode(shingles(F.col("text"), _DUP_NGRAM_N)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "gram")
+        .limit(_DUP_TOP_K)
+    )
+
+
+def _sql_dup_grams(n: int) -> str:
+    """DuckDB mirror of functions/text.shingles over documents: empty
+    docs -> no grams, docs shorter than n tokens -> one whole-text
+    gram (same contract curation._sql_grams pins for the
+    decontamination oracles)."""
+    return f"""__tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__g AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - {n - 2}),
+                            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+                END) AS gram
+  FROM __tok
+)"""
+
+
+ORACLE_DUPLICATE_NGRAMS = (
+    "WITH "
+    + _sql_dup_grams(_DUP_NGRAM_N)
+    + f"""
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM __g
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT {_DUP_TOP_K}
+"""
+)
+
+
+# --- cross-source contamination matrix ----------------------------------------
+
+
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-leakage matrix: for every source pair, the number of
+    distinct 8-token n-grams both sources contain -- the
+    crawl-overlap / mirror-site diagnostic a corpus audit runs before
+    trusting per-source mix weights (two "different" sources sharing
+    thousands of grams are the same underlying crawl).
+
+    Scale shape: the naive formulation self-joins the exploded gram
+    table (quadratic in gram frequency); this one never joins.  The
+    distinct (gram, source) pairs aggregate to ONE row per gram whose
+    payload is the sorted source set -- an array bounded by the number
+    of SOURCES (~20), not by document count -- and the pair expansion
+    is a row-local array transform over that bounded set.  Two
+    shuffles total (gram-distinct, gram-group), both map-side
+    combinable; output is bounded by sources^2/2."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    gs = (
+        t["documents"]
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles(F.col("text"), _DUP_NGRAM_N))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    per_gram = (
+        gs.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> named_struct('a', a, 'b', b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# The oracle replays the SEMANTICS (distinct grams shared per source
+# pair) with the formulation DuckDB optimizes best -- a self-join over
+# the distinct (source, gram) set; the Spark side's bounded-array
+# expansion is the distributed-scale design, and the hash compare
+# proves the two agree.
+ORACLE_SOURCE_OVERLAP = (
+    "WITH "
+    + _sql_dup_grams(_DUP_NGRAM_N)
+    + """,
+__sg AS (
+  SELECT DISTINCT source, gram FROM __g
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_ngrams
+FROM __sg a JOIN __sg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+# --- training-shard manifest ---------------------------------------------------
+
+# Shard construction constants: 8 hash buckets x 4 KiB (chars) shards
+# keep the sf0.01 fixture at a few shards per bucket; production values
+# (e.g. 1024 buckets x 1 GiB) change only these two literals.
+_N_SHARD_BUCKETS = 8
+_SHARD_CHARS = 4096
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: deterministically shuffle the corpus
+    (order by md5 of doc_id -- the reproducible, RNG-free global
+    shuffle a training run needs for batch decorrelation) and pack the
+    shuffled stream greedily into fixed-byte-budget shards
+    (shard_id = floor(cumulative-chars-before / budget), the same
+    concat-and-split rule sequence_packing pins for token bins).
+    Emits per-shard document count and size -- the manifest a data
+    loader consumes.
+
+    Scale shape: a single GLOBAL sort would serialize on one reducer,
+    so the shuffle key's low bits first route documents to one of
+    ``_N_SHARD_BUCKETS`` independent buckets and the cumulative window
+    runs PER BUCKET -- every bucket packs in parallel, and (bucket,
+    shard_id) remains a stable global address.  At 100 TB the bucket
+    count scales to the cluster (1024 buckets of ~100 GB each window
+    locally); one exchange on bucket, window + rollup reuse it --
+    no second shuffle."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    key = F.md5(F.col("doc_id").cast("string"))
+    kint = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    docs = t["documents"].select(
+        F.pmod(kint, F.lit(_N_SHARD_BUCKETS)).cast("int").alias("bucket"),
+        key.alias("__key"),
+        "doc_id",
+        "n_chars",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("__key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sharded = docs.withColumn(
+        "shard_id",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(_SHARD_CHARS)
+        ).cast("bigint"),
+    )
+    return (
+        sharded.groupBy("bucket", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+        )
+        .orderBy("bucket", "shard_id")
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS k,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % {_N_SHARD_BUCKETS} AS INTEGER) AS bucket
+  FROM documents
+),
+s AS (
+  SELECT bucket, n_chars,
+         CAST(floor(coalesce(sum(n_chars) OVER (
+           PARTITION BY bucket ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_SHARD_CHARS}) AS BIGINT) AS shard_id
+  FROM d
+)
+SELECT bucket, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS shard_chars
+FROM s
+GROUP BY bucket, shard_id
+ORDER BY bucket, shard_id
+"""

@@ -360,3 +360,138 @@ def test_compaction_plan_bin_packing(spark):
     assert (a1.n_files, a1.total_bytes, a1.first_doc, a1.last_doc) == (
         2, T // 2 + 2 * T, 3, 4)
     assert (b0.n_files, b0.total_bytes) == (1, 10)
+
+
+# --- round-9 additions: duplicate_ngrams / source_overlap_matrix /
+# --- shard_manifest
+
+
+def test_duplicate_ngrams_counts_docs_and_occurrences(spark):
+    """Crafted corpus pins the census rules: a gram shared by two docs
+    is reported with distinct-doc and total-occurrence counts; a gram
+    confined to ONE doc never appears however often it repeats; short
+    docs (< n tokens) match on their whole-text gram."""
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_duplicate_ngrams,
+    )
+
+    eight = "a b c d e f g h"          # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text=eight),
+            Row(doc_id=2, source="s1", text=eight),
+            # 9 tokens starting with the same 8 -> grams [a..h], [b..i]:
+            # a third occurrence of the shared gram
+            Row(doc_id=3, source="s2", text=eight + " i"),
+            # single-doc repetition: "z1..z8 z1..z8" repeats its grams
+            # but no OTHER doc has them -> must not be reported
+            Row(doc_id=4, source="s2",
+                text="z1 z2 z3 z4 z5 z6 z7 z8 z1 z2 z3 z4 z5 z6 z7 z8"),
+            # short docs: whole-text gram "x y" shared across two docs
+            Row(doc_id=5, source="s3", text="x y"),
+            Row(doc_id=6, source="s3", text="x y"),
+        ]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.gram: r for r in q_duplicate_ngrams(spark, "unused").collect()}
+    finally:
+        corpus.load_tables = orig
+
+    assert set(got) == {eight, "x y"}
+    assert (got[eight].n_docs, got[eight].n_occurrences) == (3, 3)
+    assert (got["x y"].n_docs, got["x y"].n_occurrences) == (2, 2)
+
+
+def test_source_overlap_matrix_pair_semantics(spark):
+    """Crafted sources pin the matrix rules: a pair's count is the
+    number of DISTINCT grams both contain (within-source duplication
+    and per-source multiplicity never inflate it), pairs are emitted
+    once in (source_a < source_b) orientation, and disjoint sources
+    produce no row."""
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_source_overlap_matrix,
+    )
+
+    g1 = "g1 w2 w3 w4 w5 w6 w7 w8"
+    g2 = "g2 w2 w3 w4 w5 w6 w7 w8"
+    g3 = "g3 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            # a and b share g1 (a holds it TWICE across two docs)
+            Row(doc_id=1, source="a", text=g1),
+            Row(doc_id=2, source="a", text=g1),
+            Row(doc_id=3, source="b", text=g1),
+            # b and c share g2 and g3; a has neither
+            Row(doc_id=4, source="b", text=g2),
+            Row(doc_id=5, source="b", text=g3),
+            Row(doc_id=6, source="c", text=g2),
+            Row(doc_id=7, source="c", text=g3),
+            # c-only gram: no pair
+            Row(doc_id=8, source="c", text="c9 w2 w3 w4 w5 w6 w7 w8"),
+        ]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        rows = q_source_overlap_matrix(spark, "unused").collect()
+    finally:
+        corpus.load_tables = orig
+
+    got = {(r.source_a, r.source_b): r.n_shared_ngrams for r in rows}
+    assert got == {("a", "b"): 1, ("b", "c"): 2}
+
+
+def test_shard_manifest_matches_pure_python_mirror(spark):
+    """Exact replay: bucket = md5-prefix-int mod buckets, pack in
+    (md5(doc_id), doc_id) order, shard = floor(cum-chars-BEFORE /
+    budget) -- recomputed in pure Python over a crafted corpus sized
+    to force several shards per bucket and one budget-straddling
+    document."""
+    import hashlib
+    from collections import defaultdict
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _N_SHARD_BUCKETS,
+        _SHARD_CHARS,
+        q_shard_manifest,
+    )
+
+    # 60 docs, char sizes cycling through small/medium/one straddler
+    sizes = [(i, [137, 911, 2048, 4097 + 512][i % 4]) for i in range(60)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text="t", n_chars=n) for i, n in sizes]
+    )
+
+    def key(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    expected: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    per_bucket: dict[int, list] = defaultdict(list)
+    for i, n in sizes:
+        k = key(i)
+        per_bucket[int(k[:15], 16) % _N_SHARD_BUCKETS].append((k, i, n))
+    for b, members in per_bucket.items():
+        cum = 0
+        for k, i, n in sorted(members):
+            sid = cum // _SHARD_CHARS
+            expected[(b, sid)][0] += 1
+            expected[(b, sid)][1] += n
+            cum += n
+
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        rows = q_shard_manifest(spark, "unused").collect()
+    finally:
+        corpus.load_tables = orig
+
+    got = {(r.bucket, r.shard_id): [r.n_docs, r.shard_chars] for r in rows}
+    assert got == dict(expected)
+    # global invariants: every doc lands exactly once, bytes conserved
+    assert sum(v[0] for v in got.values()) == len(sizes)
+    assert sum(v[1] for v in got.values()) == sum(n for _, n in sizes)

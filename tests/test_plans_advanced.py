@@ -14,6 +14,11 @@ from spark_streaming_postgres_lab2_spark.queries.advanced import (
     q_order_window_suite,
     q_rolling_7d_revenue,
 )
+from spark_streaming_postgres_lab2_spark.queries.corpus import (
+    q_duplicate_ngrams,
+    q_shard_manifest,
+    q_source_overlap_matrix,
+)
 
 
 def test_nation_profit_broadcasts_all_dims(spark, sf_dir):
@@ -73,3 +78,37 @@ def test_regex_scan_prunes_to_text(spark, sf_dir):
     cols = checks.read_schema_columns(q_doc_regex_extract(spark, sf_dir))
     assert "text" in cols
     assert "lang" not in cols and "source" not in cols
+
+
+def test_duplicate_ngrams_join_free_pruned(spark, sf_dir):
+    """The duplicated-substring census must stay a pure aggregate: no
+    join of any kind, map-side partial agg, scan pruned to the two
+    columns it uses (a full-row read of a 100 TB documents table would
+    dominate the job)."""
+    df = q_duplicate_ngrams(spark, sf_dir)
+    assert checks.sort_merge_join_count(df) == 0
+    assert checks.broadcast_join_count(df) == 0
+    assert checks.has_partial_aggregation(df)
+    assert set(checks.read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_source_overlap_matrix_never_joins(spark, sf_dir):
+    """The contamination matrix's whole point is avoiding the gram
+    self-join (quadratic in gram frequency): the plan must contain NO
+    join -- the pair expansion is a row-local transform over the
+    bounded per-gram source set."""
+    df = q_source_overlap_matrix(spark, sf_dir)
+    assert checks.sort_merge_join_count(df) == 0
+    assert checks.broadcast_join_count(df) == 0
+    assert set(checks.read_schema_columns(df)) == {"source", "text"}
+
+
+def test_shard_manifest_reuses_bucket_exchange(spark, sf_dir):
+    """The per-bucket packing window and the (bucket, shard_id) rollup
+    must share ONE hash exchange (hash(bucket) already clusters the
+    rollup keys); only the final presentation sort may add a second.
+    A third shuffle would mean the window partitioning was not
+    reused."""
+    df = q_shard_manifest(spark, sf_dir)
+    assert checks.shuffle_count(df) <= 2
+    assert set(checks.read_schema_columns(df)) == {"doc_id", "n_chars"}
