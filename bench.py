@@ -202,10 +202,12 @@ BENCH_QUERIES = [
     "trending_topk",
     "compaction_plan",
     # round-9: duplicated-substring census, contamination matrix,
-    # training-shard manifest
+    # training-shard manifest, substring-dedup cut, PQ audit
     "duplicate_ngrams",
     "source_overlap_matrix",
     "shard_manifest",
+    "substring_dedup_cut",
+    "embedding_pq_audit",
 ]
 
 

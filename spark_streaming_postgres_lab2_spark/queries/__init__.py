@@ -56,23 +56,25 @@ DRIVER_PRIORITY = [
     "priority_linestatus",
     "supplier_count_by_part",
     "dominant_suppliers",
-    # round 9, tier 0b (3): added THIS round (duplicated-substring
+    # round 9, tier 0b (5): added THIS round (duplicated-substring
     # census, cross-source contamination matrix, training-shard
-    # manifest) -- new oracles go straight into the window so they are
-    # never in the "never driver-checked" state the r7/r8 verdicts
-    # flagged.  Each displaces one low-drift r5-green into the r10
-    # cohort.
+    # manifest, exact-substring dedup cut, PQ audit) -- new oracles go
+    # straight into the window so they are never in the "never
+    # driver-checked" state the r7/r8 verdicts flagged.  Each displaces
+    # one low-drift r5-green into the r10 cohort.
     "duplicate_ngrams",
     "source_overlap_matrix",
     "shard_manifest",
-    # round 9, tier 1 (35 of the 48 oracles whose last driver-green row
-    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 13
+    "substring_dedup_cut",
+    "embedding_pq_audit",
+    # round 9, tier 1 (33 of the 48 oracles whose last driver-green row
+    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 15
     # held to r10 are the lowest-drift single-shape SQL cohort
     # (big_orders, important_parts, market_share, min_cost_supplier,
     # sole_failed_supplier, top_supplier, order_date_math,
     # late_arrivals, user_map_funcs, user_set_ops_all, doc_array_ops,
-    # doc_clean, grouping_sets_events); the
-    # LSH/ANN/multimodal/session/statistics operators stay in.
+    # doc_clean, grouping_sets_events, dlq_breakdown, quality_hourly);
+    # the LSH/ANN/multimodal/session/statistics operators stay in.
     "ann_ivf_lossless_audit",
     "ann_recall_audit",
     "approx_distinct_audit",
@@ -80,7 +82,6 @@ DRIVER_PRIORITY = [
     "bm25_search",
     "canonical_docs",
     "cohort_retention",
-    "dlq_breakdown",
     "doc_fingerprints",
     "doc_repetition",
     "embedding_norms",
@@ -94,7 +95,6 @@ DRIVER_PRIORITY = [
     "pagerank_links",
     "purchase_attribution",
     "quality_classifier_filter",
-    "quality_hourly",
     "salted_distinct_users",
     "schema_migration",
     "session_path_mining",

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import dedup_clusters, minhash_near_dupes_portable
-from ..functions.text import shingles
+from ..functions.text import shingles, tokens
 from ..sources.tables import load_tables
 from . import QuerySpec
 from .ext import _SQL_SHINGLES, _sql_minhash_pairs
@@ -287,6 +287,10 @@ def specs() -> list[QuerySpec]:
         QuerySpec("shard_manifest", q_shard_manifest,
                   ORACLE_SHARD_MANIFEST,
                   "deterministic hash-shuffle + byte-budget training shards"),
+        QuerySpec("substring_dedup_cut", q_substring_dedup_cut,
+                  ORACLE_SUBSTRING_DEDUP_CUT,
+                  "exact-substring dedup cut: non-first duplicate 8-gram "
+                  "windows removed, interval-union token accounting"),
     ]
 
 
@@ -1132,4 +1136,165 @@ SELECT bucket, shard_id,
 FROM s
 GROUP BY bucket, shard_id
 ORDER BY bucket, shard_id
+"""
+
+
+# --- exact-substring dedup: the CUT stage -------------------------------------
+
+
+def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (the CUT stage of Lee et al.
+    2021): every occurrence of a cross-document duplicated 8-token
+    gram EXCEPT the corpus-first one (min (doc_id, pos)) is a cut
+    window; a document's removed-token count is the length of the
+    UNION of its cut windows (overlapping windows must not
+    double-count).  Emits per-source kept/removed token accounting --
+    the measurement ``duplicate_ngrams`` (the census) feeds into an
+    actual dedup decision.
+
+    Scale shape: four exchanges, none quadratic -- (1) the gram
+    aggregate finding duplicated grams + their first occurrence
+    (map-side combinable struct-MIN), (2) the occurrence<->dup-gram
+    equi-join on the gram key (output bounded by true duplication,
+    never all-pairs), (3) the per-document interval-union window
+    (running MAX of window end -- the sweep-line trick
+    session_concurrency pins, partitioned by doc so no global sort),
+    (4) the per-source rollup.  Window arithmetic is pure BIGINT; the
+    ratio is display-only (round 4)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    clean = F.coalesce(
+        F.filter(tokens(F.col("text")), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
+    base = t["documents"].select(
+        "doc_id",
+        "source",
+        F.size(clean).alias("n_toks"),
+        shingles(F.col("text"), _DUP_NGRAM_N).alias("__grams"),
+    )
+    # 1-based start pos; a short doc's single whole-text gram covers
+    # n_toks tokens, a full gram covers _DUP_NGRAM_N
+    occ = base.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.posexplode("__grams").alias("i", "gram"),
+    ).select(
+        "doc_id",
+        "gram",
+        (F.col("i") + 1).alias("pos"),
+        (F.col("i") + F.least(F.col("n_toks"), F.lit(_DUP_NGRAM_N))).alias(
+            "endpos"
+        ),
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.countDistinct("doc_id").alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("gram", "first_occ")
+    )
+    cut = occ.join(dup, "gram").filter(
+        ~(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("pos") == F.col("first_occ.pos"))
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "endpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    newly = F.greatest(
+        F.lit(0),
+        F.col("endpos")
+        - F.greatest(
+            F.coalesce(F.max("endpos").over(w), F.lit(0)), F.col("pos") - 1
+        ),
+    )
+    per_doc = (
+        cut.select("doc_id", "pos", "endpos")
+        .withColumn("__newly", newly)
+        .groupBy("doc_id")
+        .agg(F.sum("__newly").alias("__removed"))
+    )
+    removed = F.coalesce(F.col("__removed"), F.lit(0))
+    return (
+        base.select("doc_id", "source", "n_toks")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum(removed).cast("bigint").alias("removed_tokens"),
+            F.round(
+                F.lit(1.0) - F.sum(removed) / F.sum("n_toks"), 4
+            ).alias("retained_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# The oracle re-derives positions with range() aligned to the same
+# 1-based convention and replays the struct-MIN first-occurrence rule
+# (DuckDB struct comparison is lexicographic by field order, exactly
+# like Spark's struct MIN).
+ORACLE_SUBSTRING_DEDUP_CUT = f"""
+WITH __tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+__occ AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(toks) < {_DUP_NGRAM_N} THEN [array_to_string(toks, ' ')]
+                     ELSE list_transform(range(1, len(toks) - {_DUP_NGRAM_N - 2}),
+                            i -> array_to_string(list_slice(toks, i, i + {_DUP_NGRAM_N - 1}), ' '))
+                END) AS gram,
+         unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+                     WHEN len(toks) < {_DUP_NGRAM_N} THEN [CAST(1 AS BIGINT)]
+                     ELSE range(1, len(toks) - {_DUP_NGRAM_N - 2})
+                END) AS pos
+  FROM __tok
+),
+__occ2 AS (
+  SELECT doc_id, gram, pos,
+         pos + least(n_toks, {_DUP_NGRAM_N}) - 1 AS endpos
+  FROM __occ
+),
+__dup AS (
+  SELECT gram, min(struct_pack(doc_id := doc_id, pos := pos)) AS first_occ
+  FROM __occ2
+  GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+),
+__cut AS (
+  SELECT o.doc_id, o.pos, o.endpos
+  FROM __occ2 o JOIN __dup d ON o.gram = d.gram
+  WHERE NOT (o.doc_id = d.first_occ.doc_id AND o.pos = d.first_occ.pos)
+),
+__iv AS (
+  SELECT doc_id,
+         greatest(0, endpos - greatest(coalesce(max(endpos) OVER (
+           PARTITION BY doc_id ORDER BY pos, endpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos - 1)) AS newly
+  FROM __cut
+),
+__doc AS (
+  SELECT doc_id, sum(newly) AS removed FROM __iv GROUP BY doc_id
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(d.removed, 0)) AS BIGINT) AS removed_tokens,
+       round(1.0 - CAST(sum(coalesce(d.removed, 0)) AS DOUBLE)
+                   / sum(len(t.toks)), 4) AS retained_ratio
+FROM __tok t LEFT JOIN __doc d ON t.doc_id = d.doc_id
+GROUP BY t.source
+ORDER BY t.source
 """

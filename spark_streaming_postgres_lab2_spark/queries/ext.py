@@ -2983,6 +2983,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_KMEANS_PROFILE,
                   "exact integer-quantized Lloyd's k-means replay "
                   "(3 rounds, empty-cluster carry, BIGINT inertia)"),
+        QuerySpec("embedding_pq_audit", q_embedding_pq_audit,
+                  ORACLE_EMBEDDING_PQ,
+                  "product-quantization assignment + exact BIGINT "
+                  "reconstruction error per subspace"),
         QuerySpec("png_decode", q_png_decode,
                   ORACLE_PNG_DECODE,
                   "real PNG codec round trip (zlib chunks, CRCs, "
@@ -3051,3 +3055,130 @@ def specs() -> list[QuerySpec]:
                   "real NN-downsample over the BMP codec, "
                   "oracle recomputes resized stats arithmetically"),
     ]
+
+
+# --- product quantization audit ------------------------------------------------
+
+# PQ geometry: 64-dim vectors split into 8 subspaces of 8 dims, 16
+# codes per subspace -> a vector compresses to 8 half-byte-addressable
+# codes (4 bytes vs 256 float bytes = 64x; vs the int8 tier's 4x).
+_PQ_M = 8      # subspaces
+_PQ_SUB = 8    # dims per subspace (= _KM_DIM / _PQ_M)
+_PQ_K = 16     # codes per subspace
+
+
+def q_embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: assign every vector's 8-dim
+    subvectors to the nearest of 16 per-subspace codes and emit, per
+    subspace, the vector count, distinct codes used, and the exact
+    BIGINT total squared reconstruction error -- the PQ counterpart of
+    ``embedding_quantize`` (int8, 4x) for the 100 TB ANN store where
+    codes are what ships through shuffles and sits in the index
+    (64x smaller than float32).
+
+    Exactness recipe shared with ``kmeans_cluster_profile``: vectors
+    quantize as floor(double(v) * 2^14) BIGINT; the codebook is the
+    subvectors of the _PQ_K lowest vec_ids (deterministic seeding --
+    codebook TRAINING quality is the k-means family's concern; this
+    audit certifies the assignment/reconstruction machinery);
+    distances are BIGINT sums of squared differences; argmin
+    tie-breaks on (d2, code) struct-MIN.
+
+    Scale shape: the codebook is M*K*SUB = 1024 rows at ANY corpus
+    size and is BROADCAST; the corpus-side work is one long-form
+    explode, one broadcast-join + (vec_id, m, code) partial-agg
+    distance sum, one struct-MIN argmin, one M-row rollup.  No
+    corpus-side self-join, nothing all-pairs."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qv = t["embeddings"].select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_KM_DIM}),"
+            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q")).select(
+        "vec_id",
+        (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
+        (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
+        "q",
+    )
+    seeds = (
+        qv.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
+        )
+    )
+    book = seeds.join(ql, "vec_id").select(
+        "m", "code", "j", F.col("q").alias("c")
+    )
+    d2 = (
+        ql.join(F.broadcast(book), ["m", "j"])
+        .groupBy("vec_id", "m", "code")
+        .agg(F.sum(F.expr("(q - c) * (q - c)")).alias("d2"))
+    )
+    assign = (
+        d2.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("__a"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("__a.code").alias("code"),
+            F.col("__a.d2").alias("d2"),
+        )
+    )
+    return (
+        assign.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("code").cast("bigint").alias("codes_used"),
+            F.sum("d2").cast("bigint").alias("total_sq_err"),
+        )
+        .withColumnRenamed("m", "subspace")
+        .orderBy("subspace")
+    )
+
+
+ORACLE_EMBEDDING_PQ = f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding[1:{_KM_DIM}],
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (SELECT unnest(range(0, {_KM_DIM})) AS p0),
+ql AS (
+  SELECT vec_id, CAST(p0 // {_PQ_SUB} AS INTEGER) AS m, p0 % {_PQ_SUB} AS j,
+         qv[p0 + 1] AS q
+  FROM qv, p
+),
+seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {_PQ_K})
+),
+book AS (
+  SELECT q.m, s.code, q.j, q.q AS c FROM seeds s JOIN ql q ON q.vec_id = s.vec_id
+),
+d2 AS (
+  SELECT q.vec_id, q.m, b.code,
+         CAST(sum((q.q - b.c) * (q.q - b.c)) AS BIGINT) AS d2
+  FROM ql q JOIN book b ON b.m = q.m AND b.j = q.j
+  GROUP BY q.vec_id, q.m, b.code
+),
+a AS (
+  SELECT vec_id, m, code, d2 FROM (
+    SELECT vec_id, m, code, d2,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT m AS subspace,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+       CAST(sum(d2) AS BIGINT) AS total_sq_err
+FROM a
+GROUP BY m
+ORDER BY m
+"""

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from spark_streaming_postgres_lab2_spark.functions.similarity import (
@@ -157,3 +158,45 @@ def test_kmeans_profile_planted_clusters_and_empty_carry(spark):
     # empty cluster: zero members, centroid carried from its seed
     assert (got[3].n_members, got[3].member_id_sum, got[3].inertia,
             got[3].centroid_sum) == (0, 0, 0, c_sum)
+
+
+def test_embedding_pq_audit_assignment_rules(spark):
+    """Crafted codebook geometry pins the PQ assignment rules: the 16
+    seed vectors reconstruct exactly (their own code, zero error); a
+    vector between two codes takes the LOWEST code on a distance tie
+    (struct-min on (d2, code)); subspaces where every vector is
+    identical collapse to one code with zero error.  All values are
+    exactly representable in float32 (multiples of 0.25), so the
+    integer quantization is engine-independent."""
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _KM_QSCALE,
+        q_embedding_pq_audit,
+    )
+
+    def vec(v0: float) -> list[float]:
+        return [v0] + [0.0] * 63
+
+    rows = [Row(vec_id=k, embedding=vec(float(k + 1)), label=0) for k in range(16)]
+    rows += [
+        Row(vec_id=100, embedding=vec(3.25), label=0),   # nearest seed 2 (3.0)
+        Row(vec_id=101, embedding=vec(6.0), label=0),    # exact copy of seed 5
+        Row(vec_id=102, embedding=vec(1.5), label=0),    # tie seeds 0/1 -> code 0
+    ]
+    df = spark.createDataFrame(rows)
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": df}
+        got = {r.subspace: r for r in q_embedding_pq_audit(spark, "unused").collect()}
+    finally:
+        ext.load_tables = orig
+
+    q = lambda x: int(x * _KM_QSCALE)  # exact for multiples of 0.25
+    err_100 = (q(3.25) - q(3.0)) ** 2
+    err_102 = (q(1.5) - q(1.0)) ** 2
+    s0 = got[0]
+    assert (s0.n_vectors, s0.codes_used) == (19, 16)
+    assert s0.total_sq_err == err_100 + err_102
+    for m in range(1, 8):
+        sm = got[m]
+        assert (sm.n_vectors, sm.codes_used, sm.total_sq_err) == (19, 1, 0)

@@ -495,3 +495,45 @@ def test_shard_manifest_matches_pure_python_mirror(spark):
     # global invariants: every doc lands exactly once, bytes conserved
     assert sum(v[0] for v in got.values()) == len(sizes)
     assert sum(v[1] for v in got.values()) == sum(n for _, n in sizes)
+
+
+def test_substring_dedup_cut_first_kept_and_interval_union(spark):
+    """Crafted corpus pins the cut rules: the corpus-FIRST occurrence
+    (min (doc_id, pos)) of a duplicated gram is retained and every
+    other occurrence is cut; overlapping cut windows in one document
+    count their UNION, not their sum; short docs cut their whole-text
+    gram span; docs with no duplicated gram lose nothing."""
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+    )
+
+    g1 = "a b c d e f g h"                  # 8 tokens, one gram
+    docs = spark.createDataFrame(
+        [
+            # first occurrences: g1 -> (1,1), g2=b..i -> (2,1)
+            Row(doc_id=1, source="s", text=g1),
+            Row(doc_id=2, source="s", text="b c d e f g h i"),
+            # both grams of this 9-token doc are non-first duplicates:
+            # windows [1,8] and [2,9] -> union 9, NOT 16
+            Row(doc_id=3, source="s", text=g1 + " i"),
+            # short-doc pair: whole-text gram, winlen = n_toks = 2
+            Row(doc_id=4, source="s", text="x y"),
+            Row(doc_id=5, source="s", text="x y"),
+            # 16 tokens, only the leading g1 window is duplicated
+            Row(doc_id=6, source="s",
+                text=g1 + " q r s t u v w x9"),
+        ]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        rows = q_substring_dedup_cut(spark, "unused").collect()
+    finally:
+        corpus.load_tables = orig
+
+    assert len(rows) == 1
+    r = rows[0]
+    # removed: doc3 union(1-8, 2-9)=9; doc5 short gram=2; doc6 window=8
+    assert (r.n_docs, r.total_tokens, r.removed_tokens) == (6, 45, 19)
+    assert r.retained_ratio == round(1 - 19 / 45, 4)

@@ -112,3 +112,32 @@ def test_shard_manifest_reuses_bucket_exchange(spark, sf_dir):
     df = q_shard_manifest(spark, sf_dir)
     assert checks.shuffle_count(df) <= 2
     assert set(checks.read_schema_columns(df)) == {"doc_id", "n_chars"}
+
+
+def test_substring_dedup_cut_plan_shape(spark, sf_dir):
+    """The cut stage must keep its four-exchange shape: map-side
+    partial aggregation on the gram rollup, an equi-join (never a
+    BroadcastNestedLoop/cartesian) between occurrences and the dup
+    table, and a scan pruned to the three columns it uses."""
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+    )
+
+    df = q_substring_dedup_cut(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in checks.physical_plan(df)
+    assert checks.has_partial_aggregation(df)
+    assert set(checks.read_schema_columns(df)) == {"doc_id", "source", "text"}
+
+
+def test_embedding_pq_audit_broadcasts_codebook(spark, sf_dir):
+    """The PQ codebook is constant-sized (M*K*SUB = 1024 rows) at any
+    corpus scale: it must BROADCAST -- a sort-merge join here would
+    shuffle the whole long-form corpus against a 1024-row table."""
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_embedding_pq_audit,
+    )
+
+    df = q_embedding_pq_audit(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 1
+    assert checks.sort_merge_join_count(df) == 0
+    assert set(checks.read_schema_columns(df)) == {"vec_id", "embedding"}

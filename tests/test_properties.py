@@ -909,3 +909,63 @@ def test_round_half_up_huge_magnitudes_are_identity():
     for v in (1e24, -1e24, 1e58, -1e58, 1e308, -1e308):
         for nd in (0, 2, 6):
             assert round_half_up(v, nd) == v
+
+
+# --- shard_manifest vs pure-Python mirror (round 9) ---------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),   # doc_id
+            st.integers(min_value=0, max_value=9000),    # n_chars
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_shard_manifest_matches_mirror_on_random_corpora(spark, docs_spec):
+    """Property: for ARBITRARY (doc_id, n_chars) corpora -- including
+    zero-length docs and docs bigger than the shard budget -- the
+    engine's (bucket, shard_id) manifest equals a pure-Python replay
+    of the spec (md5 bucket route, (md5, doc_id) pack order,
+    floor(cum-before / budget))."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _N_SHARD_BUCKETS,
+        _SHARD_CHARS,
+        q_shard_manifest,
+    )
+
+    expected: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    per_bucket: dict[int, list] = defaultdict(list)
+    for i, n in docs_spec:
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        per_bucket[int(k[:15], 16) % _N_SHARD_BUCKETS].append((k, i, n))
+    for b, members in per_bucket.items():
+        cum = 0
+        for k, i, n in sorted(members):
+            sid = cum // _SHARD_CHARS
+            expected[(b, sid)][0] += 1
+            expected[(b, sid)][1] += n
+            cum += n
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text="t", n_chars=n) for i, n in docs_spec]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = q_shard_manifest(spark, "unused").collect()
+    finally:
+        corpus.load_tables = orig
+
+    got = {(r.bucket, r.shard_id): [r.n_docs, r.shard_chars] for r in rows}
+    assert got == dict(expected)
