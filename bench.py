@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "substring_dedup_cut",
     "embedding_pq_audit",
+    "ann_ivfpq_adc_audit",
 ]
 
 

@@ -2987,6 +2987,10 @@ def specs() -> list[QuerySpec]:
                   ORACLE_EMBEDDING_PQ,
                   "product-quantization assignment + exact BIGINT "
                   "reconstruction error per subspace"),
+        QuerySpec("ann_ivfpq_adc_audit", q_ann_ivfpq_adc_audit,
+                  ORACLE_ANN_IVFPQ_ADC,
+                  "IVF-PQ asymmetric-distance search, integer-exact "
+                  "end-to-end (route, residual-encode, LUT, ADC rank)"),
         QuerySpec("png_decode", q_png_decode,
                   ORACLE_PNG_DECODE,
                   "real PNG codec round trip (zlib chunks, CRCs, "
@@ -3181,4 +3185,237 @@ SELECT m AS subspace,
 FROM a
 GROUP BY m
 ORDER BY m
+"""
+
+
+# --- IVF-PQ asymmetric-distance search ------------------------------------------
+
+# IVF-PQ geometry: _IVFPQ_C coarse cells, nprobe 2, PQ on RESIDUALS
+# with the _PQ_M x _PQ_K codebook; 5 probe queries, top-10.
+_IVFPQ_C = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_NQ = 5
+_IVFPQ_TOPK = 10
+
+
+def q_ann_ivfpq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation, hash-checked end
+    to end -- the composition the 100 TB ANN store actually runs:
+    coarse-quantize every vector to one of 8 cells, PQ-encode its
+    RESIDUAL (8 subspaces x 16 codes), then answer queries by probing
+    the 2 nearest cells and ranking candidates by the ADC lookup-table
+    distance (sum over subspaces of the query-residual-to-code
+    distance) -- candidates are never decoded.  Emits each query's
+    top-10 (rank, vec_id, adc_d2).
+
+    Exactness: the planted corpus (_planted_embeddings) quantizes as
+    floor(x * 2^14) BIGINT; coarse centroids are the 8 lowest vec_ids'
+    vectors, PQ codes the 16 lowest vec_ids' residuals (deterministic
+    seeding -- codebook TRAINING is the k-means family's concern; this
+    audit certifies routing, residual encoding, LUT construction, and
+    ADC ranking).  Every distance is a BIGINT sum of squared integer
+    differences; all argmins tie-break on (d2, id) struct-MIN; the
+    final rank orders (adc_d2, vec_id).  DuckDB replays the whole
+    pipeline bit-for-bit.  Quality under this untrained codebook is
+    pinned in tests/test_ann_recall.py (mean recall@10 >= 0.4 vs the
+    exact integer top-10; codebook-member queries reconstruct
+    losslessly and rank themselves first at distance 0).
+
+    Scale shape: centroids (8 x 64), codebook (1024 rows), probe list
+    and LUT (nq x nprobe x 128) are constant-sized at ANY corpus scale
+    and BROADCAST; the corpus appears only in vec_id- or
+    (cell, m, code)-keyed equi-joins with map-side partial aggregation
+    -- no corpus x corpus pair ever forms, and the candidate set is
+    bounded by the probed cells (the IVF point)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = _planted_embeddings(t["embeddings"])
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_KM_DIM}),"
+            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q"))
+    cseeds = (
+        qv.orderBy("vec_id")
+        .limit(_IVFPQ_C)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+        )
+    )
+    cent = cseeds.join(ql, "vec_id").select("cell", "p0", F.col("q").alias("c"))
+    cd2 = (
+        ql.join(F.broadcast(cent), "p0")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.expr("(q - c) * (q - c)")).alias("d2"))
+    )
+    assign = (
+        cd2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("__a"))
+        .select("vec_id", F.col("__a.cell").alias("cell"))
+    )
+    res = (
+        ql.join(assign, "vec_id")
+        .join(F.broadcast(cent), ["cell", "p0"])
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
+            (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
+            (F.col("q") - F.col("c")).alias("r"),
+        )
+    )
+    pseeds = (
+        qv.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
+        )
+    )
+    book = pseeds.join(res, "vec_id").select(
+        "m", "code", "j", F.col("r").alias("b")
+    )
+    pd2 = (
+        res.join(F.broadcast(book), ["m", "j"])
+        .groupBy("vec_id", "cell", "m", "code")
+        .agg(F.sum(F.expr("(r - b) * (r - b)")).alias("d2"))
+    )
+    codes = (
+        pd2.groupBy("vec_id", "cell", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("__a"))
+        .select("vec_id", "cell", "m", F.col("__a.code").alias("code"))
+    )
+    qry = ql.filter(F.col("vec_id") < _IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "p0", F.col("q").alias("xq")
+    )
+    qcd2 = (
+        qry.join(F.broadcast(cent), "p0")
+        .groupBy("query_id", "cell")
+        .agg(F.sum(F.expr("(xq - c) * (xq - c)")).alias("d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
+    probes = (
+        qcd2.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    qres = (
+        qry.join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(cent), ["cell", "p0"])
+        .select(
+            "query_id",
+            "cell",
+            (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
+            (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
+            (F.col("xq") - F.col("c")).alias("qr"),
+        )
+    )
+    lut = (
+        qres.join(F.broadcast(book), ["m", "j"])
+        .groupBy("query_id", "cell", "m", "code")
+        .agg(F.sum(F.expr("(qr - b) * (qr - b)")).alias("ld"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("ld").alias("adc_d2"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _IVFPQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.col("adc_d2").cast("bigint").alias("adc_d2"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_IVFPQ_ADC = f"""
+WITH planted AS ({_SQL_PLANTED}),
+qv AS (
+  SELECT vec_id, list_transform(pv, x -> CAST(floor(x * {_KM_QSCALE}) AS BIGINT)) AS qv
+  FROM planted
+),
+p AS (SELECT unnest(range(0, {_KM_DIM})) AS p0),
+ql AS (SELECT vec_id, p0, qv[p0 + 1] AS q FROM qv, p),
+cseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {_IVFPQ_C})
+),
+cent AS (SELECT s.cell, q.p0, q.q AS c FROM cseeds s JOIN ql q ON q.vec_id = s.vec_id),
+cd2 AS (
+  SELECT q.vec_id, c.cell, CAST(sum((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS d2
+  FROM ql q JOIN cent c ON c.p0 = q.p0
+  GROUP BY q.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM cd2) WHERE rn = 1
+),
+res AS (
+  SELECT q.vec_id, a.cell,
+         CAST(q.p0 // {_PQ_SUB} AS INTEGER) AS m, q.p0 % {_PQ_SUB} AS j,
+         q.q - c.c AS r
+  FROM ql q JOIN assign a ON a.vec_id = q.vec_id
+  JOIN cent c ON c.cell = a.cell AND c.p0 = q.p0
+),
+pseeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {_PQ_K})
+),
+book AS (SELECT r.m, s.code, r.j, r.r AS b FROM pseeds s JOIN res r ON r.vec_id = s.vec_id),
+pd2 AS (
+  SELECT r.vec_id, r.cell, r.m, b.code,
+         CAST(sum((r.r - b.b) * (r.r - b.b)) AS BIGINT) AS d2
+  FROM res r JOIN book b ON b.m = r.m AND b.j = r.j
+  GROUP BY r.vec_id, r.cell, r.m, b.code
+),
+codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT vec_id, cell, m, code,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+    FROM pd2) WHERE rn = 1
+),
+qry AS (SELECT vec_id AS query_id, p0, q AS xq FROM ql WHERE vec_id < {_IVFPQ_NQ}),
+qcd2 AS (
+  SELECT q.query_id, c.cell, CAST(sum((q.xq - c.c) * (q.xq - c.c)) AS BIGINT) AS d2
+  FROM qry q JOIN cent c ON c.p0 = q.p0
+  GROUP BY q.query_id, c.cell
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell, row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS rn
+    FROM qcd2) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT q.query_id, pr.cell,
+         CAST(q.p0 // {_PQ_SUB} AS INTEGER) AS m, q.p0 % {_PQ_SUB} AS j,
+         q.xq - c.c AS qr
+  FROM qry q JOIN probes pr ON pr.query_id = q.query_id
+  JOIN cent c ON c.cell = pr.cell AND c.p0 = q.p0
+),
+lut AS (
+  SELECT r.query_id, r.cell, r.m, b.code,
+         CAST(sum((r.qr - b.b) * (r.qr - b.b)) AS BIGINT) AS ld
+  FROM qres r JOIN book b ON b.m = r.m AND b.j = r.j
+  GROUP BY r.query_id, r.cell, r.m, b.code
+),
+scored AS (
+  SELECT l.query_id, c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON l.cell = c.cell AND l.m = c.m AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS INTEGER) AS rank
+  FROM scored) WHERE rank <= {_IVFPQ_TOPK}
+ORDER BY query_id, rank
 """

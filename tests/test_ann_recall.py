@@ -200,3 +200,49 @@ def test_embedding_pq_audit_assignment_rules(spark):
     for m in range(1, 8):
         sm = got[m]
         assert (sm.n_vectors, sm.codes_used, sm.total_sq_err) == (19, 1, 0)
+
+
+def test_ann_ivfpq_adc_recall_and_lossless_members(spark, sf_dir):
+    """Quality gates for the hash-checked IVF-PQ composition on the
+    planted corpus: (a) every probe query is a PQ-codebook member
+    (vec_id < 16), so its residual reconstructs losslessly and it must
+    rank ITSELF first at ADC distance exactly 0; (b) mean recall@10 vs
+    the exact integer top-10 (same floor(x*2^14) metric, whole corpus)
+    must hold >= 0.4 -- the pipeline is deterministic, so this is a
+    fixed property of the fixture, not a statistical bound (measured
+    0.46 at sf0.01)."""
+    import numpy as np
+
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _KM_DIM,
+        _KM_QSCALE,
+        _IVFPQ_NQ,
+        _planted_embeddings,
+        q_ann_ivfpq_adc_audit,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    rows = q_ann_ivfpq_adc_audit(spark, sf_dir).collect()
+    got: dict[int, list[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(r.vec_id)
+        if r.rank == 1:
+            assert (r.vec_id, r.adc_d2) == (r.query_id, 0)
+
+    emb = _planted_embeddings(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    pdf = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_KM_DIM}),"
+            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    ).toPandas()
+    mat = np.array([list(v) for v in pdf.qv], dtype=np.int64)
+    ids = pdf.vec_id.to_numpy()
+    recalls = []
+    for qi in range(_IVFPQ_NQ):
+        q = mat[ids == qi][0]
+        d = ((mat - q) ** 2).sum(axis=1)
+        exact = {int(ids[j]) for j in np.lexsort((ids, d))[:10]}
+        recalls.append(len(exact & set(got[qi])) / 10)
+    assert sum(recalls) / len(recalls) >= 0.4

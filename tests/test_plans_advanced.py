@@ -141,3 +141,18 @@ def test_embedding_pq_audit_broadcasts_codebook(spark, sf_dir):
     assert checks.broadcast_join_count(df) >= 1
     assert checks.sort_merge_join_count(df) == 0
     assert set(checks.read_schema_columns(df)) == {"vec_id", "embedding"}
+
+
+def test_ann_ivfpq_adc_all_small_sides_broadcast(spark, sf_dir):
+    """Every constant-sized side of the IVF-PQ pipeline (centroids,
+    codebook, probe list, LUT) must broadcast, and no corpus x corpus
+    pair may form: zero sort-merge joins, no BroadcastNestedLoop."""
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_ann_ivfpq_adc_audit,
+    )
+
+    df = q_ann_ivfpq_adc_audit(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 5
+    assert checks.sort_merge_join_count(df) == 0
+    assert "BroadcastNestedLoopJoin" not in checks.physical_plan(df)
+    assert checks.has_partial_aggregation(df)
