@@ -160,6 +160,23 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+def clean_tokens(col: Column | str) -> Column:
+    """Non-empty tokens with the NULL/empty contract every shingle
+    consumer shares: NULL or whitespace-only text yields an EMPTY
+    array (size 0), never NULL and never [''].  This is THE definition
+    of "token count" for the gram operators -- ``shingles``,
+    ``shingles_sampled``, and any query doing its own positional
+    arithmetic (queries/corpus.q_substring_dedup_cut) must all derive
+    from this one expression, or window-length math silently
+    desynchronizes from the gram array."""
+    # coalesce: NULL text must take the empty branch (size(NULL) is -1
+    # under non-ANSI, which would otherwise fall into callers'
+    # short-doc arms and emit the degenerate [''] shingle)
+    return F.coalesce(
+        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
+    )
+
+
 def _all_shingles(toks: Column, n: int) -> Column:
     """Full-length n-gram array via shifted-array zips: ``toks`` is
     referenced a constant n times (itself + n-1 shifted, padded
@@ -191,12 +208,7 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     LSH band bucket, recreating the quadratic bucket the explode
     formulation exists to avoid.  Short-but-nonempty docs still get one
     whole-text shingle so true short dups can match."""
-    # coalesce: NULL text must take the empty branch too (size(NULL) is
-    # -1 under non-ANSI, which would fall into the short-doc arm and
-    # emit the degenerate [''] shingle)
-    toks = F.coalesce(
-        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
-    )
+    toks = clean_tokens(col)
     sz = F.size(toks)
     return (
         F.when(sz == 0, F.array().cast("array<string>"))
@@ -216,9 +228,7 @@ def shingles_sampled(col: Column | str, n: int = 3, step: int = 4) -> Column:
     the min over sampled positions with high probability, and the
     subsample is deterministic by position, so any engine recomputes
     the same key.  Same empty/short-doc semantics as ``shingles``."""
-    toks = F.coalesce(
-        F.filter(tokens(col), lambda t: t != ""), F.array().cast("array<string>")
-    )
+    toks = clean_tokens(col)
     sz = F.size(toks)
     # full gram array built linearly, then strided with filter's
     # (element, index) lambda -- one pass, no per-position re-eval of

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.similarity import dedup_clusters, minhash_near_dupes_portable
-from ..functions.text import shingles, tokens
+from ..functions.text import clean_tokens, shingles
 from ..sources.tables import load_tables
 from . import QuerySpec
 from .ext import _SQL_SHINGLES, _sql_minhash_pairs
@@ -921,13 +921,14 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tells you WHAT is duplicated before a substring-dedup pass decides
     what to cut).
 
-    Scale shape: one linear shingle pass per document (no UDF), ONE
-    shuffle keyed on the gram with map-side partial aggregation
-    (count + count-distinct collapse per mapper before the exchange);
-    the >= 2-docs filter runs post-aggregate so output is bounded by
-    true duplication, and the top-K order/limit caps the result at K
-    rows regardless of corpus size.  Nothing is ever joined -- a 100x
-    corpus only widens the single exchange."""
+    Scale shape: one linear shingle pass per document (no UDF), then
+    one gram-keyed aggregation -- Catalyst's count-distinct rewrite
+    plans it as TWO exchanges ((gram, doc_id) expand-dedup, then gram;
+    PLANS_r09 xchg=2), both map-side partial-aggregated; the >= 2-docs
+    filter runs post-aggregate so output is bounded by true
+    duplication, and the top-K order/limit caps the result at K rows
+    regardless of corpus size.  Nothing is ever joined -- a 100x
+    corpus only widens the gram exchanges."""
     t = load_tables(spark, sf_dir, ["documents"])
     grams = t["documents"].select(
         "doc_id",
@@ -946,24 +947,20 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dup_grams(n: int) -> str:
-    """DuckDB mirror of functions/text.shingles over documents: empty
-    docs -> no grams, docs shorter than n tokens -> one whole-text
-    gram (same contract curation._sql_grams pins for the
-    decontamination oracles)."""
-    return f"""__tok AS (
-  SELECT doc_id, source,
-         list_filter(string_split(text, ' '), x -> x <> '') AS toks
-  FROM documents
-),
+    """Unnested-gram CTE chain built ON curation._sql_grams -- the one
+    committed DuckDB mirror of functions/text.shingles (empty docs ->
+    no grams, short docs -> one whole-text gram).  Reusing it means a
+    tokenizer/short-doc contract change cannot diverge the census
+    oracles from the decontamination oracles."""
+    from .curation import _sql_grams
+
+    return (
+        _sql_grams(n).strip().lstrip()
+        + """,
 __g AS (
-  SELECT doc_id, source,
-         unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-                     WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
-                     ELSE list_transform(range(1, len(toks) - {n - 2}),
-                            i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
-                END) AS gram
-  FROM __tok
+  SELECT doc_id, source, unnest(grams) AS gram FROM __grams
 )"""
+    )
 
 
 ORACLE_DUPLICATE_NGRAMS = (
@@ -997,9 +994,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (gram, source) pairs aggregate to ONE row per gram whose
     payload is the sorted source set -- an array bounded by the number
     of SOURCES (~20), not by document count -- and the pair expansion
-    is a row-local array transform over that bounded set.  Two
-    shuffles total (gram-distinct, gram-group), both map-side
-    combinable; output is bounded by sources^2/2."""
+    is a row-local array transform over that bounded set.  Three
+    exchanges total ((source, gram) distinct, gram group, pair rollup;
+    PLANS_r09 xchg=3), all map-side combinable, all shrinking; output
+    is bounded by sources^2/2."""
     t = load_tables(spark, sf_dir, ["documents"])
     gs = (
         t["documents"]
@@ -1164,14 +1162,14 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, ["documents"])
-    clean = F.coalesce(
-        F.filter(tokens(F.col("text")), lambda x: x != ""),
-        F.array().cast("array<string>"),
-    )
+    # n_toks and __grams MUST share one token definition (clean_tokens,
+    # the same expression shingles uses internally) or the
+    # endpos = i + least(n_toks, n) arithmetic desynchronizes from the
+    # gram array
     base = t["documents"].select(
         "doc_id",
         "source",
-        F.size(clean).alias("n_toks"),
+        F.size(clean_tokens(F.col("text"))).alias("n_toks"),
         shingles(F.col("text"), _DUP_NGRAM_N).alias("__grams"),
     )
     # 1-based start pos; a short doc's single whole-text gram covers

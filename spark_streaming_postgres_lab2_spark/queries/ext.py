@@ -2624,6 +2624,22 @@ _KM_DIM = 64       # embedding dim (static, like the LSH plane truncation)
 _KM_QSCALE = 16384  # 2^14 quantization -- exact double multiply
 
 
+def _quantized_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv) under THE integer-exactness recipe every
+    hash-checked vector audit shares: floor(double(x) * 2^14) BIGINT
+    per position (exact power-of-two multiply).  kmeans / PQ / IVF-PQ
+    must all quantize through this one helper -- a drift in the scale
+    or the slice bound at one site would break the cross-engine
+    bit-equality these audits exist to certify."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(slice(embedding, 1, {_KM_DIM}),"
+            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT k-means replay (Lloyd's algorithm) over integer-quantized
     embeddings: 3 assignment rounds from deterministic seeds (the K
@@ -2652,13 +2668,7 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg; lineage cut per round.  Nothing is ever all-pairs; the
     centroid side is constant-sized at any corpus scale."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    qv = t["embeddings"].select(
-        "vec_id",
-        F.expr(
-            f"transform(slice(embedding, 1, {_KM_DIM}),"
-            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
-        ).alias("qv"),
-    )
+    qv = _quantized_vectors(t["embeddings"])
     ql = qv.select(
         "vec_id", F.posexplode("qv").alias("pos", "q")
     ).localCheckpoint(eager=False)
@@ -3094,18 +3104,19 @@ def q_embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance sum, one struct-MIN argmin, one M-row rollup.  No
     corpus-side self-join, nothing all-pairs."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    qv = t["embeddings"].select(
-        "vec_id",
-        F.expr(
-            f"transform(slice(embedding, 1, {_KM_DIM}),"
-            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
-        ).alias("qv"),
-    )
-    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q")).select(
-        "vec_id",
-        (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
-        (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
-        "q",
+    qv = _quantized_vectors(t["embeddings"])
+    # ql feeds both the codebook build and the distance aggregate:
+    # checkpoint so the scan+quantize+explode chain runs once (the
+    # kmeans/recall-audit multi-consumer pattern)
+    ql = (
+        qv.select("vec_id", F.posexplode("qv").alias("p0", "q"))
+        .select(
+            "vec_id",
+            (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
+            (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
+            "q",
+        )
+        .localCheckpoint(eager=False)
     )
     seeds = (
         qv.orderBy("vec_id")
@@ -3229,14 +3240,13 @@ def q_ann_ivfpq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the probed cells (the IVF point)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = _planted_embeddings(t["embeddings"])
-    qv = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(slice(embedding, 1, {_KM_DIM}),"
-            f" x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
-        ).alias("qv"),
+    qv = _quantized_vectors(emb)
+    # ql feeds routing, residuals, queries, and (via the seeds) both
+    # codebooks: checkpoint so the scan+plant+quantize+explode chain
+    # runs once instead of once per consumer (kmeans pattern)
+    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q")).localCheckpoint(
+        eager=False
     )
-    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q"))
     cseeds = (
         qv.orderBy("vec_id")
         .limit(_IVFPQ_C)
@@ -3245,7 +3255,11 @@ def q_ann_ivfpq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
         )
     )
-    cent = cseeds.join(ql, "vec_id").select("cell", "p0", F.col("q").alias("c"))
+    cent = (
+        cseeds.join(ql, "vec_id")
+        .select("cell", "p0", F.col("q").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     cd2 = (
         ql.join(F.broadcast(cent), "p0")
         .groupBy("vec_id", "cell")
@@ -3266,6 +3280,8 @@ def q_ann_ivfpq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
             (F.col("q") - F.col("c")).alias("r"),
         )
+        # residuals feed both the codebook build and the encode pass
+        .localCheckpoint(eager=False)
     )
     pseeds = (
         qv.orderBy("vec_id")
