@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "substring_dedup_cut",
     "embedding_pq_audit",
     "ann_ivfpq_adc_audit",
+    "bpe_apply_compression",
 ]
 
 

@@ -56,10 +56,10 @@ DRIVER_PRIORITY = [
     "priority_linestatus",
     "supplier_count_by_part",
     "dominant_suppliers",
-    # round 9, tier 0b (6): added THIS round (duplicated-substring
+    # round 9, tier 0b (7): added THIS round (duplicated-substring
     # census, cross-source contamination matrix, training-shard
     # manifest, exact-substring dedup cut, PQ audit, IVF-PQ ADC
-    # search) -- new oracles go
+    # search, BPE encode) -- new oracles go
     # straight into the window so they are never in the "never
     # driver-checked" state the r7/r8 verdicts flagged.  Each displaces
     # one low-drift r5-green into the r10 cohort.
@@ -69,14 +69,15 @@ DRIVER_PRIORITY = [
     "substring_dedup_cut",
     "embedding_pq_audit",
     "ann_ivfpq_adc_audit",
-    # round 9, tier 1 (32 of the 48 oracles whose last driver-green row
-    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 16
+    "bpe_apply_compression",
+    # round 9, tier 1 (31 of the 48 oracles whose last driver-green row
+    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 17
     # held to r10 are the lowest-drift single-shape SQL cohort
     # (big_orders, important_parts, market_share, min_cost_supplier,
     # sole_failed_supplier, top_supplier, order_date_math,
     # late_arrivals, user_map_funcs, user_set_ops_all, doc_array_ops,
     # doc_clean, grouping_sets_events, dlq_breakdown, quality_hourly,
-    # cohort_retention);
+    # cohort_retention, event_transitions);
     # the LSH/ANN/multimodal/session/statistics operators stay in.
     "ann_ivf_lossless_audit",
     "ann_recall_audit",
@@ -87,7 +88,6 @@ DRIVER_PRIORITY = [
     "doc_fingerprints",
     "doc_repetition",
     "embedding_norms",
-    "event_transitions",
     "funnel_conversion",
     "html_text_extract",
     "intra_doc_dedup",

@@ -1517,4 +1517,142 @@ def specs() -> list[QuerySpec]:
             ORACLE_QUALITY_CLASSIFIER,
             "hashing-trick linear quality classifier (model-based filter)",
         ),
+        QuerySpec(
+            "bpe_apply_compression",
+            q_bpe_apply_compression,
+            ORACLE_BPE_APPLY,
+            "BPE encode: top-8 merges derived and applied engine-side, "
+            "per-source symbol compression",
+        ),
     ]
+
+
+# --- BPE apply (the tokenizer's encode stage) ----------------------------------
+
+# top-R merges applied; rank r's merged symbol is the single private-use
+# char _BPE_PLACE[r-1], so later merges can never span a merged boundary
+_BPE_R = 8
+_BPE_PLACE = [chr(0xE000 + i) for i in range(1, _BPE_R + 1)]
+_BPE_SEP = chr(0xE0FF)  # oracle-side (pair, sub) delimiter, not in any corpus
+
+
+def q_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE at corpus scale -- the other half of
+    ``bpe_merge_candidates`` (train): derive the top-8 character-pair
+    merges from corpus word frequencies, then apply them to every
+    token in priority order (leftmost non-overlapping, each merged
+    pair becoming ONE atomic symbol, so a later merge can never span a
+    merged boundary) and account the per-source symbol compression --
+    exactly what a tokenizer's encode pass does to 100 TB of text
+    before packing.
+
+    Engine-side dynamism, no driver collect: the ranked merge table
+    aggregates to a single array-of-structs row, cross-joins onto the
+    vocabulary, and ``F.aggregate`` folds the replace chain per word
+    (rank r's replacement is a reserved private-use char, the atomic
+    symbol).  DuckDB replays the fold with ``list_reduce`` over the
+    word prepended to the same delimiter-encoded merge list -- both
+    engines' ``replace`` is the same leftmost non-overlapping scan
+    ('aaa' under merge 'aa' -> 2 symbols, pinned in tests.
+
+    Scale shape: the corpus collapses to the word-frequency VOCABULARY
+    first (one slim shuffle; vocabulary grows ~log corpus), pair
+    mining and the merge fold run over the vocabulary only, and the
+    per-source rollup joins tokens to the BROADCAST segmented
+    vocabulary -- 100 TB of raw text is touched exactly twice (token
+    explode, rollup join), never by the string rewriting."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t["documents"].select(
+        "source", F.explode(_clean_tokens(F.col("text"))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    cand = (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(_BPE_R)
+    )
+    ranked = cand.select(
+        "pair",
+        F.row_number().over(Window.orderBy(F.desc("n_occ"), "pair")).alias("rk"),
+    )
+    place = F.array(*[F.lit(c) for c in _BPE_PLACE])
+    merges = ranked.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("rk", "pair", F.element_at(place, F.col("rk")).alias("sub"))
+            )
+        ).alias("ms")
+    )
+    seg = vocab.crossJoin(F.broadcast(merges)).select(
+        "w",
+        F.aggregate(
+            "ms", F.col("w"), lambda acc, m: F.replace(acc, m["pair"], m["sub"])
+        ).alias("seg"),
+    )
+    return (
+        toks.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("symbols_before"),
+            F.sum(F.length("seg")).cast("bigint").alias("symbols_after"),
+            F.round(
+                F.sum(F.length("seg")) / F.sum(F.length("w")), 4
+            ).alias("compression_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_BPE_PL_SQL = "[" + ", ".join(f"'{c}'" for c in _BPE_PLACE) + "]"
+
+ORACLE_BPE_APPLY = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+positions AS (
+  SELECT w, wc, unnest(range(1, CAST(length(w) AS BIGINT))) AS i
+  FROM vocab WHERE length(w) >= 2
+),
+cand AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, CAST(sum(wc) AS BIGINT) AS n_occ
+  FROM positions GROUP BY pair
+  ORDER BY n_occ DESC, pair LIMIT {_BPE_R}
+),
+ranked AS (
+  SELECT pair, row_number() OVER (ORDER BY n_occ DESC, pair) AS rk FROM cand
+),
+merges AS (
+  SELECT list(pair || '{_BPE_SEP}' || ({_BPE_PL_SQL})[rk] ORDER BY rk) AS ml
+  FROM ranked
+),
+seg AS (
+  SELECT w, list_reduce(
+           list_prepend(w, ml),
+           (acc, x) -> replace(acc, split_part(x, '{_BPE_SEP}', 1),
+                               split_part(x, '{_BPE_SEP}', 2))
+         ) AS seg
+  FROM vocab, merges
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(t.w)) AS BIGINT) AS symbols_before,
+       CAST(sum(length(s.seg)) AS BIGINT) AS symbols_after,
+       round(CAST(sum(length(s.seg)) AS DOUBLE) / sum(length(t.w)), 4)
+         AS compression_ratio
+FROM toks t JOIN seg s ON s.w = t.w
+GROUP BY t.source
+ORDER BY t.source
+"""

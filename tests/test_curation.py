@@ -498,3 +498,59 @@ def test_freq_items_audit_planted_heavy_hitters(spark):
     assert [(r.term, r.term_count, r.in_sketch) for r in got] == [
         ("hot", 5, 1), ("warm", 2, 1)
     ]
+
+
+# --- BPE apply (round 9) -------------------------------------------------------
+
+
+def test_bpe_apply_overlap_and_merged_boundary_rules(spark):
+    """Crafted corpus pins the encode rules: (a) leftmost
+    NON-OVERLAPPING replacement -- 'aaaa' under merge 'aa' becomes 2
+    symbols, never 3; (b) a higher-priority merge consumes characters
+    so a lower-priority pair spanning the merged boundary can no
+    longer apply ('ba' in 'banana' disappears once 'an' has merged);
+    (c) compression accounting is per source.
+
+    Pair counts (weighted by word frequency): banana x3 -> an:6, na:6,
+    ba:3; aaaa x2 -> aa:6.  Rank order (count desc, pair asc):
+    aa, an, na, ba.  banana -> b[an][an]a = 4 symbols; aaaa ->
+    [aa][aa] = 2 symbols."""
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_bpe_apply_compression,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s1", text="banana banana banana"),
+            Row(doc_id=2, source="s2", text="aaaa aaaa"),
+        ]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.source: r for r in q_bpe_apply_compression(spark, "unused").collect()}
+    finally:
+        curation.load_tables = orig
+
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_tokens, s1.symbols_before, s1.symbols_after) == (3, 18, 12)
+    assert s1.compression_ratio == round(12 / 18, 4)
+    assert (s2.n_tokens, s2.symbols_before, s2.symbols_after) == (2, 8, 4)
+    assert s2.compression_ratio == 0.5
+
+
+def test_bpe_apply_plan_broadcasts_segmented_vocab(spark, sf_dir):
+    """The rollup join of the raw token stream against the segmented
+    vocabulary must broadcast (the vocabulary grows ~log corpus, the
+    token stream is the 100 TB side); the vocabulary rollup itself
+    must partial-aggregate map-side."""
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_bpe_apply_compression,
+    )
+
+    df = q_bpe_apply_compression(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 1
+    assert checks.sort_merge_join_count(df) == 0
+    assert checks.has_partial_aggregation(df)
+    assert set(checks.read_schema_columns(df)) == {"source", "text"}
