@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "embedding_pq_audit",
     "ann_ivfpq_adc_audit",
     "bpe_apply_compression",
+    "psi_value_drift",
+    "train_eval_split",
 ]
 
 

@@ -56,10 +56,10 @@ DRIVER_PRIORITY = [
     "priority_linestatus",
     "supplier_count_by_part",
     "dominant_suppliers",
-    # round 9, tier 0b (7): added THIS round (duplicated-substring
+    # round 9, tier 0b (9): added THIS round (duplicated-substring
     # census, cross-source contamination matrix, training-shard
     # manifest, exact-substring dedup cut, PQ audit, IVF-PQ ADC
-    # search, BPE encode) -- new oracles go
+    # search, BPE encode, PSI drift, holdout split) -- new oracles go
     # straight into the window so they are never in the "never
     # driver-checked" state the r7/r8 verdicts flagged.  Each displaces
     # one low-drift r5-green into the r10 cohort.
@@ -70,14 +70,17 @@ DRIVER_PRIORITY = [
     "embedding_pq_audit",
     "ann_ivfpq_adc_audit",
     "bpe_apply_compression",
-    # round 9, tier 1 (31 of the 48 oracles whose last driver-green row
-    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 17
+    "psi_value_drift",
+    "train_eval_split",
+    # round 9, tier 1 (29 of the 48 oracles whose last driver-green row
+    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 19
     # held to r10 are the lowest-drift single-shape SQL cohort
     # (big_orders, important_parts, market_share, min_cost_supplier,
     # sole_failed_supplier, top_supplier, order_date_math,
     # late_arrivals, user_map_funcs, user_set_ops_all, doc_array_ops,
     # doc_clean, grouping_sets_events, dlq_breakdown, quality_hourly,
-    # cohort_retention, event_transitions);
+    # cohort_retention, event_transitions, funnel_conversion,
+    # purchase_attribution);
     # the LSH/ANN/multimodal/session/statistics operators stay in.
     "ann_ivf_lossless_audit",
     "ann_recall_audit",
@@ -88,14 +91,12 @@ DRIVER_PRIORITY = [
     "doc_fingerprints",
     "doc_repetition",
     "embedding_norms",
-    "funnel_conversion",
     "html_text_extract",
     "intra_doc_dedup",
     "multimodal_decode",
     "multimodal_meta",
     "near_dup_clusters",
     "pagerank_links",
-    "purchase_attribution",
     "quality_classifier_filter",
     "salted_distinct_users",
     "schema_migration",

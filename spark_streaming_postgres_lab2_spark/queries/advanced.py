@@ -2885,4 +2885,110 @@ def specs() -> list[QuerySpec]:
                   "interval-overlap range join via grain-bucketed equi-join"),
         QuerySpec("session_concurrency", q_session_concurrency, ORACLE_SESSION_CONCURRENCY,
                   "segmented sweep-line: peak concurrent sessions per day"),
+        QuerySpec("psi_value_drift", q_psi_value_drift, ORACLE_PSI_DRIFT,
+                  "population-stability drift: first vs second half of "
+                  "the stream, 10 global-width buckets"),
     ]
+
+
+# --- population-stability drift (round 9) --------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_FLOOR = 0.0001  # standard zero-count smoothing for PSI proportions
+
+
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream: bucket `value` into 10 equal-width bins over the
+    GLOBAL min/max, split the stream at the midpoint timestamp, and
+    emit per-bucket counts plus the PSI contribution
+    (p_b - p_a) * ln(p_b / p_a) with the standard 1e-4 floor for empty
+    buckets -- the industry drift gate a training pipeline runs before
+    trusting a new data window (PSI > 0.2 = retrain signal).
+
+    Exactness: bucket ids and counts are integer-exact under the hash
+    (bin arithmetic is the same IEEE double expression both engines);
+    the midpoint split is BIGINT epoch-micros arithmetic; only the
+    display-rounded psi column involves ln (the tfidf/bm25 precedent:
+    sub-ulp libm differences cannot move a 4-decimal rounding).
+
+    Scale shape: one scan -> one global (min/max) aggregate broadcast
+    back as scalars -> one map-side-combinable groupBy on the 10
+    buckets -> a 10-row window for totals.  Nothing is ever joined on
+    event keys; a 100x stream only widens the two scans."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        F.unix_micros(F.col("ts")).alias("us"), F.col("value")
+    )
+    stats = ev.agg(
+        F.min("us").alias("us_min"),
+        F.max("us").alias("us_max"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("v_min"))
+                * _PSI_BUCKETS
+                / (F.col("v_max") - F.col("v_min"))
+            ),
+            F.lit(_PSI_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+        (F.col("us") <= F.expr("(us_min + us_max) div 2")).alias("__a"),
+    )
+    counts = binned.groupBy("bucket").agg(
+        F.count(F.when(F.col("__a"), 1)).cast("bigint").alias("n_first"),
+        F.count(F.when(~F.col("__a"), 1)).cast("bigint").alias("n_second"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pa = F.greatest(
+        F.col("n_first") / F.sum("n_first").over(w), F.lit(_PSI_FLOOR)
+    )
+    pb = F.greatest(
+        F.col("n_second") / F.sum("n_second").over(w), F.lit(_PSI_FLOOR)
+    )
+    return (
+        counts.select(
+            "bucket",
+            "n_first",
+            "n_second",
+            F.round((pb - pa) * F.log(pb / pa), 4).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_PSI_DRIFT = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS us, value FROM events
+),
+st AS (
+  SELECT min(us) AS us_min, max(us) AS us_max,
+         min(value) AS v_min, max(value) AS v_max
+  FROM ev
+),
+binned AS (
+  SELECT CAST(least(floor((e.value - s.v_min) * {_PSI_BUCKETS}
+                          / (s.v_max - s.v_min)),
+                    {_PSI_BUCKETS - 1}) AS INTEGER) AS bucket,
+         e.us <= (s.us_min + s.us_max) // 2 AS a
+  FROM ev e, st s
+),
+counts AS (
+  SELECT bucket,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS n_first,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS n_second
+  FROM binned GROUP BY bucket
+)
+SELECT bucket, n_first, n_second,
+       round((greatest(CAST(n_second AS DOUBLE) / sum(n_second) OVER (), {_PSI_FLOOR})
+              - greatest(CAST(n_first AS DOUBLE) / sum(n_first) OVER (), {_PSI_FLOOR}))
+             * ln(greatest(CAST(n_second AS DOUBLE) / sum(n_second) OVER (), {_PSI_FLOOR})
+                  / greatest(CAST(n_first AS DOUBLE) / sum(n_first) OVER (), {_PSI_FLOOR})), 4)
+         AS psi_contrib
+FROM counts
+ORDER BY bucket
+"""

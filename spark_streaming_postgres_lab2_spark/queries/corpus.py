@@ -291,6 +291,9 @@ def specs() -> list[QuerySpec]:
                   ORACLE_SUBSTRING_DEDUP_CUT,
                   "exact-substring dedup cut: non-first duplicate 8-gram "
                   "windows removed, interval-union token accounting"),
+        QuerySpec("train_eval_split", q_train_eval_split,
+                  ORACLE_TRAIN_EVAL_SPLIT,
+                  "deterministic 80/10/10 md5 holdout split manifest"),
     ]
 
 
@@ -1295,4 +1298,58 @@ SELECT t.source,
 FROM __tok t LEFT JOIN __doc d ON t.doc_id = d.doc_id
 GROUP BY t.source
 ORDER BY t.source
+"""
+
+
+# --- deterministic train/val/test split manifest --------------------------------
+
+# 80/10/10 by md5(doc_id) prefix -- the same engine-reproducible,
+# resumable hash-split rule training_mix_sample pins for rates
+_SPLIT_TRAIN_HI = _cutoff_hex(0.8)
+_SPLIT_VAL_HI = _cutoff_hex(0.9)
+
+
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split manifest: a document
+    routes on the first 8 hex chars of md5(doc_id) (train < 0.8 cutoff
+    <= val < 0.9 cutoff <= test), and the manifest reports per-split,
+    per-language document and character counts -- the reproducible,
+    RNG-free holdout assignment a training run needs (same doc lands
+    in the same split on every engine and every rerun, and adding
+    documents never reshuffles existing assignments).
+
+    Scale shape: one scan, one md5 + two string-compare projections,
+    one map-side-combinable groupBy on (split, lang) -- output bounded
+    by 3 x languages."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(prefix < _SPLIT_TRAIN_HI, "train")
+        .when(prefix < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+ORACLE_TRAIN_EVAL_SPLIT = f"""
+SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_TRAIN_HI}'
+            THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_SPLIT_VAL_HI}'
+            THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
 """

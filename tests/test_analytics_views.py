@@ -990,3 +990,49 @@ def test_gapfill_interpolate_hand_computed(spark):
     # hour 4: (40000*1 + 10500*1) div 2 = 25250 -> 252.50
     assert (by_h[4].revenue_fp, by_h[4].revenue) == (25250, 252.5)
     assert by_h[5].revenue_fp == 10500
+
+
+def test_psi_value_drift_buckets_and_smoothing(spark):
+    """Crafted stream pins the PSI rules: equal-width buckets over the
+    GLOBAL min/max with the max value clamped into the top bucket, the
+    midpoint-timestamp split, and the 1e-4 proportion floor for a
+    bucket empty on one side."""
+    import math
+    from datetime import datetime
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as advanced
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _PSI_FLOOR,
+        q_psi_value_drift,
+    )
+    from pyspark.sql import Row
+
+    def ts(minute):
+        return datetime(2024, 1, 1, 0, minute, 0)
+
+    # first half: minutes 0-3 (<= midpoint 6.5), second half: 10-13
+    vals_a, vals_b = [5.0, 15.0, 15.0, 95.0], [5.0, 5.0, 95.0, 95.0]
+    rows = [
+        Row(event_id=i, ts=ts(i), user_id=1, event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals_a)
+    ] + [
+        Row(event_id=10 + i, ts=ts(10 + i), user_id=1, event_type="view", value=v, props="{}")
+        for i, v in enumerate(vals_b)
+    ]
+    df = spark.createDataFrame(rows)
+    orig = advanced.load_tables
+    try:
+        advanced.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.bucket: r for r in q_psi_value_drift(spark, "unused").collect()}
+    finally:
+        advanced.load_tables = orig
+
+    # vmin=5, vmax=95: value 5 -> bucket 0, 15 -> bucket 1, 95 -> clamped 9
+    assert set(got) == {0, 1, 9}
+    assert (got[0].n_first, got[0].n_second) == (1, 2)
+    assert (got[1].n_first, got[1].n_second) == (2, 0)
+    assert (got[9].n_first, got[9].n_second) == (1, 2)
+    psi = lambda pa, pb: round((pb - pa) * math.log(pb / pa), 4)
+    assert got[0].psi_contrib == psi(0.25, 0.5)
+    assert got[1].psi_contrib == psi(0.5, _PSI_FLOOR)   # empty side floored
+    assert got[9].psi_contrib == psi(0.25, 0.5)

@@ -537,3 +537,42 @@ def test_substring_dedup_cut_first_kept_and_interval_union(spark):
     # removed: doc3 union(1-8, 2-9)=9; doc5 short gram=2; doc6 window=8
     assert (r.n_docs, r.total_tokens, r.removed_tokens) == (6, 45, 19)
     assert r.retained_ratio == round(1 - 19 / 45, 4)
+
+
+def test_train_eval_split_matches_hash_mirror_and_conserves(spark):
+    """The 80/10/10 holdout routing replays exactly in pure Python
+    (md5-prefix range compare), every document lands in exactly one
+    split, and totals are conserved."""
+    import hashlib
+    from collections import Counter
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _SPLIT_TRAIN_HI,
+        _SPLIT_VAL_HI,
+        q_train_eval_split,
+    )
+
+    rows = [
+        Row(doc_id=i, source="s", text="t", lang=["en", "de"][i % 2], n_chars=i + 1)
+        for i in range(200)
+    ]
+    expected: Counter = Counter()
+    chars: Counter = Counter()
+    for r in rows:
+        p = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8]
+        split = "train" if p < _SPLIT_TRAIN_HI else ("val" if p < _SPLIT_VAL_HI else "test")
+        expected[(split, r.lang)] += 1
+        chars[(split, r.lang)] += r.n_chars
+
+    df = spark.createDataFrame(rows)
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {(r.split, r.lang): r for r in q_train_eval_split(spark, "unused").collect()}
+    finally:
+        corpus.load_tables = orig
+
+    assert {k: v.n_docs for k, v in got.items()} == dict(expected)
+    assert {k: v.total_chars for k, v in got.items()} == dict(chars)
+    assert sum(v.n_docs for v in got.values()) == len(rows)
