@@ -2901,10 +2901,13 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second half of
     the event stream: bucket `value` into 10 equal-width bins over the
     GLOBAL min/max, split the stream at the midpoint timestamp, and
-    emit per-bucket counts plus the PSI contribution
-    (p_b - p_a) * ln(p_b / p_a) with the standard 1e-4 floor for empty
-    buckets -- the industry drift gate a training pipeline runs before
-    trusting a new data window (PSI > 0.2 = retrain signal).
+    emit per-OBSERVED-bucket counts plus the PSI contribution
+    (p_b - p_a) * ln(p_b / p_a) with the standard 1e-4 floor for
+    one-side-empty buckets -- the industry drift gate a training
+    pipeline runs before trusting a new data window (PSI > 0.2 =
+    retrain signal).  A bucket empty in BOTH halves emits no row (its
+    contribution is identically 0); NULL measurements are excluded
+    before bucketing.
 
     Exactness: bucket ids and counts are integer-exact under the hash
     (bin arithmetic is the same IEEE double expression both engines);
@@ -2917,7 +2920,10 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets -> a 10-row window for totals.  Nothing is ever joined on
     event keys; a 100x stream only widens the two scans."""
     t = load_tables(spark, sf_dir, ["events"])
-    ev = t["events"].select(
+    # NULL measurements carry no distribution information and must not
+    # be clamped into a bucket (least(NULL, 9) would silently report
+    # every NULL as a top-bucket observation -- r9 review finding)
+    ev = t["events"].filter(F.col("value").isNotNull()).select(
         F.unix_micros(F.col("ts")).alias("us"), F.col("value")
     )
     stats = ev.agg(
@@ -2963,7 +2969,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PSI_DRIFT = f"""
 WITH ev AS (
-  SELECT epoch_us(ts) AS us, value FROM events
+  SELECT epoch_us(ts) AS us, value FROM events WHERE value IS NOT NULL
 ),
 st AS (
   SELECT min(us) AS us_min, max(us) AS us_max,

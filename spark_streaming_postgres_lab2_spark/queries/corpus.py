@@ -958,7 +958,7 @@ def _sql_dup_grams(n: int) -> str:
     from .curation import _sql_grams
 
     return (
-        _sql_grams(n).strip().lstrip()
+        _sql_grams(n).strip()
         + """,
 __g AS (
   SELECT doc_id, source, unnest(grams) AS gram FROM __grams

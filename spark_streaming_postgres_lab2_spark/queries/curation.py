@@ -1561,11 +1561,23 @@ def q_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rollup joins tokens to the BROADCAST segmented
     vocabulary -- 100 TB of raw text is touched exactly twice (token
     explode, rollup join), never by the string rewriting."""
+    from ..functions.text import clean_tokens
+
     t = load_tables(spark, sf_dir, ["documents"])
+    # the canonical shared token contract (functions/text.clean_tokens)
+    # -- the encode stage must tokenize exactly like the gram family
     toks = t["documents"].select(
-        "source", F.explode(_clean_tokens(F.col("text"))).alias("w")
+        "source", F.explode(clean_tokens(F.col("text"))).alias("w")
     )
-    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    # the vocabulary feeds BOTH the merge derivation and the
+    # segmentation fold: checkpoint so the corpus-wide token rollup
+    # runs once (the kmeans/PQ lazy-localCheckpoint pattern), keeping
+    # the raw text at exactly two scans (vocab build + rollup join)
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .localCheckpoint(eager=False)
+    )
     pairs = vocab.filter(F.length("w") >= 2).select(
         F.explode(
             F.transform(
