@@ -1032,7 +1032,7 @@ def test_psi_value_drift_buckets_and_smoothing(spark):
     assert (got[0].n_first, got[0].n_second) == (1, 2)
     assert (got[1].n_first, got[1].n_second) == (2, 0)
     assert (got[9].n_first, got[9].n_second) == (1, 2)
-    psi = lambda pa, pb: round((pb - pa) * math.log(pb / pa), 4)
+    psi = lambda pa, pb: round_half_up((pb - pa) * math.log(pb / pa), 4)
     assert got[0].psi_contrib == psi(0.25, 0.5)
     assert got[1].psi_contrib == psi(0.5, _PSI_FLOOR)   # empty side floored
     assert got[9].psi_contrib == psi(0.25, 0.5)

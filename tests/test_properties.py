@@ -969,3 +969,141 @@ def test_shard_manifest_matches_mirror_on_random_corpora(spark, docs_spec):
 
     got = {(r.bucket, r.shard_id): [r.n_docs, r.shard_chars] for r in rows}
     assert got == dict(expected)
+
+
+# --- duplicate_ngrams vs pure-Python mirror (round 9) --------------------------
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "x"])
+_dup_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_dup_text, min_size=1, max_size=12))
+def test_duplicate_ngrams_matches_python_mirror(spark, texts):
+    """Property: on arbitrary small corpora (a 5-word alphabet forces
+    gram collisions; lengths straddle the 8-token short-doc boundary)
+    the census equals a pure-Python replay of the spec -- same gram
+    extraction, distinct-doc and occurrence counts, >= 2-doc filter,
+    and (n_docs desc, n_occurrences desc, gram) top-K order."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _DUP_NGRAM_N,
+        _DUP_TOP_K,
+        q_duplicate_ngrams,
+    )
+
+    def grams(text: str) -> list[str]:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return []
+        if len(toks) < _DUP_NGRAM_N:
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[i : i + _DUP_NGRAM_N])
+            for i in range(len(toks) - _DUP_NGRAM_N + 1)
+        ]
+
+    occ: Counter = Counter()
+    docs_of: dict[str, set] = defaultdict(set)
+    for i, text in enumerate(texts):
+        for g in grams(text):
+            occ[g] += 1
+            docs_of[g].add(i)
+    expected = sorted(
+        (
+            (g, len(docs_of[g]), occ[g])
+            for g in occ
+            if len(docs_of[g]) >= 2
+        ),
+        key=lambda t: (-t[1], -t[2], t[0]),
+    )[:_DUP_TOP_K]
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in enumerate(texts)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = [
+            (r.gram, r.n_docs, r.n_occurrences)
+            for r in q_duplicate_ngrams(spark, "unused").collect()
+        ]
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
+
+
+# --- bpe_apply_compression vs pure-Python mirror (round 9) ---------------------
+
+_bpe_word = st.sampled_from(["banana", "anna", "aaaa", "bb", "cab", "z"])
+_bpe_text = st.lists(_bpe_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_bpe_text, min_size=1, max_size=6))
+def test_bpe_apply_matches_python_mirror(spark, texts):
+    """Property: the full BPE encode (merge derivation from weighted
+    pair counts, priority-ordered leftmost non-overlapping application
+    with atomic placeholder symbols, per-source accounting) equals a
+    pure-Python replay on arbitrary corpora over a repetition-heavy
+    word alphabet."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BPE_PLACE,
+        _BPE_R,
+        q_bpe_apply_compression,
+    )
+
+    toks = [
+        (f"s{i % 2}", w)
+        for i, text in enumerate(texts)
+        for w in text.split(" ")
+        if w
+    ]
+    vocab = Counter(w for _, w in toks)
+    pairs: Counter = Counter()
+    for w, wc in vocab.items():
+        if len(w) >= 2:
+            for j in range(len(w) - 1):
+                pairs[w[j : j + 2]] += wc
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_R]
+    seg = {}
+    for w in vocab:
+        s = w
+        for rk, (pair, _) in enumerate(ranked, 1):
+            s = s.replace(pair, _BPE_PLACE[rk - 1])
+        seg[w] = s
+    expected = {}
+    for src in sorted({s for s, _ in toks}):
+        ws = [w for s, w in toks if s == src]
+        before = sum(len(w) for w in ws)
+        after = sum(len(seg[w]) for w in ws)
+        expected[src] = (
+            len(ws), before, after, round_half_up(after / before, 4)
+        )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, source=f"s{i % 2}", text=t)
+            for i, t in enumerate(texts)
+        ]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {
+            r.source: (r.n_tokens, r.symbols_before, r.symbols_after,
+                       r.compression_ratio)
+            for r in q_bpe_apply_compression(spark, "unused").collect()
+        }
+    finally:
+        curation.load_tables = orig
+    assert got == expected
