@@ -28,6 +28,10 @@ _PROBE = [
     "market_basket", "gdpr_erasure_audit", "winsorized_value_stats",
     "approx_quantiles_audit", "tpch_q1", "funnel_conversion",
     "cohort_retention",
+    # round-9 additions: all nine must survive the empty slice
+    "duplicate_ngrams", "source_overlap_matrix", "shard_manifest",
+    "substring_dedup_cut", "embedding_pq_audit", "ann_ivfpq_adc_audit",
+    "bpe_apply_compression", "psi_value_drift", "train_eval_split",
 ]
 
 # operators whose output is a fixed summary frame even with no input

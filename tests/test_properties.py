@@ -1107,3 +1107,84 @@ def test_bpe_apply_matches_python_mirror(spark, texts):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+# --- substring_dedup_cut vs pure-Python mirror (round 9) -----------------------
+
+_cut_text = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_cut_text, min_size=1, max_size=10))
+def test_substring_dedup_cut_matches_python_mirror(spark, texts):
+    """Property: the cut stage equals a pure-Python replay of the spec
+    on arbitrary corpora over a 3-letter token alphabet (dense gram
+    collisions, heavy window overlap, lengths straddling the 8-token
+    short-doc boundary) -- same first-occurrence rule (min (doc_id,
+    pos)), same interval-union accounting."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _DUP_NGRAM_N,
+        q_substring_dedup_cut,
+    )
+
+    def occs(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return [], 0
+        n = len(toks)
+        if n < _DUP_NGRAM_N:
+            return [(" ".join(toks), 1, n)], n
+        w = _DUP_NGRAM_N
+        return (
+            [(" ".join(toks[i : i + w]), i + 1, i + w) for i in range(n - w + 1)],
+            n,
+        )
+
+    per_doc = {i: occs(t) for i, t in enumerate(texts)}
+    first: dict = {}
+    docs_of: dict = defaultdict(set)
+    for i in sorted(per_doc):
+        for g, pos, _end in per_doc[i][0]:
+            docs_of[g].add(i)
+            if g not in first or (i, pos) < first[g]:
+                first[g] = (i, pos)
+    dup = {g for g in docs_of if len(docs_of[g]) >= 2}
+
+    total = removed = 0
+    for i in sorted(per_doc):
+        entries, n = per_doc[i]
+        total += n
+        cuts = sorted(
+            (pos, end)
+            for g, pos, end in entries
+            if g in dup and first[g] != (i, pos)
+        )
+        covered = 0
+        prev_end = 0
+        for pos, end in cuts:
+            covered += max(0, end - max(prev_end, pos - 1))
+            prev_end = max(prev_end, end)
+        removed += covered
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in enumerate(texts)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        rows = q_substring_dedup_cut(spark, "unused").collect()
+    finally:
+        corpus.load_tables = orig
+
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.total_tokens, r.removed_tokens) == (total, removed)
+    if total:
+        assert r.retained_ratio == round_half_up(1 - removed / total, 4)
