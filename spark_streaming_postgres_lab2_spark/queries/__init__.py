@@ -41,78 +41,75 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 9, tier 0 (11): the ONLY two oracles never driver-green
-    # (parity hash-PASS at HEAD since r7, provenance-stamped) plus the
-    # 9 simple-SQL shapes whose last driver-green row is r4 (held out
-    # in r7; the r8 window was not rotated -- VERDICT r8 item 1).
-    "trending_topk",            # sink-side global top-k w/ evicted-floor watermark
+    # round 10, tier 0 (20): compaction_plan first -- the ONLY
+    # oracle-bearing query never driver-green (r9 hash-fail was
+    # adjudicated type-only: DuckDB HUGEINT bin_id; the oracle now
+    # CASTs it to BIGINT per the convention above) -- plus the 19
+    # r5-green cohort deliberately held out of the r9 window
+    # (VERDICT r9 item 3).
     "compaction_plan",          # file-metadata bin packing via window
-    "user_set_ops",
-    "part_string_funcs",
-    "doc_regex_extract",
-    "props_json",
-    "parts_never_shipped",
-    "idle_customers",
-    "priority_linestatus",
-    "supplier_count_by_part",
-    "dominant_suppliers",
-    # round 9, tier 0b (9): added THIS round (duplicated-substring
-    # census, cross-source contamination matrix, training-shard
-    # manifest, exact-substring dedup cut, PQ audit, IVF-PQ ADC
-    # search, BPE encode, PSI drift, holdout split) -- new oracles go
-    # straight into the window so they are never in the "never
-    # driver-checked" state the r7/r8 verdicts flagged.  Each displaces
-    # one low-drift r5-green into the r10 cohort.
-    "duplicate_ngrams",
-    "source_overlap_matrix",
-    "shard_manifest",
-    "substring_dedup_cut",
-    "embedding_pq_audit",
-    "ann_ivfpq_adc_audit",
-    "bpe_apply_compression",
-    "psi_value_drift",
-    "train_eval_split",
-    # round 9, tier 1 (29 of the 48 oracles whose last driver-green row
-    # is r5 -- recomputed from the CORRECTNESS_r01..r08 union).  The 19
-    # held to r10 are the lowest-drift single-shape SQL cohort
-    # (big_orders, important_parts, market_share, min_cost_supplier,
-    # sole_failed_supplier, top_supplier, order_date_math,
-    # late_arrivals, user_map_funcs, user_set_ops_all, doc_array_ops,
-    # doc_clean, grouping_sets_events, dlq_breakdown, quality_hourly,
-    # cohort_retention, event_transitions, funnel_conversion,
-    # purchase_attribution);
-    # the LSH/ANN/multimodal/session/statistics operators stay in.
-    "ann_ivf_lossless_audit",
-    "ann_recall_audit",
-    "approx_distinct_audit",
-    "approx_quantiles_audit",
-    "bm25_search",
-    "canonical_docs",
-    "doc_fingerprints",
-    "doc_repetition",
-    "embedding_norms",
-    "html_text_extract",
-    "intra_doc_dedup",
-    "multimodal_decode",
-    "multimodal_meta",
-    "near_dup_clusters",
-    "pagerank_links",
-    "quality_classifier_filter",
-    "salted_distinct_users",
-    "schema_migration",
-    "session_path_mining",
-    "sessionization",
-    "simhash_near_dup",
-    "sorted_neighborhood_dedup",
-    "stratified_sample_audit",
-    "term_pmi_cooccurrence",
-    "training_mix_upsample",
-    "triangle_counts",
-    "url_canonical_dedup",
-    "url_domain_filter",
-    "zscore_anomaly_hours",
+    "big_orders",
+    "important_parts",
+    "market_share",
+    "min_cost_supplier",
+    "sole_failed_supplier",
+    "top_supplier",
+    "order_date_math",
+    "late_arrivals",
+    "user_map_funcs",
+    "user_set_ops_all",
+    "doc_array_ops",
+    "doc_clean",
+    "grouping_sets_events",
+    "dlq_breakdown",
+    "quality_hourly",
+    "cohort_retention",
+    "event_transitions",
+    "funnel_conversion",
+    "purchase_attribution",
+    # round 10, tier 1 (29 of the 49 oracles whose last driver-green
+    # row is r6 -- recomputed from the CORRECTNESS_r01..r09 union).
+    # Drift-prone multi-stage shapes first (dedup/multimodal/
+    # statistics/pivot families); the 20 held to r11 are the
+    # lowest-drift single-shape TPC-H-ish SQL cohort
+    # (above_avg_orders, customers_without_orders,
+    # disjunctive_revenue, nation_pairs, nation_volume,
+    # order_count_distribution, order_priority, promo_revenue,
+    # quality_percentile_filter, regional_revenue, returned_revenue,
+    # small_quantity_revenue, table_counts_union, top_customers,
+    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
+    # value_percentiles, value_stats).
+    "semantic_dedup",
+    "dedup_exact",
+    "fuzzy_record_linkage",
+    "multimodal_resize_real",
+    "embedding_quantize",
+    "doc_chunks",
+    "sequence_packing",
+    "scd2_priority_dim",
+    "training_mix_sample",
+    "trending_scores",
+    "benford_digit_audit",
+    "forecast_baseline",
+    "ols_trend",
+    "iqr_outlier_summary",
+    "winsorized_value_stats",
+    "ab_test_conversion",
+    "market_basket",
+    "skew_key_report",
+    "gdpr_erasure_audit",
+    "table_profile_events",
+    "event_pivot",
+    "event_unpivot",
+    "cube_events",
+    "rollup_revenue",
+    "validation_summary",
+    "enriched_events",
+    "hourly_event_summary",
+    "category_performance",
+    "event_distribution",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; five
+    # the cheapest canary for another fixture timestamp drift; six
     # rounds green and counting (VERDICT r6 item 8: keep it pinned).
     "user_session_window",
 ]

@@ -1232,8 +1232,13 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_toks").cast("bigint").alias("total_tokens"),
             F.sum(removed).cast("bigint").alias("removed_tokens"),
+            # nullif guard: a source whose documents are ALL empty has
+            # sum(n_toks)=0; 0/0 must be NULL on both engines (DuckDB
+            # double division would raise/NaN, a latent divergence)
             F.round(
-                F.lit(1.0) - F.sum(removed) / F.sum("n_toks"), 4
+                F.lit(1.0)
+                - F.sum(removed) / F.nullif(F.sum("n_toks"), F.lit(0)),
+                4,
             ).alias("retained_ratio"),
         )
         .orderBy("source")
@@ -1294,7 +1299,7 @@ SELECT t.source,
        CAST(sum(len(t.toks)) AS BIGINT) AS total_tokens,
        CAST(sum(coalesce(d.removed, 0)) AS BIGINT) AS removed_tokens,
        round(1.0 - CAST(sum(coalesce(d.removed, 0)) AS DOUBLE)
-                   / sum(len(t.toks)), 4) AS retained_ratio
+                   / nullif(sum(len(t.toks)), 0), 4) AS retained_ratio
 FROM __tok t LEFT JOIN __doc d ON t.doc_id = d.doc_id
 GROUP BY t.source
 ORDER BY t.source

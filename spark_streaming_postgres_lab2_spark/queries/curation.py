@@ -1534,6 +1534,10 @@ def specs() -> list[QuerySpec]:
 _BPE_R = 8
 _BPE_PLACE = [chr(0xE000 + i) for i in range(1, _BPE_R + 1)]
 _BPE_SEP = chr(0xE0FF)  # oracle-side (pair, sub) delimiter, not in any corpus
+# any word containing a reserved private-use code point is excluded
+# from the BPE vocabulary (it would collide with the merged-symbol
+# placeholders and silently corrupt segmentation)
+_BPE_RESERVED_RE = f"[{chr(0xE000)}-{chr(0xE0FF)}]"
 
 
 def q_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1545,6 +1549,16 @@ def q_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged boundary) and account the per-source symbol compression --
     exactly what a tokenizer's encode pass does to 100 TB of text
     before packing.
+
+    Fidelity note: merge derivation is SINGLE-PASS (the top-8 pairs
+    come from the initial pair counts in one shot; canonical BPE
+    training recounts pairs after each merge, so the ranked list can
+    differ from a real tokenizer's) -- only the APPLY/ENCODE
+    semantics are certified here.  Precondition: the merge fold
+    reserves Unicode private-use code points U+E000..U+E0FF as atomic
+    merged symbols; corpus words containing them are excluded from
+    the vocabulary on BOTH engines (guard below) so a hostile
+    document can never corrupt segmentation or symbol accounting.
 
     Engine-side dynamism, no driver collect: the ranked merge table
     aggregates to a single array-of-structs row, cross-joins onto the
@@ -1573,8 +1587,12 @@ def q_bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segmentation fold: checkpoint so the corpus-wide token rollup
     # runs once (the kmeans/PQ lazy-localCheckpoint pattern), keeping
     # the raw text at exactly two scans (vocab build + rollup join)
+    # reserved-codepoint guard (see docstring precondition): vocabulary
+    # excludes words that collide with the merged-symbol placeholders;
+    # the inner rollup join then drops their occurrences on both engines
     vocab = (
-        toks.groupBy("w")
+        toks.filter(~F.col("w").rlike(_BPE_RESERVED_RE))
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .localCheckpoint(eager=False)
     )
@@ -1633,7 +1651,11 @@ WITH toks AS (
   SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
   FROM documents
 ),
-vocab AS (SELECT w, count(*) AS wc FROM toks GROUP BY w),
+vocab AS (
+  SELECT w, count(*) AS wc FROM toks
+  WHERE NOT regexp_matches(w, '{_BPE_RESERVED_RE}')
+  GROUP BY w
+),
 positions AS (
   SELECT w, wc, unnest(range(1, CAST(length(w) AS BIGINT))) AS i
   FROM vocab WHERE length(w) >= 2

@@ -2905,10 +2905,10 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_COMPACTION_PLAN = f"""
 WITH binned AS (
   SELECT source, doc_id, n_chars,
-         coalesce(sum(n_chars) OVER (
+         CAST(coalesce(sum(n_chars) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) // {_COMPACT_TARGET} AS bin_id
+         ), 0) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
   FROM documents
 )
 SELECT source, bin_id,

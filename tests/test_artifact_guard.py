@@ -109,3 +109,51 @@ def test_parity_provenance_commits_are_ancestors_of_head():
         assert anc.returncode == 0, (
             f"{path.name} stamps commit {c} which is not an ancestor of HEAD"
         )
+
+
+def test_driver_and_local_parity_agree_on_hash_status():
+    """VERDICT r9 item 7: the compaction_plan r9 divergence (local
+    PARITY said PASS, driver CORRECTNESS said hash-FAIL, because the
+    local canon() stringified a HUGEINT away) must be a red test, not
+    a judge finding.  For the latest round where BOTH artifacts exist,
+    every query present in both must agree on hash status -- unless a
+    LATER parity artifact re-verified it green at a commit that
+    postdates the fix (the normal fix-then-re-verify flow)."""
+    import __spark_entry__ as entrymod
+
+    corr_files = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert corr_files, "no CORRECTNESS_r*.json artifact committed"
+    corr_path = corr_files[-1]
+    corr_round = int(re.search(r"r(\d+)", corr_path.name).group(1))
+    corr = json.loads(corr_path.read_text())
+
+    parity_path, parity = _latest_parity()
+    parity_round = int(re.search(r"r(\d+)", parity_path.name).group(1))
+
+    disagreements = []
+    for name, drow in corr.items():
+        prow = parity.get(name)
+        if not isinstance(drow, dict) or not isinstance(prow, dict):
+            continue
+        driver_green = bool(drow.get("hash_match"))
+        local_green = prow.get("status") == "PASS"
+        if driver_green == local_green:
+            continue
+        # a newer parity artifact may legitimately re-verify a
+        # driver-red query AFTER its fix landed (parity_round >
+        # corr_round); the reverse -- driver green, local FAIL -- is
+        # always a defect in one of the two harnesses
+        if driver_green is False and parity_round > corr_round:
+            continue
+        disagreements.append(
+            f"{name}: driver({corr_path.name})="
+            f"{'green' if driver_green else 'RED'} vs "
+            f"local({parity_path.name})={prow.get('status')}"
+        )
+    assert not disagreements, (
+        "driver and local parity disagree on hash status -- one harness "
+        f"has a blind spot: {disagreements}"
+    )

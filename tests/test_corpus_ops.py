@@ -576,3 +576,47 @@ def test_train_eval_split_matches_hash_mirror_and_conserves(spark):
     assert {k: v.n_docs for k, v in got.items()} == dict(expected)
     assert {k: v.total_chars for k, v in got.items()} == dict(chars)
     assert sum(v.n_docs for v in got.values()) == len(rows)
+
+
+def test_substring_dedup_cut_all_empty_source_ratio_is_null(spark):
+    """ADVICE r9: a source whose documents are ALL empty/whitespace has
+    sum(n_toks)=0; the 0/0 retained_ratio must be NULL on BOTH engines
+    (nullif guard), not a Spark-NULL-vs-DuckDB-NaN divergence.  A
+    mixed source alongside it stays exact."""
+    import duckdb
+    import pandas as pd
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        ORACLE_SUBSTRING_DEDUP_CUT,
+        q_substring_dedup_cut,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "source": ["empty", "empty", "mixed", "mixed"],
+            "text": ["", "   ", "a b c", "a b c"],
+            "lang": ["en"] * 4,
+            "n_chars": [0, 3, 5, 5],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        srows = {r.source: r for r in q_substring_dedup_cut(spark, "unused").collect()}
+    finally:
+        corpus.load_tables = orig
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    drows = {r[0]: r for r in con.sql(ORACLE_SUBSTRING_DEDUP_CUT).fetchall()}
+
+    assert srows["empty"].retained_ratio is None
+    assert drows["empty"][4] is None  # DuckDB agrees: NULL, not NaN/error
+    # the non-degenerate source is unaffected by the guard: doc 4's
+    # whole-text gram duplicates doc 3's -> 3 of 6 tokens removed
+    assert (srows["mixed"].total_tokens, srows["mixed"].removed_tokens) == (6, 3)
+    assert srows["mixed"].retained_ratio == 0.5
+    assert drows["mixed"][2:] == (6, 3, 0.5)

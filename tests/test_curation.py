@@ -554,3 +554,52 @@ def test_bpe_apply_plan_broadcasts_segmented_vocab(spark, sf_dir):
     assert checks.sort_merge_join_count(df) == 0
     assert checks.has_partial_aggregation(df)
     assert set(checks.read_schema_columns(df)) == {"source", "text"}
+
+
+def test_bpe_apply_reserved_codepoint_words_are_excluded(spark):
+    """ADVICE r9: a hostile document containing U+E000-block chars (the
+    reserved merged-symbol placeholders) must not corrupt segmentation
+    or symbol accounting -- the guard excludes such words from the
+    vocabulary on BOTH engines, so the result equals the same corpus
+    with those words absent and the engines still agree."""
+    import duckdb
+    import pandas as pd
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BPE_PLACE,
+        ORACLE_BPE_APPLY,
+        q_bpe_apply_compression,
+    )
+
+    hostile = f"ab{_BPE_PLACE[0]}cd"  # contains rank-1's placeholder char
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["s", "s"],
+            # without the guard, the hostile word's embedded placeholder
+            # would be indistinguishable from an applied merge
+            "text": [f"abab abab {hostile}", "abab"],
+            "lang": ["en", "en"],
+            "n_chars": [15, 4],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        rows = q_bpe_apply_compression(spark, "unused").collect()
+    finally:
+        curation.load_tables = orig
+
+    assert len(rows) == 1
+    r = rows[0]
+    # the hostile word is excluded: 3 'abab' tokens remain; 'ab' is the
+    # top merge, so each 4-char word encodes to 2 symbols
+    assert (r.n_tokens, r.symbols_before, r.symbols_after) == (3, 12, 6)
+    assert r.compression_ratio == 0.5
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    drow = con.sql(ORACLE_BPE_APPLY).fetchall()[0]
+    assert drow == ("s", 3, 12, 6, 0.5)

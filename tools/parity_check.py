@@ -18,6 +18,77 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _norm_spark_type(dt: str) -> str:
+    """Normalize a Spark dtype string to a comparison family."""
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt == "string":
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    return "other"  # array/map/struct/binary: value compare only
+
+
+def _norm_duck_type(dt: str) -> str:
+    """Normalize a DuckDB type string to a comparison family.
+
+    HUGEINT and DECIMAL deliberately normalize to families no Spark
+    dtype maps to: the repo convention (queries/__init__.py) says
+    integer sums must be CAST to BIGINT on the DuckDB side, and the
+    driver's value hash is type-sensitive -- a HUGEINT column hashes
+    differently even when every value is identical (the exact
+    compaction_plan r9 failure this check exists to catch locally).
+    """
+    dt = str(dt).upper()
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt == "HUGEINT":
+        return "hugeint"  # never matches a Spark family -> flagged
+    if dt in ("FLOAT", "DOUBLE"):
+        return "float"
+    if dt.startswith("DECIMAL"):
+        return "decimal"  # flagged unless Spark side is also decimal
+    if dt == "VARCHAR":
+        return "str"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt == "DATE":
+        return "date"
+    if dt.startswith("TIMESTAMP"):
+        return "timestamp"
+    return "other"
+
+
+def type_problems(spark_dtypes, duck_cols, duck_types) -> list[str]:
+    """Driver-hash-sensitive type divergences between a Spark result
+    (``df.dtypes`` list of (name, dtype)) and a DuckDB relation
+    (``rel.columns`` / ``rel.types``).  ``canon()`` stringifies cells,
+    so HUGEINT-vs-BIGINT (and DECIMAL-vs-DOUBLE) divergence hashes
+    identically locally while failing the driver's type-sensitive
+    hash -- this is the sibling check VERDICT r9 item 2 ordered."""
+    sd = {name: _norm_spark_type(dt) for name, dt in spark_dtypes}
+    problems = []
+    for col, dt in zip(duck_cols, duck_types):
+        dfam = _norm_duck_type(dt)
+        sfam = sd.get(col)
+        if sfam is None:
+            continue  # name mismatch reported separately
+        if dfam == sfam or "other" in (dfam, sfam):
+            continue
+        problems.append(f"type {col}: duckdb {dt} vs spark {sfam}")
+    return problems
+
+
 def canon(rows, colnames) -> list[tuple]:
     """Order-insensitive canonical form: sort columns by name, stringify
     values, sort rows."""
@@ -92,6 +163,7 @@ def main() -> int:
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        problems.extend(type_problems(sdf.dtypes, dcols, rel.types))
         if not problems:
             sc, dc = canon(srows, scols), canon(drows, dcols)
             if sc != dc:
