@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "shard_manifest",
     "substring_dedup_cut",
+    "substring_dedup_cut_fast",
     "embedding_pq_audit",
     "ann_ivfpq_adc_audit",
     "bpe_apply_compression",

@@ -291,6 +291,11 @@ def specs() -> list[QuerySpec]:
                   ORACLE_SUBSTRING_DEDUP_CUT,
                   "exact-substring dedup cut: non-first duplicate 8-gram "
                   "windows removed, interval-union token accounting"),
+        QuerySpec("substring_dedup_cut_fast", q_substring_dedup_cut_fast,
+                  None,
+                  "capped scale flavor of substring_dedup_cut: one "
+                  "gram-window pass, per-gram occurrence cap; exact "
+                  "under the cap (pinned), lower bound on blobs"),
         QuerySpec("train_eval_split", q_train_eval_split,
                   ORACLE_TRAIN_EVAL_SPLIT,
                   "deterministic 80/10/10 md5 holdout split manifest"),
@@ -1162,8 +1167,30 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_concurrency pins, partitioned by doc so no global sort),
     (4) the per-source rollup.  Window arithmetic is pure BIGINT; the
     ratio is display-only (round 4)."""
-    from pyspark.sql import Window
+    base, occ = _cut_gram_occurrences(spark, sf_dir)
+    dup = (
+        occ.groupBy("gram")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+            F.countDistinct("doc_id").alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("gram", "first_occ")
+    )
+    cut = occ.join(dup, "gram").filter(
+        ~(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("pos") == F.col("first_occ.pos"))
+        )
+    )
+    return _cut_rollup(base, cut)
 
+
+def _cut_gram_occurrences(spark: SparkSession, sf_dir: str):
+    """Shared stage 1 of the substring-dedup cut flavors: per-document
+    token accounting plus the 1-based (pos, endpos) gram occurrence
+    stream.  Extracted so the exact and capped flavors can never
+    desynchronize on the token/position contract."""
     t = load_tables(spark, sf_dir, ["documents"])
     # n_toks and __grams MUST share one token definition (clean_tokens,
     # the same expression shingles uses internally) or the
@@ -1190,21 +1217,15 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             "endpos"
         ),
     )
-    dup = (
-        occ.groupBy("gram")
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-            F.countDistinct("doc_id").alias("__nd"),
-        )
-        .filter(F.col("__nd") >= 2)
-        .select("gram", "first_occ")
-    )
-    cut = occ.join(dup, "gram").filter(
-        ~(
-            (F.col("doc_id") == F.col("first_occ.doc_id"))
-            & (F.col("pos") == F.col("first_occ.pos"))
-        )
-    )
+    return base, occ
+
+
+def _cut_rollup(base: DataFrame, cut: DataFrame) -> DataFrame:
+    """Shared stage 3: per-document interval UNION of the cut windows
+    (sweep-line running-max, partitioned by doc -- no global sort) and
+    the per-source kept/removed rollup."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos", "endpos")
@@ -1243,6 +1264,52 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: deterministic per-gram occurrence cap for the _fast flavor -- the
+#: LSH family's bucket-cap idea applied to the cut join: occurrences
+#: of a gram beyond the first _CUT_OCC_CAP (in corpus (doc_id, pos)
+#: order) are not cut, so removed_tokens is a LOWER BOUND on blob
+#: corpora and exact whenever no gram exceeds the cap.
+_CUT_OCC_CAP = 64
+
+
+def q_substring_dedup_cut_fast(
+    spark: SparkSession, sf_dir: str, max_occ: int = _CUT_OCC_CAP
+) -> DataFrame:
+    """Scale flavor of ``substring_dedup_cut`` (rows-only, the *_fast
+    twin pattern): identical semantics whenever every gram has at most
+    ``max_occ`` occurrences corpus-wide, proven by a pinned-equivalence
+    test on capped inputs; on mass-duplication blobs, occurrences past
+    the cap are left uncut (removed_tokens becomes a deterministic
+    lower bound) instead of flooding the per-doc interval stage.
+
+    Plan shape vs the exact flavor: the gram aggregate + equi-join
+    (TWO shuffles of the occurrence stream, the sf10 adversarial cost)
+    collapse into ONE gram-partitioned window pass -- row_number in
+    corpus (doc_id, pos) order marks the kept first occurrence and
+    enforces the cap, and min!=max doc_id over the same partition
+    replays the >=2-distinct-docs rule, all on a single exchange (the
+    ``_cap_buckets`` trick: the count piggybacks on the ranking
+    sort)."""
+    from pyspark.sql import Window
+
+    base, occ = _cut_gram_occurrences(spark, sf_dir)
+    w_ord = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    w_all = Window.partitionBy("gram").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ann = (
+        occ.withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn(
+            "__cross",
+            F.min("doc_id").over(w_all) != F.max("doc_id").over(w_all),
+        )
+    )
+    cut = ann.filter(
+        F.col("__cross") & (F.col("__rn") > 1) & (F.col("__rn") <= max_occ)
+    )
+    return _cut_rollup(base, cut)
 
 
 # The oracle re-derives positions with range() aligned to the same

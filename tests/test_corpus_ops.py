@@ -620,3 +620,94 @@ def test_substring_dedup_cut_all_empty_source_ratio_is_null(spark):
     assert (srows["mixed"].total_tokens, srows["mixed"].removed_tokens) == (6, 3)
     assert srows["mixed"].retained_ratio == 0.5
     assert drows["mixed"][2:] == (6, 3, 0.5)
+
+
+def test_substring_dedup_cut_fast_equals_exact_under_cap(spark):
+    """Pinned equivalence (VERDICT r9 item 5): on any corpus where no
+    gram exceeds the occurrence cap, the capped one-window-pass flavor
+    must reproduce the exact operator bit-for-bit -- same crafted
+    corpus as the exact op's rule test, plus the sf0.001 fixture."""
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+        q_substring_dedup_cut_fast,
+    )
+
+    g1 = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="s", text=g1),
+            Row(doc_id=2, source="s", text="b c d e f g h i"),
+            Row(doc_id=3, source="s", text=g1 + " i"),
+            Row(doc_id=4, source="s", text="x y"),
+            Row(doc_id=5, source="s", text="x y"),
+            Row(doc_id=6, source="s", text=g1 + " q r s t u v w x9"),
+        ]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        exact = sorted(map(tuple, q_substring_dedup_cut(spark, "u").collect()))
+        fast = sorted(map(tuple, q_substring_dedup_cut_fast(spark, "u").collect()))
+    finally:
+        corpus.load_tables = orig
+    assert fast == exact
+
+    d = "/root/testdata/sf0.001"
+    exact = sorted(map(tuple, q_substring_dedup_cut(spark, d).collect()))
+    fast = sorted(map(tuple, q_substring_dedup_cut_fast(spark, d).collect()))
+    assert fast == exact
+
+
+def test_substring_dedup_cut_fast_cap_is_deterministic_lower_bound(spark):
+    """Above the cap, the fast flavor leaves occurrences past the
+    first ``max_occ`` (in corpus (doc_id, pos) order) uncut: removed
+    tokens become a strict lower bound on a mass-duplication blob, and
+    raising the cap past the blob size restores exactness."""
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+        q_substring_dedup_cut_fast,
+    )
+
+    blob = "a b c d e f g h"  # one 8-token gram, duplicated in every doc
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=blob) for i in range(1, 11)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        exact = q_substring_dedup_cut(spark, "u").collect()[0]
+        capped = q_substring_dedup_cut_fast(spark, "u", max_occ=3).collect()[0]
+        uncapped = q_substring_dedup_cut_fast(spark, "u", max_occ=100).collect()[0]
+    finally:
+        corpus.load_tables = orig
+
+    # exact: 10 copies, first kept -> 9 * 8 tokens removed
+    assert exact.removed_tokens == 72
+    # cap=3 keeps rn 2..3 as cut windows -> exactly 2 * 8 removed
+    assert capped.removed_tokens == 16
+    assert capped.removed_tokens < exact.removed_tokens
+    assert tuple(uncapped) == tuple(exact)
+
+
+def test_substring_dedup_cut_fast_plan_is_join_free(spark):
+    """The fast flavor's whole point: the gram agg + equi-join (two
+    shuffles of the occurrence stream) collapse into one window pass --
+    the plan must contain NO join on the gram side (only the final
+    per-doc rollup left join) and strictly fewer shuffles than the
+    exact flavor."""
+    from spark_streaming_postgres_lab2_spark.plans import checks
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+        q_substring_dedup_cut_fast,
+    )
+
+    d = "/root/testdata/sf0.001"
+    fast = q_substring_dedup_cut_fast(spark, d)
+    exact = q_substring_dedup_cut(spark, d)
+    assert checks.sort_merge_join_count(fast) + checks.broadcast_join_count(
+        fast
+    ) <= 1  # only the rollup join survives
+    assert checks.shuffle_count(fast) < checks.shuffle_count(exact)
+    assert set(checks.read_schema_columns(fast)) == {"doc_id", "source", "text"}

@@ -32,6 +32,8 @@ _PROBE = [
     "duplicate_ngrams", "source_overlap_matrix", "shard_manifest",
     "substring_dedup_cut", "embedding_pq_audit", "ann_ivfpq_adc_audit",
     "bpe_apply_compression", "psi_value_drift", "train_eval_split",
+    # round-10 addition: the capped cut flavor
+    "substring_dedup_cut_fast",
 ]
 
 # operators whose output is a fixed summary frame even with no input
