@@ -1188,3 +1188,37 @@ def test_substring_dedup_cut_matches_python_mirror(spark, texts):
     assert (r.total_tokens, r.removed_tokens) == (total, removed)
     if total:
         assert r.retained_ratio == round_half_up(1 - removed / total, 4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_cut_text, min_size=1, max_size=10))
+def test_substring_dedup_cut_fast_equivalence_property(spark, texts):
+    """Property (round 10): on arbitrary dense-collision corpora the
+    capped flavor with a cap no corpus of this size can exceed is
+    bit-identical to the exact operator, and a deliberately tiny cap
+    never removes MORE than the exact operator (deterministic lower
+    bound), with total_tokens/n_docs accounting unchanged."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut,
+        q_substring_dedup_cut_fast,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in enumerate(texts)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        exact = q_substring_dedup_cut(spark, "u").collect()[0]
+        # 10 docs x <=14 tokens: no gram can occur more than 70 times
+        uncapped = q_substring_dedup_cut_fast(spark, "u", max_occ=200).collect()[0]
+        tiny = q_substring_dedup_cut_fast(spark, "u", max_occ=2).collect()[0]
+    finally:
+        corpus.load_tables = orig
+
+    assert tuple(uncapped) == tuple(exact)
+    assert tiny.removed_tokens <= exact.removed_tokens
+    assert (tiny.n_docs, tiny.total_tokens) == (exact.n_docs, exact.total_tokens)
