@@ -1158,32 +1158,57 @@ def q_substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measurement ``duplicate_ngrams`` (the census) feeds into an
     actual dedup decision.
 
-    Scale shape: four exchanges, none quadratic -- (1) the gram
-    aggregate finding duplicated grams + their first occurrence
-    (map-side combinable struct-MIN), (2) the occurrence<->dup-gram
-    equi-join on the gram key (output bounded by true duplication,
-    never all-pairs), (3) the per-document interval-union window
-    (running MAX of window end -- the sweep-line trick
-    session_concurrency pins, partitioned by doc so no global sort),
-    (4) the per-source rollup.  Window arithmetic is pure BIGINT; the
-    ratio is display-only (round 4)."""
+    Scale shape (r10 reformulation, see ``_cut_windows``): three
+    exchanges, none quadratic -- (1) ONE gram-partitioned window pass
+    marking non-first occurrences of cross-doc grams (replaces the
+    original gram-aggregate + equi-join, which re-shuffled the full
+    occurrence stream on the join probe side; measured 2x at sf10),
+    (2) the per-document interval-union window (running MAX of window
+    end -- the sweep-line trick session_concurrency pins, partitioned
+    by doc so no global sort), (3) the per-source rollup.  Window
+    arithmetic is pure BIGINT; the ratio is display-only (round 4).
+    The DuckDB oracle keeps the aggregate+join formulation, so the
+    hash check certifies the two formulations equivalent."""
+    return _cut_windows(spark, sf_dir, max_occ=None)
+
+
+def _cut_windows(spark: SparkSession, sf_dir: str, max_occ: int | None) -> DataFrame:
+    """Shared stage 2 of the cut flavors: mark cut occurrences with ONE
+    gram-partitioned window pass -- row_number in corpus (doc_id, pos)
+    order identifies the kept first occurrence (identical to the
+    min-struct rule: (doc_id, pos) is unique per occurrence, so the
+    rank-1 row IS the struct minimum), and min!=max doc_id over the
+    same partition replays the >=2-distinct-docs rule.  ``max_occ``
+    None = exact; an integer caps cut occurrences per gram (the fast
+    flavor's deterministic lower bound).
+
+    This replaced the original gram-aggregate + equi-join formulation
+    in round 10: the join probe side re-shuffled (and re-computed) the
+    full occurrence stream, so the window pass -- one exchange, the
+    distinct-docs check piggybacking on the ranking sort, the
+    ``_cap_buckets`` trick -- is strictly less work for identical
+    output.  Measured at sf10 on the adversarial all-duplicates shape:
+    62.2s (join) -> 31.7s (window).  The DuckDB oracle deliberately
+    KEEPS the aggregate+join formulation, so the hash check proves the
+    two formulations equivalent (the source_overlap_matrix pattern)."""
+    from pyspark.sql import Window
+
     base, occ = _cut_gram_occurrences(spark, sf_dir)
-    dup = (
-        occ.groupBy("gram")
-        .agg(
-            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-            F.countDistinct("doc_id").alias("__nd"),
-        )
-        .filter(F.col("__nd") >= 2)
-        .select("gram", "first_occ")
+    w_ord = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    w_all = Window.partitionBy("gram").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cut = occ.join(dup, "gram").filter(
-        ~(
-            (F.col("doc_id") == F.col("first_occ.doc_id"))
-            & (F.col("pos") == F.col("first_occ.pos"))
+    ann = (
+        occ.withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn(
+            "__cross",
+            F.min("doc_id").over(w_all) != F.max("doc_id").over(w_all),
         )
     )
-    return _cut_rollup(base, cut)
+    is_cut = F.col("__cross") & (F.col("__rn") > 1)
+    if max_occ is not None:
+        is_cut = is_cut & (F.col("__rn") <= max_occ)
+    return _cut_rollup(base, ann.filter(is_cut))
 
 
 def _cut_gram_occurrences(spark: SparkSession, sf_dir: str):
@@ -1284,32 +1309,12 @@ def q_substring_dedup_cut_fast(
     the cap are left uncut (removed_tokens becomes a deterministic
     lower bound) instead of flooding the per-doc interval stage.
 
-    Plan shape vs the exact flavor: the gram aggregate + equi-join
-    (TWO shuffles of the occurrence stream, the sf10 adversarial cost)
-    collapse into ONE gram-partitioned window pass -- row_number in
-    corpus (doc_id, pos) order marks the kept first occurrence and
-    enforces the cap, and min!=max doc_id over the same partition
-    replays the >=2-distinct-docs rule, all on a single exchange (the
-    ``_cap_buckets`` trick: the count piggybacks on the ranking
-    sort)."""
-    from pyspark.sql import Window
-
-    base, occ = _cut_gram_occurrences(spark, sf_dir)
-    w_ord = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    w_all = Window.partitionBy("gram").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ann = (
-        occ.withColumn("__rn", F.row_number().over(w_ord))
-        .withColumn(
-            "__cross",
-            F.min("doc_id").over(w_all) != F.max("doc_id").over(w_all),
-        )
-    )
-    cut = ann.filter(
-        F.col("__cross") & (F.col("__rn") > 1) & (F.col("__rn") <= max_occ)
-    )
-    return _cut_rollup(base, cut)
+    Plan shape: identical to the exact flavor (both run the
+    one-exchange gram-window pass of ``_cut_windows`` since the r10
+    reformulation); the cap's value is bounding the per-doc interval
+    stage's INPUT on mass-duplication blobs, where the uncapped cut
+    set is the whole occurrence stream."""
+    return _cut_windows(spark, sf_dir, max_occ=max_occ)
 
 
 # The oracle re-derives positions with range() aligned to the same

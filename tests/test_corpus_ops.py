@@ -692,11 +692,11 @@ def test_substring_dedup_cut_fast_cap_is_deterministic_lower_bound(spark):
 
 
 def test_substring_dedup_cut_fast_plan_is_join_free(spark):
-    """The fast flavor's whole point: the gram agg + equi-join (two
-    shuffles of the occurrence stream) collapse into one window pass --
-    the plan must contain NO join on the gram side (only the final
-    per-doc rollup left join) and strictly fewer shuffles than the
-    exact flavor."""
+    """Both cut flavors run the one-window-pass plan since the r10
+    reformulation (the fast twin's shape won and the exact op adopted
+    it): NO join on the gram side (only the final per-doc rollup
+    join), and the cap adds zero exchanges -- fast and exact plans
+    shuffle identically."""
     from spark_streaming_postgres_lab2_spark.plans import checks
     from spark_streaming_postgres_lab2_spark.queries.corpus import (
         q_substring_dedup_cut,
@@ -709,5 +709,5 @@ def test_substring_dedup_cut_fast_plan_is_join_free(spark):
     assert checks.sort_merge_join_count(fast) + checks.broadcast_join_count(
         fast
     ) <= 1  # only the rollup join survives
-    assert checks.shuffle_count(fast) < checks.shuffle_count(exact)
+    assert checks.shuffle_count(fast) == checks.shuffle_count(exact)
     assert set(checks.read_schema_columns(fast)) == {"doc_id", "source", "text"}

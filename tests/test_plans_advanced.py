@@ -115,10 +115,11 @@ def test_shard_manifest_reuses_bucket_exchange(spark, sf_dir):
 
 
 def test_substring_dedup_cut_plan_shape(spark, sf_dir):
-    """The cut stage must keep its four-exchange shape: map-side
-    partial aggregation on the gram rollup, an equi-join (never a
-    BroadcastNestedLoop/cartesian) between occurrences and the dup
-    table, and a scan pruned to the three columns it uses."""
+    """The cut stage (r10 window reformulation) must stay join-free on
+    the gram side -- one gram-window pass, never a
+    BroadcastNestedLoop/cartesian, only the per-doc rollup join --
+    with partial aggregation on the rollups and a scan pruned to the
+    three columns it uses."""
     from spark_streaming_postgres_lab2_spark.queries.corpus import (
         q_substring_dedup_cut,
     )
@@ -127,6 +128,11 @@ def test_substring_dedup_cut_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in checks.physical_plan(df)
     assert checks.has_partial_aggregation(df)
     assert set(checks.read_schema_columns(df)) == {"doc_id", "source", "text"}
+    # r10 reformulation: the gram side is JOIN-FREE (one window pass);
+    # the only join left is the per-doc rollup attach
+    assert (
+        checks.sort_merge_join_count(df) + checks.broadcast_join_count(df) <= 1
+    )
 
 
 def test_embedding_pq_audit_broadcasts_codebook(spark, sf_dir):
