@@ -113,3 +113,37 @@ def test_windowed_division_shapes(col_exprs, spark_dtypes, n_problems):
     con = duckdb.connect()
     rel = con.sql(f"SELECT {col_exprs} FROM (VALUES (1), (2)) t(x)")
     assert len(type_problems(spark_dtypes, rel.columns, rel.types)) == n_problems
+
+
+def test_every_oracle_is_free_of_nan_and_inf(sf_dir):
+    """Companion sweep to the HUGEINT audit: a NaN/Infinity cell
+    stringifies identically in the local canon() on both engines yet
+    can serialize differently in the driver's type-sensitive hash
+    (float('nan') vs None vs 'Infinity'), so no oracle may emit one --
+    degenerate denominators must be nullif-guarded (the
+    substring_dedup_cut retained_ratio convention)."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        rel = con.sql(sql)
+        cols = rel.columns
+        hits = [
+            (c, v)
+            for r in rel.fetchall()
+            for c, v in zip(cols, r)
+            if isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+        ]
+        if hits:
+            offenders[name] = hits[:3]
+    assert not offenders, f"non-finite oracle values: {offenders}"
