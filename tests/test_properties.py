@@ -1222,3 +1222,59 @@ def test_substring_dedup_cut_fast_equivalence_property(spark, texts):
     assert tuple(uncapped) == tuple(exact)
     assert tiny.removed_tokens <= exact.removed_tokens
     assert (tiny.n_docs, tiny.total_tokens) == (exact.n_docs, exact.total_tokens)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=3 * 256 * 1024),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_compaction_plan_matches_python_mirror(spark, sizes):
+    """Property (round 10, hardening the round's headline fix): the
+    bin-packing planner equals a pure-Python replay of the spec --
+    cumulative bytes BEFORE each file, integer-divided by the target,
+    partitioned per source in doc_id order -- on random inventories
+    whose file sizes straddle the bin boundary (0..3x target)."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _COMPACT_TARGET,
+        q_compaction_plan,
+    )
+
+    rows = [
+        Row(doc_id=i, source=src, n_chars=n)
+        for i, (src, n) in enumerate(sizes)
+    ]
+    expected: dict = defaultdict(lambda: [0, 0, None, None])
+    cum: dict = defaultdict(int)
+    for r in rows:  # doc_id order == generation order
+        bin_id = cum[r.source] // _COMPACT_TARGET
+        cum[r.source] += r.n_chars
+        e = expected[(r.source, bin_id)]
+        e[0] += 1
+        e[1] += r.n_chars
+        e[2] = r.doc_id if e[2] is None else min(e[2], r.doc_id)
+        e[3] = r.doc_id if e[3] is None else max(e[3], r.doc_id)
+
+    df = spark.createDataFrame(rows)
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {
+            (r.source, r.bin_id): (r.n_files, r.total_bytes, r.first_doc, r.last_doc)
+            for r in q_compaction_plan(spark, "u").collect()
+        }
+    finally:
+        ext.load_tables = orig
+
+    assert got == {k: tuple(v) for k, v in expected.items()}
