@@ -1278,3 +1278,123 @@ def test_compaction_plan_matches_python_mirror(spark, sizes):
         ext.load_tables = orig
 
     assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+def test_psi_degenerate_constant_value_agrees_cross_engine(spark):
+    """Crafted pin: when every measurement is identical the bucket
+    expression divides by zero -- Spark's NULL-skipping least() and
+    DuckDB's NaN-is-greatest least() both land the rows in bucket 9,
+    a lucky-but-load-bearing convergence this test freezes."""
+    import duckdb
+    import pandas as pd
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        ORACLE_PSI_DRIFT,
+        q_psi_value_drift,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                 "2024-01-01 02:00:00"]
+            ),
+            "user_id": [1, 2, 3],
+            "event_type": ["a"] * 3,
+            "value": [5.0, 5.0, 5.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        srows = [tuple(r) for r in q_psi_value_drift(spark, "u").collect()]
+    finally:
+        adv.load_tables = orig
+    con = duckdb.connect()
+    con.register("events", pdf)
+    drows = [tuple(r) for r in con.sql(ORACLE_PSI_DRIFT).fetchall()]
+    assert srows == drows == [(9, 2, 1, 0.0)]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),     # ts offset sec
+            st.integers(min_value=-50, max_value=50),       # value * 0.5
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_psi_value_drift_matches_python_mirror(spark, events):
+    """Property: the PSI drift gate equals a pure-Python replay of the
+    spec (global-width buckets in the same IEEE evaluation order,
+    BIGINT midpoint split, 1e-4 floor) on random streams.  Counts and
+    buckets compare EXACTLY; the ln-based contribution compares to the
+    displayed 4-decimal precision (the docstring's libm caveat)."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _PSI_BUCKETS,
+        _PSI_FLOOR,
+        q_psi_value_drift,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+    us = [base_us + sec * 1_000_000 for sec, _ in events]
+    vals = [half * 0.5 for _, half in events]
+
+    # pure-Python replay, same expression order as both engines
+    us_min, us_max = min(us), max(us)
+    v_min, v_max = min(vals), max(vals)
+    mid = (us_min + us_max) // 2
+    counts: dict = defaultdict(lambda: [0, 0])
+    for u, v in zip(us, vals):
+        if v_max == v_min:
+            b = _PSI_BUCKETS - 1  # the pinned degenerate convergence
+        else:
+            b = min(
+                int(math.floor((v - v_min) * _PSI_BUCKETS / (v_max - v_min))),
+                _PSI_BUCKETS - 1,
+            )
+        counts[b][0 if u <= mid else 1] += 1
+    tot_a = sum(a for a, _ in counts.values())
+    tot_b = sum(b for _, b in counts.values())
+    expected = {}
+    for b, (na, nb) in counts.items():
+        pa = max(na / tot_a if tot_a else 0.0, _PSI_FLOOR)
+        pb = max(nb / tot_b if tot_b else 0.0, _PSI_FLOOR)
+        expected[b] = (na, nb, (pb - pa) * math.log(pb / pa))
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(us)),
+            "ts": pd.to_datetime(us, unit="us"),
+            "user_id": [1] * len(us),
+            "event_type": ["a"] * len(us),
+            "value": vals,
+            "props": ["{}"] * len(us),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.bucket: r for r in q_psi_value_drift(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+
+    assert {b: (r.n_first, r.n_second) for b, r in got.items()} == {
+        b: (na, nb) for b, (na, nb, _) in expected.items()
+    }
+    for b, (_, _, psi) in expected.items():
+        assert abs(got[b].psi_contrib - round_half_up(psi, 4)) <= 1e-4 + 1e-12
