@@ -1398,3 +1398,61 @@ def test_psi_value_drift_matches_python_mirror(spark, events):
     }
     for b, (_, _, psi) in expected.items():
         assert abs(got[b].psi_contrib - round_half_up(psi, 4)) <= 1e-4 + 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), _cut_text),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_source_overlap_matrix_matches_python_mirror(spark, docs):
+    """Property: the join-free bounded-set pair expansion equals a
+    pure-Python replay (distinct grams shared per source pair) on
+    random multi-source corpora over a dense 3-letter alphabet --
+    the third opinion alongside the DuckDB self-join oracle, on
+    inputs the fixture can't shape."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _DUP_NGRAM_N,
+        q_source_overlap_matrix,
+    )
+
+    def grams(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return set()
+        if len(toks) < _DUP_NGRAM_N:
+            return {" ".join(toks)}
+        w = _DUP_NGRAM_N
+        return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+    srcs_of: dict = defaultdict(set)
+    for src, text in docs:
+        for g in grams(text):
+            srcs_of[g].add(src)
+    expected: dict = defaultdict(int)
+    for g, srcs in srcs_of.items():
+        for a, b in combinations(sorted(srcs), 2):
+            expected[(a, b)] += 1
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t) for i, (s, t) in enumerate(docs)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {
+            (r.source_a, r.source_b): r.n_shared_ngrams
+            for r in q_source_overlap_matrix(spark, "u").collect()
+        }
+    finally:
+        corpus.load_tables = orig
+    assert got == dict(expected)
