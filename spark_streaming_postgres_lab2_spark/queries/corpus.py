@@ -1188,7 +1188,8 @@ def _cut_windows(spark: SparkSession, sf_dir: str, max_occ: int | None) -> DataF
     distinct-docs check piggybacking on the ranking sort, the
     ``_cap_buckets`` trick -- is strictly less work for identical
     output.  Measured at sf10 on the adversarial all-duplicates shape:
-    62.2s (join) -> 31.7s (window).  The DuckDB oracle deliberately
+    62.2s (join) -> 37.9s (window; SCALING.md r10 follow-up table).
+    The DuckDB oracle deliberately
     KEEPS the aggregate+join formulation, so the hash check proves the
     two formulations equivalent (the source_overlap_matrix pattern)."""
     from pyspark.sql import Window

@@ -118,8 +118,15 @@ def test_driver_and_local_parity_agree_on_hash_status():
     a judge finding.  For the latest round where BOTH artifacts exist,
     every query present in both must agree on hash status -- unless a
     LATER parity artifact re-verified it green at a commit that
-    postdates the fix (the normal fix-then-re-verify flow)."""
-    import __spark_entry__ as entrymod
+    postdates a FIX: the exemption demands that evidence-producing
+    code (the package, tools/, __spark_entry__.py) actually changed
+    between the driver-red artifact landing and the parity row's
+    stamped commit.  A newer-round PASS from an unchanged harness
+    cannot be a fix and stays flagged (r10 review finding)."""
+    import shutil
+    import subprocess
+
+    import pytest
 
     corr_files = sorted(
         REPO.glob("CORRECTNESS_r*.json"),
@@ -133,6 +140,30 @@ def test_driver_and_local_parity_agree_on_hash_status():
     parity_path, parity = _latest_parity()
     parity_round = int(re.search(r"r(\d+)", parity_path.name).group(1))
 
+    def evidence_changed_since_driver_red(parity_commit: str | None) -> bool:
+        """True iff evidence-producing code differs between the commit
+        that added the driver-red CORRECTNESS artifact and the commit
+        that produced the parity row."""
+        if shutil.which("git") is None:
+            pytest.skip("git unavailable -- fix recency cannot be checked")
+        if not parity_commit or parity_commit == "unknown":
+            return False
+        corr_add = subprocess.run(
+            ["git", "-C", str(REPO), "log", "--diff-filter=A",
+             "--format=%H", "--", corr_path.name],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if not corr_add:
+            return True  # artifact uncommitted yet: mid-round state
+        diff = subprocess.run(
+            ["git", "-C", str(REPO), "diff", "--name-only",
+             corr_add[0], parity_commit, "--",
+             "spark_streaming_postgres_lab2_spark", "tools",
+             "__spark_entry__.py"],
+            capture_output=True, text=True,
+        )
+        return diff.returncode == 0 and bool(diff.stdout.strip())
+
     disagreements = []
     for name, drow in corr.items():
         prow = parity.get(name)
@@ -143,10 +174,14 @@ def test_driver_and_local_parity_agree_on_hash_status():
         if driver_green == local_green:
             continue
         # a newer parity artifact may legitimately re-verify a
-        # driver-red query AFTER its fix landed (parity_round >
-        # corr_round); the reverse -- driver green, local FAIL -- is
-        # always a defect in one of the two harnesses
-        if driver_green is False and parity_round > corr_round:
+        # driver-red query AFTER its fix landed; the reverse --
+        # driver green, local FAIL -- is always a defect in one of
+        # the two harnesses
+        if (
+            driver_green is False
+            and parity_round > corr_round
+            and evidence_changed_since_driver_red(prow.get("commit"))
+        ):
             continue
         disagreements.append(
             f"{name}: driver({corr_path.name})="

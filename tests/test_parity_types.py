@@ -19,7 +19,12 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from parity_check import _norm_duck_type, _norm_spark_type, type_problems  # noqa: E402
+from parity_check import (  # noqa: E402
+    _norm_duck_type,
+    _norm_spark_type,
+    register_fixture_views,
+    type_problems,
+)
 
 
 def test_hugeint_oracle_column_is_flagged():
@@ -69,12 +74,7 @@ def test_every_oracle_is_free_of_hugeint_and_decimal(sf_dir):
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    register_fixture_views(con, sf_dir)
 
     offenders = {}
     for name, sql in entrymod.oracle_sql().items():
@@ -127,12 +127,7 @@ def test_every_oracle_is_free_of_nan_and_inf(sf_dir):
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    register_fixture_views(con, sf_dir)
 
     offenders = {}
     for name, sql in entrymod.oracle_sql().items():

@@ -89,6 +89,25 @@ def type_problems(spark_dtypes, duck_cols, duck_types) -> list[str]:
     return problems
 
 
+FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_fixture_views(con, sf_dir: str) -> None:
+    """Register the driver fixture tables as DuckDB views.  One shared
+    definition for the harness and the inventory-sweep tests -- the
+    table list and the directory-fixture globbing convention must not
+    fork (driver fixtures are single files; tools/make_sfN.py fixtures
+    are Spark-written DIRECTORIES of part files)."""
+    for t in FIXTURE_TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
 def canon(rows, colnames) -> list[tuple]:
     """Order-insensitive canonical form: sort columns by name, stringify
     values, sort rows."""
@@ -117,16 +136,7 @@ def main() -> int:
 
     spark = build_session()
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        # driver fixtures are single files; tools/make_sfN.py fixtures
-        # are Spark-written DIRECTORIES of part files
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    register_fixture_views(con, sf_dir)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
