@@ -577,24 +577,42 @@ def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier with a returned line in a multi-supplier order --
     EXISTS(another supplier in the order) AND NOT EXISTS(another
     supplier with a returned line).  Expressed as the grouped-rewrite
-    Catalyst produces for Q21 anyway: per (order, supplier) failure
-    flags, per-order supplier/failure counts, then the
-    exactly-one-failed filter.  Top 20 by count.  The final group key
-    is s_name on BOTH sides (names joined before the count), matching
-    the oracle exactly -- grouping Spark by l_suppkey and the oracle
-    by s_name would diverge if two suppliers ever shared a name."""
+    Catalyst produces for Q21 anyway -- per (order, supplier) failure
+    flags, per-order supplier/failure counts, the exactly-one-failed
+    filter -- but on ONE reused fact partitioning (r10): lineitem is
+    repartitioned by l_orderkey once, the (order, supplier) aggregate
+    rides that exchange (HashPartitioning(ok) satisfies the (ok, sk)
+    clustering requirement), and the per-order counts are WINDOW
+    functions over the same partitioning instead of a second
+    aggregate joined back, which cost two more fact-scale exchanges
+    and, at sf10, the broadcast->SMJ cliff (A/B measured 24.5s -> 8s,
+    results identical; SCALING.md r10 batch 3).  Top 20 by count.
+    The final group key is s_name on BOTH sides (names joined before
+    the count), matching the oracle exactly -- grouping Spark by
+    l_suppkey and the oracle by s_name would diverge if two suppliers
+    ever shared a name."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
-    per_os = t["lineitem"].groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__failed")
+    per_os = (
+        t["lineitem"]
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("__failed")
+        )
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supp"),
-        F.sum("__failed").alias("__n_failed"),
-    )
+    w = Window.partitionBy("l_orderkey")
     culprits = (
-        per_os.filter(F.col("__failed") == 1)
-        .join(per_o, "l_orderkey")
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_failed") == 1))
+        per_os.withColumn("__n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("__n_failed", F.sum("__failed").over(w))
+        .filter(
+            (F.col("__failed") == 1)
+            & (F.col("__n_supp") >= 2)
+            & (F.col("__n_failed") == 1)
+        )
     )
     return (
         culprits.join(

@@ -153,3 +153,24 @@ def test_bucketed_and_control_agree(spark, sf_dir):
     a = [tuple(r) for r in q_fact_join_bucketed(spark, sf_dir).collect()]
     b = [tuple(r) for r in q_fact_join_unbucketed(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_sole_failed_supplier_reuses_one_fact_partitioning(spark, sf_dir):
+    """The r10 Q21 rewrite: the fact side pays exactly ONE exchange
+    (repartition by l_orderkey), which the (order, supplier) aggregate
+    and both per-order window counts then ride -- no second fact
+    aggregate joined back, so no sort-merge join anywhere (the only
+    join left is the broadcast supplier-name attach).  The final
+    top-20 exchange is the only other one."""
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_sole_failed_supplier,
+    )
+
+    df = q_sole_failed_supplier(spark, sf_dir)
+    assert checks.sort_merge_join_count(df) == 0
+    assert checks.broadcast_join_count(df) == 1
+    # fact repartition + s_name rollup + the orderBy: never a fourth
+    assert checks.shuffle_count(df) <= 3
+    assert set(checks.read_schema_columns(df)) >= {
+        "l_orderkey", "l_suppkey", "l_returnflag",
+    }
