@@ -1456,3 +1456,134 @@ def test_source_overlap_matrix_matches_python_mirror(spark, docs):
     finally:
         corpus.load_tables = orig
     assert got == dict(expected)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=100_000_000),  # cents
+        min_size=1,
+        max_size=60,
+    ).filter(lambda cs: any(c > 0 for c in cs))
+)
+def test_benford_digit_audit_matches_python_mirror(spark, cents):
+    """Property: the Benford first-digit audit equals a pure-Python
+    replay (fixed-point floor, first char of the BIGINT string,
+    share/deviation arithmetic) on random amounts spanning five
+    orders of magnitude, including non-positive amounts the filter
+    must drop."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _BENFORD_EXPECTED,
+        q_benford_digit_audit,
+    )
+
+    vals = [c / 100.0 for c in cents]
+    counts = Counter(
+        int(str(math.floor(v * 10000 + 0.5))[0]) for v in vals if v > 0
+    )
+    total = sum(counts.values())
+    expected = {
+        d: (
+            n,
+            round_half_up(n / total, 4),
+            _BENFORD_EXPECTED[d],
+            round_half_up(abs(n / total - _BENFORD_EXPECTED[d]), 4),
+        )
+        for d, n in counts.items()
+    }
+
+    df = spark.createDataFrame(
+        [Row(o_orderkey=i, o_totalprice=v) for i, v in enumerate(vals)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"orders": df}
+        got = {
+            r.digit: (r.n, r.share, r.benford_expected, r.abs_deviation)
+            for r in q_benford_digit_audit(spark, "u").collect()
+        }
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=48),                 # hour offset
+        st.lists(st.integers(min_value=0, max_value=1_000_000),  # cents
+                 min_size=1, max_size=3),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gapfill_interpolate_matches_python_mirror(spark, by_hour):
+    """Property: the linear gap interpolation equals a pure-Python
+    replay of the spec (fixed-point observed sums, clock spine,
+    integer-weighted mean with truncating div) on random sparse
+    hourly series -- gap widths and endpoint values are arbitrary, so
+    every integer-division branch is exercised."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_gapfill_interpolate,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01, an exact hour boundary
+    obs = {h: sum(cs) for h, cs in by_hour.items()}  # cents == fp at *100
+    mn, mx = min(obs), max(obs)
+    hours = sorted(obs)
+    expected = {}
+    for t in range(mn, mx + 1):
+        if t in obs:
+            fp = obs[t]
+            interp = 0
+        else:
+            pt = max(h for h in hours if h < t)
+            nt = min(h for h in hours if h > t)
+            pv, nv = obs[pt], obs[nt]
+            fp = (pv * (nt - t) + nv * (t - pt)) // (nt - pt)
+            interp = 1
+        expected[t] = (fp, round_half_up(fp / 100.0, 2), interp)
+
+    from datetime import datetime, timezone
+
+    def ts_at(hour):
+        us = base_us + hour * 3_600_000_000
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(
+            tzinfo=None  # session tz is pinned UTC; naive == UTC wall time
+        )
+
+    rows = []
+    i = 0
+    for h, cs in by_hour.items():
+        for c in cs:
+            rows.append(
+                Row(event_id=i, ts=ts_at(h), user_id=1,
+                    event_type="purchase", value=c / 100.0, props="{}")
+            )
+            i += 1
+    # a non-purchase row inside the window must be ignored entirely
+    rows.append(
+        Row(event_id=i, ts=ts_at(mn), user_id=1, event_type="view",
+            value=9.99, props="{}")
+    )
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            r.hour_id - base_us // 3_600_000_000:
+                (r.revenue_fp, r.revenue, r.is_interpolated)
+            for r in q_gapfill_interpolate(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
