@@ -1587,3 +1587,92 @@ def test_gapfill_interpolate_matches_python_mirror(spark, by_hour):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=40)),   # (type, hour)
+        st.integers(min_value=1, max_value=3),               # events in hour
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_mad_anomaly_hours_matches_python_mirror(spark, occupancy):
+    """Property: the median/MAD anomaly flags equal a pure-Python
+    replay of the spec -- dense per-type spine over the global hour
+    range, trailing-24 lower-median (rank (c+1) div 2), MAD as the
+    lower median of |x - med|, warmup NULL, zero-MAD any-deviation
+    rule -- on random sparse streams whose window contents are
+    arbitrary.  A shared Spark/DuckDB misreading of the rank selection
+    would pass the oracle hash but fail this mirror."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _ZS_WINDOW,
+        q_mad_anomaly_hours,
+    )
+
+    base_us = 1_704_067_200_000_000
+    base_h = base_us // 3_600_000_000
+    cnts: dict = {}
+    for (etype, h), n in occupancy.items():
+        cnts[(etype, h)] = cnts.get((etype, h), 0) + n
+    mn = min(h for _, h in cnts)
+    mx = max(h for _, h in cnts)
+    types = sorted({etype for etype, _ in cnts})
+
+    def lower_median(xs):
+        if not xs:
+            return None
+        return sorted(xs)[(len(xs) + 1) // 2 - 1]
+
+    expected = {}
+    for etype in types:
+        series = [cnts.get((etype, h), 0) for h in range(mn, mx + 1)]
+        for i, cnt in enumerate(series):
+            win = series[max(0, i - _ZS_WINDOW):i]
+            c = len(win)
+            med = lower_median(win)
+            mad = lower_median([abs(x - med) for x in win]) if win else None
+            dev = abs(cnt - med) if med is not None else None
+            if c < _ZS_WINDOW:
+                flag = None
+            elif dev == 0:
+                flag = 0
+            elif dev > 3 * mad:
+                flag = 1
+            else:
+                flag = 0
+            rz = (
+                round_half_up(dev / (mad * 1.4826), 4)
+                if c >= _ZS_WINDOW and mad and mad > 0
+                else None
+            )
+            expected[(etype, mn + i)] = (cnt, med, mad, rz, flag)
+
+    rows = []
+    i = 0
+    for (etype, h), n in cnts.items():
+        us = base_us + h * 3_600_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        for _ in range(n):
+            rows.append(Row(event_id=i, ts=ts, user_id=1, event_type=etype,
+                            value=1.0, props="{}"))
+            i += 1
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            (r.event_type, r.hour_id - base_h):
+                (r.cnt, r.med, r.mad, r.robust_z, r.is_anomaly)
+            for r in q_mad_anomaly_hours(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
