@@ -41,75 +41,77 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 10, tier 0 (20): compaction_plan first -- the ONLY
-    # oracle-bearing query never driver-green (r9 hash-fail was
-    # adjudicated type-only: DuckDB HUGEINT bin_id; the oracle now
-    # CASTs it to BIGINT per the convention above) -- plus the 19
-    # r5-green cohort deliberately held out of the r9 window
-    # (VERDICT r9 item 3).
-    "compaction_plan",          # file-metadata bin packing via window
-    "big_orders",
-    "important_parts",
-    "market_share",
-    "min_cost_supplier",
-    "sole_failed_supplier",
-    "top_supplier",
-    "order_date_math",
-    "late_arrivals",
-    "user_map_funcs",
-    "user_set_ops_all",
-    "doc_array_ops",
-    "doc_clean",
-    "grouping_sets_events",
-    "dlq_breakdown",
-    "quality_hourly",
-    "cohort_retention",
-    "event_transitions",
-    "funnel_conversion",
-    "purchase_attribution",
-    # round 10, tier 1 (29 of the 49 oracles whose last driver-green
-    # row is r6 -- recomputed from the CORRECTNESS_r01..r09 union).
-    # Drift-prone multi-stage shapes first (dedup/multimodal/
-    # statistics/pivot families); the 20 held to r11 are the
-    # lowest-drift single-shape TPC-H-ish SQL cohort
-    # (above_avg_orders, customers_without_orders,
-    # disjunctive_revenue, nation_pairs, nation_volume,
-    # order_count_distribution, order_priority, promo_revenue,
-    # quality_percentile_filter, regional_revenue, returned_revenue,
-    # small_quantity_revenue, table_counts_union, top_customers,
-    # top_parts_per_brand, tpch_q1, tpch_q6, user_activity,
-    # value_percentiles, value_stats).
-    "semantic_dedup",
-    "dedup_exact",
-    "fuzzy_record_linkage",
-    "multimodal_resize_real",
-    "embedding_quantize",
-    "doc_chunks",
-    "sequence_packing",
-    "scd2_priority_dim",
-    "training_mix_sample",
-    "trending_scores",
-    "benford_digit_audit",
-    "forecast_baseline",
-    "ols_trend",
-    "iqr_outlier_summary",
-    "winsorized_value_stats",
-    "ab_test_conversion",
-    "market_basket",
-    "skew_key_report",
-    "gdpr_erasure_audit",
-    "table_profile_events",
-    "event_pivot",
-    "event_unpivot",
-    "cube_events",
-    "rollup_revenue",
-    "validation_summary",
-    "enriched_events",
-    "hourly_event_summary",
-    "category_performance",
-    "event_distribution",
+    # round 11, tier 0 (3): the two operators whose code changed AFTER
+    # the r10 driver window froze (VERDICT r10 item 1 -- their green
+    # CORRECTNESS rows are r9 rows for superseded code), plus the
+    # newly oracle-ized capped cut flavor (VERDICT r10 item 7).
+    "substring_dedup_cut",      # r10 one-window-pass reformulation
+    "bpe_apply_compression",    # r10 reserved-codepoint vocab guard
+    "substring_dedup_cut_fast",  # oracle NEW this round (rank-replayed cap)
+    # round 11, tier 1 (20): the r6-green TPC-H cohort deliberately
+    # held out of the r10 window (VERDICT r10 item 3) -- after this
+    # window no oracle's last driver-green row predates r8.
+    "above_avg_orders",
+    "customers_without_orders",
+    "disjunctive_revenue",
+    "nation_pairs",
+    "nation_volume",
+    "order_count_distribution",
+    "order_priority",
+    "promo_revenue",
+    "quality_percentile_filter",
+    "regional_revenue",
+    "returned_revenue",
+    "small_quantity_revenue",
+    "table_counts_union",
+    "top_customers",
+    "top_parts_per_brand",
+    "tpch_q1",
+    "tpch_q6",
+    "user_activity",
+    "value_percentiles",
+    "value_stats",
+    # round 11, tier 2 (26 of the 49 oracles whose last driver-green
+    # row is r8): drift-prone multi-stage shapes first (dedup/
+    # decontamination/multimodal/clustering/corpus-stats families);
+    # the 23 held to r12 are the lower-drift window/SQL cohort
+    # (asof of simple shapes: cumulative_unique_users, doc_hof_stats,
+    # fact_join_bucketed/unbucketed, freq_items_audit,
+    # gapfill_interpolate, hourly_gapfill, latest_event_per_user,
+    # mad_anomaly_hours, nation_profit, order_first_last_nth,
+    # order_window_suite, revenue_concentration, rolling_7d_revenue,
+    # salted_nation_revenue, session_concurrency,
+    # session_overlap_pairs, similarity_topk, top_spenders_lateral,
+    # user_event_paths, value_histogram, embedding_near_dup,
+    # doc_token_stats).
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "embedding_lsh_near_dup_portable",
+    "boilerplate_dedup",
+    "incremental_dedup",
+    "decontaminate",
+    "exact_ngram_decontaminate",
+    "kmeans_cluster_profile",
+    "asof_quotes",
+    "snapshot_diff",
+    "audio_decode",
+    "audio_frame_energy",
+    "png_decode",
+    "multimodal_features",
+    "multimodal_frames",
+    "video_frame_stats",
+    "bpe_merge_candidates",
+    "pii_redaction",
+    "tfidf_top_terms",
+    "zipf_top_terms",
+    "source_quota_sample",
+    "corpus_filter_chain",
+    "doc_rolling_fingerprint",
+    "doc_language",
+    "doc_quality",
+    "bfs_reachability",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; six
+    # the cheapest canary for another fixture timestamp drift; seven
     # rounds green and counting (VERDICT r6 item 8: keep it pinned).
     "user_session_window",
 ]

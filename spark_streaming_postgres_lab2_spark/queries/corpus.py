@@ -292,7 +292,7 @@ def specs() -> list[QuerySpec]:
                   "exact-substring dedup cut: non-first duplicate 8-gram "
                   "windows removed, interval-union token accounting"),
         QuerySpec("substring_dedup_cut_fast", q_substring_dedup_cut_fast,
-                  None,
+                  ORACLE_SUBSTRING_DEDUP_CUT_FAST,
                   "capped scale flavor of substring_dedup_cut: one "
                   "gram-window pass, per-gram occurrence cap; exact "
                   "under the cap (pinned), lower bound on blobs"),
@@ -1179,8 +1179,10 @@ def _cut_windows(spark: SparkSession, sf_dir: str, max_occ: int | None) -> DataF
     min-struct rule: (doc_id, pos) is unique per occurrence, so the
     rank-1 row IS the struct minimum), and min!=max doc_id over the
     same partition replays the >=2-distinct-docs rule.  ``max_occ``
-    None = exact; an integer caps cut occurrences per gram (the fast
-    flavor's deterministic lower bound).
+    None = exact; with an integer, occurrences ranked beyond the first
+    ``max_occ`` (a count that includes the always-kept first
+    occurrence, so at most ``max_occ - 1`` are cut per gram) are left
+    uncut -- the fast flavor's deterministic lower bound.
 
     This replaced the original gram-aggregate + equi-join formulation
     in round 10: the join probe side re-shuffled (and re-computed) the
@@ -1303,12 +1305,16 @@ _CUT_OCC_CAP = 64
 def q_substring_dedup_cut_fast(
     spark: SparkSession, sf_dir: str, max_occ: int = _CUT_OCC_CAP
 ) -> DataFrame:
-    """Scale flavor of ``substring_dedup_cut`` (rows-only, the *_fast
-    twin pattern): identical semantics whenever every gram has at most
+    """Scale flavor of ``substring_dedup_cut`` (the *_fast twin
+    pattern): identical semantics whenever every gram has at most
     ``max_occ`` occurrences corpus-wide, proven by a pinned-equivalence
     test on capped inputs; on mass-duplication blobs, occurrences past
     the cap are left uncut (removed_tokens becomes a deterministic
     lower bound) instead of flooding the per-doc interval stage.
+    Oracle-checked since r11 (VERDICT r10 item 7): the cap is
+    rank-defined, so the DuckDB side replays it exactly with a
+    row_number over the same (gram; doc_id, pos) window while keeping
+    every other stage in the aggregate+join formulation.
 
     Plan shape: identical to the exact flavor (both run the
     one-exchange gram-window pass of ``_cut_windows`` since the r10
@@ -1321,8 +1327,22 @@ def q_substring_dedup_cut_fast(
 # The oracle re-derives positions with range() aligned to the same
 # 1-based convention and replays the struct-MIN first-occurrence rule
 # (DuckDB struct comparison is lexicographic by field order, exactly
-# like Spark's struct MIN).
-ORACLE_SUBSTRING_DEDUP_CUT = f"""
+# like Spark's struct MIN).  One builder produces both the exact and
+# the capped flavor (r11, VERDICT r10 item 7): the cap is inherently
+# rank-defined, so the capped oracle adds a row_number over the same
+# (gram; doc_id, pos) window and keeps every other stage -- including
+# the struct-MIN first-occurrence rule, deliberately NOT rewritten as
+# rn = 1 -- in the original aggregate+join formulation, so the hash
+# still certifies the two formulations equivalent.
+def _cut_oracle(max_occ: int | None = None) -> str:
+    rn_col = (
+        ",\n         row_number() OVER"
+        " (PARTITION BY gram ORDER BY doc_id, pos) AS rn"
+        if max_occ is not None
+        else ""
+    )
+    cap_pred = f"\n    AND o.rn <= {max_occ}" if max_occ is not None else ""
+    return f"""
 WITH __tok AS (
   SELECT doc_id, source,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1343,7 +1363,7 @@ __occ AS (
 ),
 __occ2 AS (
   SELECT doc_id, gram, pos,
-         pos + least(n_toks, {_DUP_NGRAM_N}) - 1 AS endpos
+         pos + least(n_toks, {_DUP_NGRAM_N}) - 1 AS endpos{rn_col}
   FROM __occ
 ),
 __dup AS (
@@ -1355,7 +1375,7 @@ __dup AS (
 __cut AS (
   SELECT o.doc_id, o.pos, o.endpos
   FROM __occ2 o JOIN __dup d ON o.gram = d.gram
-  WHERE NOT (o.doc_id = d.first_occ.doc_id AND o.pos = d.first_occ.pos)
+  WHERE NOT (o.doc_id = d.first_occ.doc_id AND o.pos = d.first_occ.pos){cap_pred}
 ),
 __iv AS (
   SELECT doc_id,
@@ -1377,6 +1397,10 @@ FROM __tok t LEFT JOIN __doc d ON t.doc_id = d.doc_id
 GROUP BY t.source
 ORDER BY t.source
 """
+
+
+ORACLE_SUBSTRING_DEDUP_CUT = _cut_oracle()
+ORACLE_SUBSTRING_DEDUP_CUT_FAST = _cut_oracle(_CUT_OCC_CAP)
 
 
 # --- deterministic train/val/test split manifest --------------------------------

@@ -691,6 +691,58 @@ def test_substring_dedup_cut_fast_cap_is_deterministic_lower_bound(spark):
     assert tuple(uncapped) == tuple(exact)
 
 
+def test_substring_dedup_cut_fast_oracle_replays_cap_cross_engine(spark):
+    """r11 oracle upgrade (VERDICT r10 item 7): the driver fixture
+    never exceeds the 64-occurrence cap (max gram count at sf0.01 is
+    3), so the driver hash alone certifies only the exact path.  This
+    test makes the CAP cross-engine: a 10-copy blob with cap=3 fires
+    the rank predicate on both engines, alongside a below-cap source
+    that must stay exact."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_substring_dedup_cut_fast,
+    )
+
+    blob = "a b c d e f g h"  # one 8-token gram, duplicated in every doc
+    texts = [blob] * 10 + ["p q r s t u v w", "p q r s t u v w", "lone text"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "source": ["blob"] * 10 + ["small"] * 3,
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        srows = sorted(
+            map(tuple, q_substring_dedup_cut_fast(spark, "u", max_occ=3).collect())
+        )
+    finally:
+        corpus.load_tables = orig
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    drows = sorted(map(tuple, con.sql(corpus._cut_oracle(3)).fetchall()))
+
+    assert len(srows) == len(drows) == 2
+    for s, d in zip(srows, drows):
+        assert s[:4] == d[:4]
+        assert s[4] == pytest.approx(d[4], abs=1e-9)
+    by_src = {r[0]: r for r in srows}
+    # cap=3 cuts only occurrences ranked 2..3 -> 2*8=16 of 80 removed
+    # (exact would remove 72); the below-cap source stays exact (8 cut)
+    assert by_src["blob"][1:4] == (10, 80, 16)
+    assert by_src["small"][1:4] == (3, 18, 8)
+
+
 def test_substring_dedup_cut_fast_plan_is_join_free(spark):
     """Both cut flavors run the one-window-pass plan since the r10
     reformulation (the fast twin's shape won and the exact op adopted
