@@ -18,9 +18,11 @@ from __future__ import annotations
 
 import json
 import re
+import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
 
 
 def _latest_parity() -> tuple[Path, dict]:
@@ -109,6 +111,122 @@ def test_parity_provenance_commits_are_ancestors_of_head():
         assert anc.returncode == 0, (
             f"{path.name} stamps commit {c} which is not an ancestor of HEAD"
         )
+
+
+def _driver_green_rounds() -> dict:
+    """name -> latest round with a fully-green driver row
+    (rows + schema + hash) across all committed CORRECTNESS files."""
+    last: dict[str, int] = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        for name, row in json.loads(p.read_text()).items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _parity_stamps_by_round() -> dict:
+    """round -> {name: src_stamp} for every committed parity artifact
+    that carries content stamps (r11+)."""
+    out: dict[int, dict] = {}
+    for p in REPO.glob("PARITY_r*.json"):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        stamps = {
+            name: row["src_stamp"]
+            for name, row in json.loads(p.read_text()).items()
+            if isinstance(row, dict) and "src_stamp" in row
+        }
+        if stamps:
+            out[rnd] = stamps
+    return out
+
+
+def test_changed_queries_are_reprioritized_into_driver_window():
+    """VERDICT r10 item 2, made structural: if a query's content stamp
+    (fn source + same-module helpers + oracle text) differs from the
+    stamp at its last driver-green round, its green CORRECTNESS row
+    certifies superseded code -- the query MUST sit in the current
+    driver window (first 50 ``queries()`` entries) so the next driver
+    run re-certifies it.  r7, r8, and r10 each shipped exactly this
+    changed-but-not-re-checked state; this test makes it a red suite."""
+    import __spark_entry__ as entrymod
+    from parity_check import inventory_stamps, stamp_guard_violations
+
+    window = set(list(entrymod.queries())[:50])
+    violations = stamp_guard_violations(
+        inventory_stamps(),
+        window,
+        _driver_green_rounds(),
+        _parity_stamps_by_round(),
+    )
+    assert not violations, (
+        "queries changed since their last driver-green round but NOT "
+        "re-prioritized into the driver window (DRIVER_PRIORITY in "
+        f"queries/__init__.py): {violations}"
+    )
+
+
+def test_stamp_guard_goes_red_on_edit_until_reprioritized(tmp_path):
+    """Crafted end-to-end check of the guard mechanics (the VERDICT
+    item's done-criterion): editing a query body -- including a
+    same-module HELPER the query fn merely calls, the exact r10 miss
+    -- changes the stamp and turns the guard red, and re-prioritizing
+    the query into the driver window clears it."""
+    import importlib.util
+
+    from parity_check import query_stamp, stamp_guard_violations
+
+    src_v1 = (
+        "THRESHOLD = 3\n"
+        "def _helper(x):\n"
+        "    return x + THRESHOLD\n"
+        "def q_demo(spark, sf_dir):\n"
+        "    return _helper(1)\n"
+    )
+
+    def load(body: str, tag: str):
+        p = tmp_path / f"demo_{tag}.py"
+        p.write_text(body)
+        spec = importlib.util.spec_from_file_location(f"demo_{tag}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    oracle = "SELECT 1 AS x"
+    s1 = query_stamp(load(src_v1, "v1").q_demo, oracle)
+    # identical source in a different file => identical stamp
+    assert query_stamp(load(src_v1, "v1b").q_demo, oracle) == s1
+    # helper-body edit (fn source unchanged!) => stamp changes
+    s2 = query_stamp(
+        load(src_v1.replace("x + THRESHOLD", "x * THRESHOLD"), "v2").q_demo, oracle
+    )
+    assert s2 != s1
+    # referenced scalar constant edit => stamp changes
+    s3 = query_stamp(load(src_v1.replace("= 3", "= 4"), "v3").q_demo, oracle)
+    assert s3 not in (s1, s2)
+    # oracle text edit => stamp changes
+    assert query_stamp(load(src_v1, "v4").q_demo, "SELECT 2 AS x") != s1
+
+    last_green = {"demo": 10}
+    stamps_at_green = {10: {"demo": s1}}
+    # unchanged code: green regardless of window membership
+    assert stamp_guard_violations({"demo": s1}, set(), last_green, stamps_at_green) == []
+    # changed code outside the window: RED
+    assert stamp_guard_violations(
+        {"demo": s2}, set(), last_green, stamps_at_green
+    ) == ["demo"]
+    # re-prioritized into the window: clears
+    assert stamp_guard_violations(
+        {"demo": s2}, {"demo"}, last_green, stamps_at_green
+    ) == []
+    # pre-stamp-era evidence (no stamp at the green round): exempt
+    assert stamp_guard_violations({"demo": s2}, set(), last_green, {}) == []
 
 
 def test_driver_and_local_parity_agree_on_hash_status():

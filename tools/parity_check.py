@@ -76,17 +76,122 @@ def type_problems(spark_dtypes, duck_cols, duck_types) -> list[str]:
     so HUGEINT-vs-BIGINT (and DECIMAL-vs-DOUBLE) divergence hashes
     identically locally while failing the driver's type-sensitive
     hash -- this is the sibling check VERDICT r9 item 2 ordered."""
-    sd = {name: _norm_spark_type(dt) for name, dt in spark_dtypes}
+    sd = {name: (dt, _norm_spark_type(dt)) for name, dt in spark_dtypes}
     problems = []
     for col, dt in zip(duck_cols, duck_types):
         dfam = _norm_duck_type(dt)
-        sfam = sd.get(col)
-        if sfam is None:
+        raw_fam = sd.get(col)
+        if raw_fam is None:
             continue  # name mismatch reported separately
+        sraw, sfam = raw_fam
         if dfam == sfam or "other" in (dfam, sfam):
             continue
-        problems.append(f"type {col}: duckdb {dt} vs spark {sfam}")
+        problems.append(f"type {col}: duckdb {dt} vs spark {sraw} ({sfam})")
     return problems
+
+
+def _collect_code_names(code) -> list[str]:
+    """All global names a code object references, including inside
+    nested functions/lambdas/comprehensions (their code objects live
+    in co_consts).  Deterministic order."""
+    names = list(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):
+            names.extend(_collect_code_names(const))
+    return names
+
+
+def query_stamp(fn, oracle) -> str:
+    """Content hash of a query's implementation + oracle text
+    (VERDICT r10 item 2): the structural trigger for "changed code =>
+    next driver window".  Covers the fn source, the oracle SQL, and --
+    because both r10 mid-round changes happened in SAME-MODULE helpers
+    the fn merely calls (``_cut_windows``, the BPE vocabulary guard),
+    not in the fn body itself -- recursively the source of every
+    same-module function the fn references, plus the repr of scalar
+    module constants (caps, thresholds).  Cross-module helpers
+    (load_tables, functions/*) are deliberately out of scope: a change
+    there touches most of the inventory at once, which the driver
+    window can never absorb; those are covered by the ordinary local
+    parity sweep."""
+    import functools
+    import hashlib
+    import inspect
+
+    parts: list[str] = []
+    seen: set[str] = set()
+
+    def visit(f) -> None:
+        if isinstance(f, functools.partial):
+            parts.append(f"partial{f.args!r}{sorted(f.keywords or {})!r}")
+            visit(f.func)
+            return
+        key = f"{getattr(f, '__module__', '')}.{getattr(f, '__qualname__', repr(f))}"
+        if key in seen:
+            return
+        seen.add(key)
+        try:
+            parts.append(inspect.getsource(f))
+        except (OSError, TypeError):
+            parts.append(repr(f))
+            return
+        code = getattr(f, "__code__", None)
+        if code is None:
+            return
+        mod_globals = getattr(f, "__globals__", {})
+        for name in _collect_code_names(code):
+            v = mod_globals.get(name)
+            if v is None:
+                continue
+            if inspect.isfunction(v) and v.__module__ == f.__module__:
+                visit(v)
+            elif isinstance(v, (bool, int, float, str)):
+                parts.append(f"{name}={v!r}")
+
+    visit(fn)
+    h = hashlib.sha256()
+    h.update(("" if oracle is None else str(oracle)).encode())
+    for p in parts:
+        h.update(b"\x00")
+        h.update(p.encode())
+    return h.hexdigest()[:16]
+
+
+def inventory_stamps() -> dict:
+    """name -> query_stamp for the whole queries() inventory at the
+    current code state."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    return {n: query_stamp(fn, oracles.get(n)) for n, fn in qs.items()}
+
+
+def stamp_guard_violations(
+    current_stamps: dict,
+    driver_window: set,
+    last_green_round: dict,
+    stamps_by_round: dict,
+) -> list:
+    """The structural "changed code => next driver window" rule
+    (VERDICT r10 item 2): names whose content stamp differs from the
+    stamp recorded at their last driver-green round AND are not in the
+    current driver window (the first 50 ``queries()`` entries).  Such
+    a query's green CORRECTNESS row certifies superseded code -- the
+    exact r10 state this rule exists to make a red suite instead of a
+    judge finding.  Rows from pre-stamp rounds (no ``src_stamp``) are
+    exempt; they age out as the rotation re-greens them."""
+    out = []
+    for name, cur in current_stamps.items():
+        rnd = last_green_round.get(name)
+        if rnd is None:
+            continue  # never driver-green: covered by rotation policy
+        old = (stamps_by_round.get(rnd) or {}).get(name)
+        if old is None:
+            continue  # pre-stamp-era evidence
+        if old != cur and name not in driver_window:
+            out.append(name)
+    return sorted(out)
 
 
 FIXTURE_TABLES = [
@@ -142,9 +247,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     results: dict[str, dict] = {}
+    stamps: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        stamps[name] = query_stamp(fn, oracles.get(name))
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -230,8 +337,13 @@ def main() -> int:
         except Exception:  # noqa: BLE001 - git absent/odd state: stamp time only
             head = "unknown"
         stamp = {"commit": head, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        for r in results.values():
+        for name, r in results.items():
             r.update(stamp)
+            # content stamp (VERDICT r10 item 2): the artifact guard
+            # compares this against the stamp at each query's last
+            # driver-green round to force changed code back into the
+            # driver window
+            r["src_stamp"] = stamps[name]
 
         # subset runs MERGE into an existing artifact (so adding one
         # operator mid-round updates its row without re-running the
