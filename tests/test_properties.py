@@ -1676,3 +1676,240 @@ def test_mad_anomaly_hours_matches_python_mirror(spark, occupancy):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+# --- round 11 mirror batch: chunking / packing / quantization / TF-IDF ---------
+#
+# Same third-opinion class as the r10 batch: pure-Python spec replays
+# on hypothesis-generated inputs, catching a SHARED Spark/DuckDB spec
+# misreading that the oracle hash cannot (both engines would agree on
+# the wrong answer).
+
+_chunk_text = st.text(alphabet=["a", "b", " "], min_size=0, max_size=240)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_chunk_text, min_size=1, max_size=6))
+def test_doc_chunks_matches_python_mirror(spark, texts):
+    """Property: 64/16 context-window chunking equals a pure-Python
+    replay on arbitrary texts -- including empty tokens (consecutive
+    spaces survive F.split exactly like str.split(' ')), the
+    n_tok <= overlap single-chunk floor, and stride boundaries."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _CHUNK,
+        _OVERLAP,
+        _STRIDE,
+        q_doc_chunks,
+    )
+
+    expected = []
+    for i, text in enumerate(texts):
+        toks = text.split(" ")  # java split(re, -1) keeps trailing empties too
+        n_tok = len(toks)
+        n_chunks = max(1, math.ceil((n_tok - _OVERLAP) / _STRIDE))
+        for cid in range(n_chunks):
+            chunk = toks[cid * _STRIDE : cid * _STRIDE + _CHUNK]
+            expected.append(
+                (i, cid, len(chunk),
+                 hashlib.md5(" ".join(chunk).encode()).hexdigest())
+            )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_doc_chunks(spark, "u").collect()]
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
+
+
+_pack_tokens = st.integers(min_value=0, max_value=1400)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2"]), _pack_tokens),
+                min_size=1, max_size=12))
+def test_sequence_packing_matches_python_mirror(spark, docs_spec):
+    """Property: greedy 512-token packing accounting equals a
+    pure-Python replay -- pack_id = cumulative-tokens-BEFORE // 512 in
+    stable doc_id order per source, including docs longer than the
+    context (they still occupy the pack their cumsum lands in) and
+    zero-token docs (a text of n spaces has n+1 empty tokens -- we
+    generate real token runs so n_tok is exact)."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _CTX,
+        q_sequence_packing,
+    )
+
+    rows = [
+        Row(doc_id=i, source=src, text=" ".join(["t"] * n) if n else "x",
+            lang="en", n_chars=n)
+        for i, (src, n) in enumerate(docs_spec)
+    ]
+    # n=0 is remapped to the 1-token text "x": F.split never yields an
+    # empty array, so the real operator's minimum is 1 token -- the
+    # mirror must count what split counts
+    n_toks = [max(1, n) for _, n in docs_spec]
+
+    per_source = defaultdict(list)  # source -> [(doc_id, n_tok)]
+    for i, (src, _) in enumerate(docs_spec):
+        per_source[src].append((i, n_toks[i]))
+    expected = {}
+    for src, docs in per_source.items():
+        docs.sort()
+        cum, pack_ids, total = 0, [], 0
+        for _, n in docs:
+            pack_ids.append(cum // _CTX)
+            cum += n
+            total += n
+        n_packs = max(pack_ids) + 1
+        expected[src] = (
+            len(docs), total, n_packs,
+            round_half_up(total / (n_packs * _CTX), 4),
+        )
+
+    df = spark.createDataFrame(rows)
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {
+            r.source: (r.n_docs, r.total_tokens, r.n_packs, r.fill_ratio)
+            for r in q_sequence_packing(spark, "u").collect()
+        }
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
+
+
+# elements are multiples of 1/8 up to 125: exactly representable in
+# float32, so the f32 storage cast costs nothing and the mirror's
+# double arithmetic replays Spark's bit-for-bit (per-vector fold order
+# is the array order on both sides)
+_q_elem = st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 8.0)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from([0, 1]),
+                          st.lists(_q_elem, min_size=1, max_size=8)),
+                min_size=1, max_size=10))
+def test_embedding_quantize_matches_python_mirror(spark, vecs):
+    """Property: symmetric int8 quantization (scale = max|x|/127,
+    q = floor(x/scale + 0.5), zero-vector scale 1.0) and the
+    reconstruction-error accounting equal a pure-Python replay.
+    q_max/q_min/n_vectors compare exactly; avg_sq_error compares to
+    the UNROUNDED mirror mean within 5e-7 (half the 6-decimal rounding
+    grid): Spark's cross-row avg order is nondeterministic, so exact
+    equality on the rounded value would be flaky at a grid tie, while
+    a formula error moves the value by whole grid steps."""
+    import math
+    from collections import defaultdict
+
+    import pytest
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_embedding_quantize,
+    )
+
+    per_label = defaultdict(lambda: {"n": 0, "errs": [], "qmax": [], "qmin": []})
+    for label, vec in vecs:
+        m = max(abs(x) for x in vec)
+        s = m / 127.0 if m > 0 else 1.0
+        q = [math.floor(x / s + 0.5) for x in vec]
+        acc = 0.0
+        for x, qi in zip(vec, q):
+            acc = acc + (x - qi * s) ** 2
+        g = per_label[label]
+        g["n"] += 1
+        g["errs"].append(acc)
+        g["qmax"].append(max(q))
+        g["qmin"].append(min(q))
+
+    df = spark.createDataFrame(
+        [(i, vec, label) for i, (label, vec) in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"embeddings": df}
+        got = {r.label: r for r in q_embedding_quantize(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+
+    assert set(got) == set(per_label)
+    for label, g in per_label.items():
+        r = got[label]
+        assert (r.n_vectors, r.q_max, r.q_min) == (
+            g["n"], max(g["qmax"]), min(g["qmin"])
+        )
+        assert r.avg_sq_error == pytest.approx(
+            sum(g["errs"]) / g["n"], abs=5e-7
+        )
+
+
+_tfidf_text = st.lists(
+    st.sampled_from(["w1", "w2", "w3", "w4", ""]), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_tfidf_text, min_size=1, max_size=8))
+def test_tfidf_top_terms_matches_python_mirror(spark, texts):
+    """Property: per-doc top-3 TF-IDF equals a pure-Python replay --
+    tf = in-doc count, idf = ln(N/df) with N counting ALL documents
+    (token-less docs included), ranking on the ROUNDED score with
+    term-ASC tie-break.  The tiny 4-word vocabulary forces dense df
+    collisions and rank ties, the exact class where a shared
+    misreading of the weighting or tie rule would hide."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _TFIDF_K,
+        q_tfidf_top_terms,
+    )
+
+    tokenized = [[t for t in text.split(" ") if t != ""] for text in texts]
+    n_docs = len(texts)
+    tf = {i: Counter(toks) for i, toks in enumerate(tokenized)}
+    df_ = Counter(term for c in tf.values() for term in c)
+    expected = []
+    for i in range(n_docs):
+        scored = sorted(
+            (
+                (-round_half_up(cnt * math.log(n_docs / df_[term]), 4), term)
+                for term, cnt in tf[i].items()
+            ),
+        )
+        for rank, (neg_score, term) in enumerate(scored[:_TFIDF_K], start=1):
+            expected.append((i, rank, term, tf[i][term], df_[term], -neg_score))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_tfidf_top_terms(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
