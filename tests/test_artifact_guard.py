@@ -147,6 +147,63 @@ def _parity_stamps_by_round() -> dict:
     return out
 
 
+def test_parity_rows_predate_their_rounds_driver_certification():
+    """Closes the r11 review's stamp-refresh hole: a subset merge into
+    a PAST round's parity artifact would overwrite the very src_stamp
+    the changed-code guard compares against, silently re-certifying
+    superseded code.  Structural rule: for every round where BOTH
+    artifacts are committed, every parity row's stamped commit must be
+    an ancestor of the commit that ADDED that round's CORRECTNESS
+    artifact -- local evidence must predate the driver certification
+    it later vouches for.  New evidence belongs in the CURRENT round's
+    artifact, never merged backwards."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- provenance cannot be checked here")
+
+    def rounds(pattern: str) -> dict:
+        return {
+            int(re.search(r"r(\d+)", p.name).group(1)): p
+            for p in REPO.glob(pattern)
+        }
+
+    parity_rounds = rounds("PARITY_r*.json")
+    corr_rounds = rounds("CORRECTNESS_r*.json")
+    violations = []
+    for rnd in sorted(set(parity_rounds) & set(corr_rounds)):
+        add = subprocess.run(
+            ["git", "-C", str(REPO), "log", "--diff-filter=A",
+             "--format=%H", "--", corr_rounds[rnd].name],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if not add:
+            continue  # driver artifact not committed yet (mid-round)
+        stamped = {
+            r["commit"].removesuffix("-dirty")
+            for r in json.loads(parity_rounds[rnd].read_text()).values()
+            if isinstance(r, dict) and r.get("commit") not in (None, "unknown")
+        }
+        for c in sorted(stamped):
+            anc = subprocess.run(
+                ["git", "-C", str(REPO), "merge-base", "--is-ancestor",
+                 c, add[0]],
+                capture_output=True, text=True,
+            )
+            if anc.returncode != 0:
+                violations.append(
+                    f"PARITY_r{rnd} row commit {c} postdates "
+                    f"CORRECTNESS_r{rnd}'s add ({add[0][:12]})"
+                )
+    assert not violations, (
+        "parity evidence merged backwards into an already-certified "
+        f"round's artifact: {violations}"
+    )
+
+
 def test_changed_queries_are_reprioritized_into_driver_window():
     """VERDICT r10 item 2, made structural: if a query's content stamp
     (fn source + same-module helpers + oracle text) differs from the

@@ -45,6 +45,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RESIDUAL_BAND = 1.3  # outside [1/1.3, 1.3] of the host shift => flag
 
@@ -60,9 +61,34 @@ def latest_local_artifact() -> str:
     return files[-1]
 
 
+def prev_round_stamps(prev_bench_path: str) -> dict:
+    """src_stamp map from the SAME round's parity artifact as the
+    previous bench (BENCH_r10_local -> PARITY_r10), empty if that
+    artifact predates the stamping convention.  Used to pick the
+    host-shift normalizer cohort: only queries whose implementation is
+    UNCHANGED since the previous round may define the host shift,
+    otherwise a uniform real regression (shared helper, session
+    config) would normalize itself away (r11 review finding)."""
+    m = re.search(r"r(\d+)", os.path.basename(prev_bench_path))
+    if not m:
+        return {}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = os.path.join(repo, f"PARITY_r{m.group(1)}.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        rows = json.load(f)
+    return {
+        n: r["src_stamp"]
+        for n, r in rows.items()
+        if isinstance(r, dict) and "src_stamp" in r
+    }
+
+
 def main() -> None:
     prev_path = sys.argv[1] if len(sys.argv) > 1 else latest_local_artifact()
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_controls = int(os.environ.get("SPARK_GRAFT_AB_CONTROLS", "10"))
     with open(prev_path) as f:
         prev = json.load(f)
     prev_warm = {
@@ -70,25 +96,45 @@ def main() -> None:
         for name, sec in prev.get("queries", {}).items()
         if name != "streaming_pipeline_20k_events"
     }
-    top = [n for n, _ in sorted(prev_warm.items(), key=lambda kv: -kv[1])[:k]]
+    ranked = [n for n, _ in sorted(prev_warm.items(), key=lambda kv: -kv[1])]
+    top = ranked[:k]
+    # control cohort: the next-most-expensive queries, measured in the
+    # same interleaved passes -- they widen the normalizer base so the
+    # host shift is not estimated from the same handful of queries
+    # being adjudicated
+    controls = ranked[k : k + n_controls]
 
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     passes = max(2, int(os.environ.get("SPARK_GRAFT_AB_PASSES", "4")))
+
+    from parity_check import inventory_stamps
 
     from spark_streaming_postgres_lab2_spark import queries as inventory
     from spark_streaming_postgres_lab2_spark.session import build_session
 
     spark = build_session()
     qs = inventory.queries()
-    missing = [n for n in top if n not in qs]
+    measured = top + controls
+    missing = [n for n in measured if n not in qs]
     if missing:
         raise SystemExit(f"previous artifact names absent from queries(): {missing}")
 
-    samples: dict[str, list[float]] = {n: [] for n in top}
+    prev_stamps = prev_round_stamps(prev_path)
+    cur_stamps = inventory_stamps()
+    unchanged = {
+        n for n in measured
+        if prev_stamps.get(n) is not None and prev_stamps[n] == cur_stamps.get(n)
+    }
+    if not prev_stamps:
+        # pre-stamp previous round: every query is ASSUMED unchanged
+        # for normalization purposes (the pre-r11 behavior)
+        unchanged = set(measured)
+
+    samples: dict[str, list[float]] = {n: [] for n in measured}
     # pass 0 = warmup (JVM/codegen/footer caches), not counted
     for p in range(passes + 1):
-        for name in top:
+        for name in measured:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             if p > 0:
@@ -96,11 +142,12 @@ def main() -> None:
         print(f"# pass {p} done", file=sys.stderr)
 
     head = {n: statistics.median(v) for n, v in samples.items()}
-    ratios = {n: head[n] / prev_warm[n] for n in top if prev_warm[n] > 0}
-    host_shift = statistics.median(ratios.values())
+    ratios = {n: head[n] / prev_warm[n] for n in measured if prev_warm[n] > 0}
+    shift_base = [ratios[n] for n in sorted(unchanged) if n in ratios]
+    host_shift = statistics.median(shift_base or list(ratios.values()))
     rows = {}
     flagged = []
-    for n in top:
+    for n in measured:
         ratio = ratios.get(n)
         residual = ratio / host_shift if ratio else None
         flag = bool(
@@ -113,6 +160,8 @@ def main() -> None:
             "prev_warm": prev_warm[n],
             "ratio": round(ratio, 3) if ratio else None,
             "residual": round(residual, 3) if residual else None,
+            "changed_since_prev": n not in unchanged,
+            "role": "top" if n in top else "control",
             "flag": flag,
         }
     print(
@@ -122,6 +171,8 @@ def main() -> None:
                 "passes": passes,
                 "sf_dir": sf_dir,
                 "host_shift": round(host_shift, 3),
+                "host_shift_cohort": f"{len(shift_base)} unchanged of "
+                                     f"{len(measured)} measured",
                 "residual_band": RESIDUAL_BAND,
                 "queries": rows,
                 "flagged": flagged,

@@ -108,8 +108,12 @@ def query_stamp(fn, oracle) -> str:
     because both r10 mid-round changes happened in SAME-MODULE helpers
     the fn merely calls (``_cut_windows``, the BPE vocabulary guard),
     not in the fn body itself -- recursively the source of every
-    same-module function the fn references, plus the repr of scalar
-    module constants (caps, thresholds).  Cross-module helpers
+    same-module function the fn references, the deterministic repr of
+    referenced data constants (caps, thresholds, source tuples,
+    vocabularies -- sets sorted, containers recursed), and the fn's
+    resolved default-argument values (a default like
+    ``max_occ=_CUT_OCC_CAP`` names the constant in source but not its
+    value).  Cross-module helpers
     (load_tables, functions/*) are deliberately out of scope: a change
     there touches most of the inventory at once, which the driver
     window can never absorb; those are covered by the ordinary local
@@ -121,9 +125,31 @@ def query_stamp(fn, oracle) -> str:
     parts: list[str] = []
     seen: set[str] = set()
 
+    def const_repr(v) -> str:
+        """Deterministic repr for data constants a query references.
+        Sets are sorted (their native repr order is salted); nested
+        containers recurse so a set inside a dict still stamps
+        stably."""
+        if isinstance(v, (set, frozenset)):
+            return "{" + ", ".join(sorted(const_repr(x) for x in v)) + "}"
+        if isinstance(v, (list, tuple)):
+            inner = ", ".join(const_repr(x) for x in v)
+            return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+        if isinstance(v, dict):
+            return "{" + ", ".join(
+                f"{const_repr(k)}: {const_repr(x)}" for k, x in v.items()
+            ) + "}"
+        return repr(v)
+
+    _CONSTS = (bool, int, float, str, bytes, tuple, list, dict, set, frozenset)
+
     def visit(f) -> None:
         if isinstance(f, functools.partial):
-            parts.append(f"partial{f.args!r}{sorted(f.keywords or {})!r}")
+            kw = sorted((f.keywords or {}).items(), key=lambda kv: kv[0])
+            parts.append(
+                f"partial{const_repr(f.args)}"
+                + const_repr([f"{k}={const_repr(v)}" for k, v in kw])
+            )
             visit(f.func)
             return
         key = f"{getattr(f, '__module__', '')}.{getattr(f, '__qualname__', repr(f))}"
@@ -135,6 +161,16 @@ def query_stamp(fn, oracle) -> str:
         except (OSError, TypeError):
             parts.append(repr(f))
             return
+        # default-argument VALUES are not co_names (the def line's
+        # source shows only the expression text, e.g. a constant's
+        # NAME): stamp the resolved values too (r11 review finding --
+        # a changed _CUT_OCC_CAP otherwise left the stamp unchanged)
+        for dv in (f.__defaults__ or ()):
+            if isinstance(dv, _CONSTS):
+                parts.append(f"default={const_repr(dv)}")
+        for dk, dv in sorted((f.__kwdefaults__ or {}).items()):
+            if isinstance(dv, _CONSTS):
+                parts.append(f"kwdefault {dk}={const_repr(dv)}")
         code = getattr(f, "__code__", None)
         if code is None:
             return
@@ -145,8 +181,10 @@ def query_stamp(fn, oracle) -> str:
                 continue
             if inspect.isfunction(v) and v.__module__ == f.__module__:
                 visit(v)
-            elif isinstance(v, (bool, int, float, str)):
-                parts.append(f"{name}={v!r}")
+            elif isinstance(v, _CONSTS):
+                # data constants too, not just scalars: _EVAL_SOURCES
+                # and friends feed query semantics (r11 review finding)
+                parts.append(f"{name}={const_repr(v)}")
 
     visit(fn)
     h = hashlib.sha256()
