@@ -1913,3 +1913,213 @@ def test_tfidf_top_terms_matches_python_mirror(spark, texts):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+# --- round 11 mirror batch, part 2: sweep-line / winsorized / OLS ---------------
+
+_sc_offset = st.integers(min_value=0, max_value=3 * 86_400_000_000)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from([1, 2, 3]), _sc_offset),
+                min_size=1, max_size=14))
+def test_session_concurrency_matches_python_mirror(spark, events_spec):
+    """Property: the SEGMENTED sweep (per-day windows + day-spine
+    carry-in) equals a single global pure-Python sweep on random
+    multi-day event sets -- sessionization gap rule, closed-interval
+    point ordering (+1 before -1 at equal timestamps), midnight
+    carry-in, all replayed independently.  Random timestamps straddle
+    day boundaries, the segmented logic's exact risk area."""
+    from datetime import date, timedelta
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.functions.sessions import (
+        SESSION_GAP_US,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_session_concurrency,
+    )
+
+    base = 1_700_000_000_000_000  # fixed anchor, mid-day UTC
+    rows = [(i, uid, base + off) for i, (uid, off) in enumerate(events_spec)]
+
+    # pure-Python replay: sessionize -> intervals -> global sweep
+    per_user = {}
+    for eid, uid, t in rows:
+        per_user.setdefault(uid, []).append((t, eid))
+    points = []
+    for evs in per_user.values():
+        evs.sort()
+        cur = [evs[0][0]]
+        for (t, _), (pt, _) in zip(evs[1:], evs):
+            if t - pt > SESSION_GAP_US:
+                points.append((cur[0], 1))
+                points.append((cur[-1], -1))
+                cur = [t]
+            else:
+                cur.append(t)
+        points.append((cur[0], 1))
+        points.append((cur[-1], -1))
+    points.sort(key=lambda p: (p[0], -p[1]))  # starts before ends at ties
+    run, day_max = 0, {}
+    for t, d in points:
+        run += d
+        day = date(1970, 1, 1) + timedelta(days=t // 86_400_000_000)
+        day_max[day] = max(day_max.get(day, run), run)
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t_us long"
+    ).select("event_id", "user_id", SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.day: r.max_concurrent for r in q_session_concurrency(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == day_max
+
+
+# values are multiples of 0.25: the 1e-4 fixed-point floor and every
+# clamp compare are then exact double operations on both sides
+_w_value = st.one_of(
+    st.none(), st.integers(min_value=-400, max_value=400).map(lambda v: v / 4.0)
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["A", "B"]), _w_value),
+                min_size=1, max_size=20))
+def test_winsorized_value_stats_matches_python_mirror(spark, specs):
+    """Property: discrete-rank winsorization equals a pure-Python
+    replay -- k = ceil(p*n) integer rank selection of ACTUAL elements
+    (never interpolation), strict-compare clip counts, fixed-point
+    winsorized mean -- on random per-type value sets with nulls."""
+    import math
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_winsorized_value_stats,
+    )
+
+    by_type = {}
+    for et, v in specs:
+        if v is not None:
+            by_type.setdefault(et, []).append(v)
+    expected = {}
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        k_lo = (1 * n + 99) // 100   # ceil(0.01 n)
+        k_hi = (99 * n + 99) // 100  # ceil(0.99 n)
+        p01, p99 = vals[k_lo - 1], vals[k_hi - 1]
+        fp = sum(math.floor(min(max(v, p01), p99) * 10000 + 0.5) for v in vals)
+        expected[et] = (
+            n,
+            round_half_up(p01, 4),
+            round_half_up(p99, 4),
+            sum(1 for v in vals if v < p01),
+            sum(1 for v in vals if v > p99),
+            round_half_up((fp / 10000.0) / n, 4),
+        )
+
+    df = spark.createDataFrame(
+        [(i, et, v) for i, (et, v) in enumerate(specs)],
+        "event_id long, event_type string, value double",  # explicit:
+        # an all-null value column defeats schema inference
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            r.event_type: (r.n_values, r.p01, r.p99, r.n_clip_lo,
+                           r.n_clip_hi, r.winsorized_mean)
+            for r in q_winsorized_value_stats(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+_ols_line = st.tuples(
+    st.sampled_from([1, 2]),                              # order key
+    st.integers(min_value=1, max_value=9999).map(lambda v: v / 100.0),  # price
+    st.sampled_from([0.0, 0.05, 0.1]),                    # discount
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_ols_line, min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 23), st.sampled_from([1, 2])),
+                min_size=2, max_size=2))
+def test_ols_trend_matches_python_mirror(spark, lines, order_months):
+    """Property: the integer-exact OLS slope (num = n*Sxy - Sx*Sy,
+    den = n*Sxx - Sx^2 over fixed-point monthly revenue) equals a
+    pure-Python replay on random line items spread over random months
+    -- including the single-month NULL-slope degenerate and the
+    fixed-point floor applied per ROW before the monthly sum."""
+    import math
+    from collections import defaultdict
+    from datetime import date
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import q_ols_trend
+
+    # two orders, each pinned to a (month, customer); customers map to
+    # two nations so slopes aggregate independently per nation
+    odate = {
+        ok: date(2024 + mo // 12, mo % 12 + 1, 15)
+        for ok, (mo, _) in zip((1, 2), order_months)
+    }
+    ocust = {ok: cust for ok, (_, cust) in zip((1, 2), order_months)}
+    cust_nation = {1: 10, 2: 20}
+    nation_name = {10: "ALPHA", 20: "BETA"}
+
+    monthly = defaultdict(int)  # (nation, month_idx) -> fixed-point revenue
+    for ok, price, disc in lines:
+        m = odate[ok].year * 12 + odate[ok].month
+        nat = nation_name[cust_nation[ocust[ok]]]
+        monthly[(nat, m)] += math.floor(price * (1 - disc) * 10000 + 0.5)
+    expected = {}
+    for nat in sorted({k[0] for k in monthly}):
+        cells = sorted((m, y) for (n, m), y in monthly.items() if n == nat)
+        m0 = cells[0][0]
+        xs = [m - m0 for m, _ in cells]
+        ys = [y for _, y in cells]
+        n = len(cells)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        slope = round_half_up(num / den / 10000.0, 4) if den > 0 else None
+        expected[nat] = (n, num, den, slope)
+
+    lineitem = spark.createDataFrame(
+        [Row(l_orderkey=ok, l_extendedprice=p, l_discount=d)
+         for ok, p, d in lines]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=ok, o_custkey=ocust[ok], o_orderdate=odate[ok])
+         for ok in (1, 2)]
+    )
+    customer = spark.createDataFrame(
+        [Row(c_custkey=c, c_nationkey=nk) for c, nk in cust_nation.items()]
+    )
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=nk, n_name=nm) for nk, nm in nation_name.items()]
+    )
+    tables = {"lineitem": lineitem, "orders": orders,
+              "customer": customer, "nation": nation}
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: tables
+        got = {
+            r.nation: (r.n_months, r.slope_num, r.slope_den, r.slope_per_month)
+            for r in q_ols_trend(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
