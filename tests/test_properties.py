@@ -2123,3 +2123,130 @@ def test_ols_trend_matches_python_mirror(spark, lines, order_months):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+# --- round 11 mirror batch, part 3: funnel / transition matrix -----------------
+
+# a coarse timestamp grid makes equal-timestamp collisions common, so
+# the (ts, event_id) tiebreak and the strictly-after funnel compare
+# are actually exercised
+_fun_t = st.integers(min_value=0, max_value=40).map(lambda v: v * 4_000_000_000)
+_fun_ev = st.tuples(
+    st.sampled_from([1, 2, 3, None]),
+    st.sampled_from(["signup", "view", "purchase", "other"]),
+    _fun_t,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_fun_ev, min_size=1, max_size=16))
+def test_funnel_conversion_matches_python_mirror(spark, events_spec):
+    """Property: the strict ORDERED, WINDOWED funnel (each step
+    strictly after the previous step's earliest qualifying time AND
+    within 24h of it) equals a pure-Python replay -- the rule class
+    with the most plausible misreadings (presence-only, non-strict
+    compare, window anchored at first event instead of previous step,
+    later-step-before-earlier ordering) on random event streams where
+    null users and window-straddling gaps are common."""
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _FUNNEL_WINDOW_S,
+        q_funnel_conversion,
+    )
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+
+    win = _FUNNEL_WINDOW_S * 1_000_000
+    users = {u for u, _, _ in events_spec if u is not None}
+
+    def step_min(etype, prev):
+        out = {}
+        for u, et, t in events_spec:
+            if u is None or et != etype or u not in prev:
+                continue
+            if prev[u] is not None and prev[u][0] < t <= prev[u][0] + win:
+                if u not in out or t < out[u]:
+                    out[u] = t
+        return {u: (t,) for u, t in out.items()}
+
+    s1 = {}
+    for u, et, t in events_spec:
+        if u is not None and et == "signup" and (u not in s1 or t < s1[u][0]):
+            s1[u] = (t,)
+    s2 = step_min("view", s1)
+    s3 = step_min("purchase", s2)
+
+    def rate(a, b):
+        return round_half_up(a / b, 4) if b else None
+
+    expected = (
+        len(users), len(s1), len(s2), len(s3),
+        rate(len(s2), len(s1)), rate(len(s3), len(s2)),
+    )
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(i, u, et, t) for i, (u, et, t) in enumerate(events_spec)],
+        "event_id long, user_id long, event_type string, t_us long",
+    ).select("event_id", "user_id", "event_type",
+             SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = tuple(q_funnel_conversion(spark, "u").collect()[0])
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from([1, 2, None]),
+                          st.sampled_from(["a", "b", "c"]),
+                          st.integers(min_value=0, max_value=5)),
+                min_size=1, max_size=14))
+def test_event_transitions_matches_python_mirror(spark, events_spec):
+    """Property: the per-user transition matrix equals a pure-Python
+    replay -- consecutive pairs in (ts, event_id) order (the coarse
+    0..5 timestamp grid forces heavy ties, so the event_id tiebreak
+    carries the ordering), null users dropped, per-from probabilities
+    on the rounded grid."""
+    from collections import Counter, defaultdict
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_event_transitions,
+    )
+
+    per_user = defaultdict(list)
+    for i, (u, et, t) in enumerate(events_spec):
+        if u is not None:
+            per_user[u].append((t, i, et))
+    pairs = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in pairs.items():
+        totals[a] += n
+    expected = {
+        (a, b): (n, round_half_up(n / totals[a], 4))
+        for (a, b), n in pairs.items()
+    }
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(i, u, et, t * 1_000_000) for i, (u, et, t) in enumerate(events_spec)],
+        "event_id long, user_id long, event_type string, t_us long",
+    ).select("event_id", "user_id", "event_type",
+             SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            (r.from_type, r.to_type): (r.n_transitions, r.transition_prob)
+            for r in q_event_transitions(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
