@@ -2250,3 +2250,123 @@ def test_event_transitions_matches_python_mirror(spark, events_spec):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+# --- round 11 mirror batch, part 4: cohort retention / as-of attribution -------
+
+_coh_t = st.integers(min_value=0, max_value=20 * 86_400).map(
+    lambda s: s * 1_000_000
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from([1, 2, 3, None]), _coh_t),
+                min_size=1, max_size=16))
+def test_cohort_retention_matches_python_mirror(spark, events_spec):
+    """Property: the (cohort_day x offset_week) retention matrix
+    equals a pure-Python replay -- first-seen-day cohorting, integer
+    day/week arithmetic (epoch_us DIV 86.4e9, offset DIV 7), distinct
+    user-day de-dup -- on random multi-week streams with null users."""
+    from collections import defaultdict
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_cohort_retention,
+    )
+
+    day_us = 86_400_000_000
+    user_days = defaultdict(set)
+    for u, t in events_spec:
+        if u is not None:
+            user_days[u].add(t // day_us)
+    cohort = {u: min(ds) for u, ds in user_days.items()}
+    retained = defaultdict(set)  # (cohort_day, offset_week) -> users
+    for u, ds in user_days.items():
+        for d in ds:
+            retained[(cohort[u], (d - cohort[u]) // 7)].add(u)
+    sizes = defaultdict(int)
+    for u, c in cohort.items():
+        sizes[c] += 1
+    expected = {
+        (c, w): (sizes[c], len(us), round_half_up(len(us) / sizes[c], 4))
+        for (c, w), us in retained.items()
+    }
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(events_spec)],
+        "event_id long, user_id long, t_us long",
+    ).select("event_id", "user_id", SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            (r.cohort_day, r.offset_week):
+                (r.cohort_size, r.retained_users, r.retention_rate)
+            for r in q_cohort_retention(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+# 250 ms grid: attribution lags are then exact multiples of 0.25 s, so
+# the cross-row average is an exactly-representable sum divided by a
+# small int -- deterministic under any aggregation order
+_att_t = st.integers(min_value=0, max_value=400).map(lambda v: v * 250_000)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from([1, 2]),
+                          st.sampled_from(["view", "purchase", "other"]),
+                          _att_t),
+                min_size=1, max_size=14))
+def test_purchase_attribution_matches_python_mirror(spark, events_spec):
+    """Property: the as-of attribution (each purchase takes the user's
+    most recent STRICTLY-PRIOR view in the total (ts, event_id) order
+    -- a same-timestamp view with a smaller event_id counts) equals a
+    pure-Python sweep, including unattributed purchases (NULL lag) and
+    users with no purchases (absent rows)."""
+    from collections import defaultdict
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import (
+        q_purchase_attribution,
+    )
+
+    per_user = defaultdict(list)
+    for i, (u, et, t) in enumerate(events_spec):
+        per_user[u].append((t, i, et))
+    expected = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        last_view, purchases, lags = None, 0, []
+        for t, _, et in evs:
+            if et == "purchase":
+                purchases += 1
+                if last_view is not None:
+                    lags.append((t - last_view) / 1_000_000.0)
+            if et == "view":
+                last_view = t
+        if purchases:
+            avg = round_half_up(sum(lags) / len(lags), 2) if lags else None
+            expected[u] = (purchases, len(lags), avg)
+
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(i, u, et, t) for i, (u, et, t) in enumerate(events_spec)],
+        "event_id long, user_id long, event_type string, t_us long",
+    ).select("event_id", "user_id", "event_type",
+             SF.timestamp_micros("t_us").alias("ts"))
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {
+            r.user_id: (r.purchases, r.attributed_purchases, r.avg_lag_seconds)
+            for r in q_purchase_attribution(spark, "u").collect()
+        }
+    finally:
+        core.load_tables = orig
+    assert got == expected
