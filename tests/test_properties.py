@@ -2370,3 +2370,59 @@ def test_purchase_attribution_matches_python_mirror(spark, events_spec):
     finally:
         core.load_tables = orig
     assert got == expected
+
+
+_rep_text = st.text(alphabet=["a", "b", " "], min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_rep_text, min_size=1, max_size=8))
+def test_doc_repetition_matches_python_mirror(spark, texts):
+    """Property: the Gopher repetition signals equal a pure-Python
+    replay on arbitrary texts -- crucially the asymmetric tokenizers
+    (token stats count EMPTY tokens from the raw single-space split;
+    bigram shingles run over the FILTERED stream with the short-doc
+    whole-text rule) and the inner join that drops documents with no
+    bigram stream at all."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_doc_repetition
+
+    expected = {}
+    for i, text in enumerate(texts):
+        raw = text.split(" ")  # unfiltered: empties count as tokens
+        ftk = [t for t in raw if t]
+        if not ftk:
+            continue  # no bigram row -> doc dropped by the inner join
+        if len(ftk) < 2:
+            bigrams = [" ".join(ftk)]
+        else:
+            bigrams = [" ".join(ftk[j:j + 2]) for j in range(len(ftk) - 1)]
+        tc, bc = Counter(raw), Counter(bigrams)
+        n, d, top = len(raw), len(tc), max(tc.values())
+        bn, btop = len(bigrams), max(bc.values())
+        expected[i] = (
+            n,
+            round_half_up(d / n, 4),
+            round_half_up(top / n, 4),
+            round_half_up(btop / bn, 4),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            r.doc_id: (r.n_tokens, r.distinct_ratio,
+                       r.top_token_frac, r.top_bigram_frac)
+            for r in q_doc_repetition(spark, "u").collect()
+        }
+    finally:
+        ext.load_tables = orig
+    assert got == expected
