@@ -13,6 +13,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def parse_kafka_frame(raw: DataFrame, schema: StructType) -> DataFrame:
+    """The jar-independent half of the Kafka source: parse a Kafka
+    wire frame (``value`` binary payload + broker ``timestamp``) into
+    the explicit event schema with ``from_csv`` -- never inferred,
+    matching the file source's contract.  Extracted from
+    ``kafka_stream`` so the parse contract is testable on a static
+    frame without the connector jar (the jar gates only the
+    ``readStream.format("kafka")`` load, not these projections)."""
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return raw.select(
+        F.from_csv(F.col("value").cast("string"), ddl).alias("e"),
+        F.col("timestamp").alias("kafka_timestamp"),
+    ).select("e.*", "kafka_timestamp")
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -21,9 +36,7 @@ def kafka_stream(
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
-    """CSV-over-Kafka event stream parsed to the registry schema.
-    The value payload is parsed with from_csv against the explicit
-    schema -- never inferred, matching the file source's contract."""
+    """CSV-over-Kafka event stream parsed to the registry schema."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -32,9 +45,4 @@ def kafka_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load()
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-    return raw.select(
-        F.from_csv(F.col("value").cast("string"), ddl).alias("e"),
-        F.col("timestamp").alias("kafka_timestamp"),
-    ).select("e.*", "kafka_timestamp")
+    return parse_kafka_frame(reader.load(), schema)
