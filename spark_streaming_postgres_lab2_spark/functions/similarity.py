@@ -154,6 +154,13 @@ def kmeans_lite(
         .limit(n_cand)
         .collect()
     )
+    if not cand_rows:
+        # empty slice (new tenant, filtered partition): nothing to
+        # train on -- keep the schema contract (corpus + int cluster)
+        # with zero rows instead of letting np.array([]) reach the
+        # axis-1 norm (found by the r11 full-inventory empty sweep:
+        # all four IVF queries crashed here)
+        return corpus.withColumn("cluster", F.lit(None).cast("int"))
     vecs = np.array([r["__v"] for r in cand_rows], dtype="float64")
     unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     chosen = [0]

@@ -34,6 +34,12 @@ _PROBE = [
     "bpe_apply_compression", "psi_value_drift", "train_eval_split",
     # round-10 addition: the capped cut flavor
     "substring_dedup_cut_fast",
+    # round-11: the r11 full-inventory empty sweep caught the IVF
+    # family crashing in kmeans_lite seeding (np.array([]) reaching
+    # the axis-1 norm) -- pin the whole family
+    "ann_ivf_topk", "ann_ivf_topk_quantized",
+    "ann_ivf_lossless_audit", "ann_recall_audit",
+    "kmeans_cluster_profile",
 ]
 
 # operators whose output is a fixed summary frame even with no input
