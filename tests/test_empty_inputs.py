@@ -68,3 +68,22 @@ def test_operator_survives_empty_tables(spark, empty_sf_dir, name):
     spec = {s.name: s for s in all_specs()}[name]
     rows = spec.fn(spark, empty_sf_dir).collect()
     assert len(rows) == _SUMMARY_ROWS.get(name, 0)
+
+
+DEEP = os.environ.get("SPARK_GRAFT_DEEP_FUZZ") == "1"
+
+
+@pytest.mark.skipif(not DEEP, reason="full sweep is opt-in: SPARK_GRAFT_DEEP_FUZZ=1")
+def test_every_inventory_query_survives_the_empty_slice(spark, empty_sf_dir):
+    """Opt-in full-inventory sweep (the probe above is the fast tier):
+    EVERY queries() entry must execute on the all-empty fixture.  The
+    r11 run of exactly this sweep caught the IVF family crashing in
+    kmeans_lite seeding -- a class the representative probe missed
+    because the probe predates those operators' family."""
+    fails = []
+    for s in all_specs():
+        try:
+            s.fn(spark, empty_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001
+            fails.append(f"{s.name}: {str(e).splitlines()[0][:120]}")
+    assert not fails, f"{len(fails)} operators died on the empty slice: {fails}"
