@@ -2426,3 +2426,61 @@ def test_doc_repetition_matches_python_mirror(spark, texts):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+# cross-language stopword collisions ("de" is es+fr, "la"/"un" are
+# es+fr) plus noise: argmax ties and the min-hits floor fire constantly
+_lang_tok = st.sampled_from(
+    ["the", "and", "der", "und", "el", "que", "le", "les",
+     "de", "la", "un", "zzz", "q7"]
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_lang_tok, min_size=0, max_size=10).map(" ".join),
+                min_size=1, max_size=8))
+def test_doc_language_matches_python_mirror(spark, texts):
+    """Property: the stopword-argmax language ID equals a pure-Python
+    replay -- per-language hit counts over the raw token stream, the
+    min-hits 'unknown' floor, and the deterministic first-language-
+    reaching-the-max tie-break (STOPWORDS insertion order) -- on texts
+    built from cross-language stopword collisions."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.functions.text import STOPWORDS
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_doc_language
+
+    def guess(text: str) -> str:
+        toks = text.split(" ")
+        scores = {lang: sum(1 for t in toks if t in ws)
+                  for lang, ws in STOPWORDS.items()}
+        best = max(scores.values())
+        if best < 2:
+            return "unknown"
+        for lang in STOPWORDS:  # first language reaching the max wins
+            if scores[lang] == best:
+                return lang
+        return "unknown"
+
+    labels = ["en", "de", "es", "fr"]
+    expected = Counter(
+        (labels[i % 4], guess(t)) for i, t in enumerate(texts)
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang=labels[i % 4], n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            (r.lang, r.lang_guess): r.n_docs
+            for r in q_doc_language(spark, "u").collect()
+        }
+    finally:
+        ext.load_tables = orig
+    assert got == dict(expected)
