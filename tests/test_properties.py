@@ -2484,3 +2484,258 @@ def test_doc_language_matches_python_mirror(spark, texts):
     finally:
         ext.load_tables = orig
     assert got == dict(expected)
+
+
+# --- round 11 mirror batch, part 3: split / zipf / snapshot ---------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 100_000),
+                          st.sampled_from(["en", "de", "fr"]),
+                          st.integers(0, 5000)),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+def test_train_eval_split_matches_python_mirror(spark, docs_spec):
+    """Property: the md5-prefix 80/10/10 split manifest equals a
+    hashlib replay -- first 8 hex chars of md5(str(doc_id)) against
+    the two string cutoffs, then (split, lang) doc/char rollups.  A
+    third hash implementation (Python hashlib vs Spark codegen vs the
+    DuckDB oracle) pins the routing rule itself."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _SPLIT_TRAIN_HI,
+        _SPLIT_VAL_HI,
+        q_train_eval_split,
+    )
+
+    expected: dict = defaultdict(lambda: [0, 0])
+    for doc_id, lang, n_chars in docs_spec:
+        prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        split = ("train" if prefix < _SPLIT_TRAIN_HI
+                 else "val" if prefix < _SPLIT_VAL_HI else "test")
+        e = expected[(split, lang)]
+        e[0] += 1
+        e[1] += n_chars
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, source="s", text="t", lang=lang, n_chars=n)
+         for d, lang, n in docs_spec]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            (r.split, r.lang): (r.n_docs, r.total_chars)
+            for r in q_train_eval_split(spark, "u").collect()
+        }
+    finally:
+        corpus.load_tables = orig
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+# 60-word vocabulary > _TOPK_TERMS = 50: the limit-50 boundary cut on
+# (count DESC, term ASC) fires with dense count ties on every example
+_zipf_tok = st.sampled_from([f"w{i:02d}" for i in range(60)])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_zipf_tok, min_size=0, max_size=30).map(" ".join),
+                min_size=1, max_size=10))
+def test_zipf_top_terms_matches_python_mirror(spark, texts):
+    """Property: the Zipf top-50 (rank, share, cumulative share)
+    equals a Counter replay -- top-K cut and rank both on
+    (count DESC, term ASC), shares as HALF_UP-rounded doubles over the
+    exact BIGINT cumulative sums."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _TOPK_TERMS,
+        q_zipf_top_terms,
+    )
+
+    counts = Counter(t for text in texts for t in text.split(" ") if t != "")
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPK_TERMS]
+    expected, cum = [], 0
+    for rank, (term, cnt) in enumerate(top, start=1):
+        cum += cnt
+        expected.append((rank, term, cnt,
+                         round_half_up(cnt / total, 6),
+                         round_half_up(cum / total, 6)))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_zipf_top_terms(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 800),
+                          st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+                          st.floats(0.0, 1e6, allow_nan=False, allow_infinity=False),
+                          st.sampled_from(["O", "F", "P"])),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]))
+def test_snapshot_diff_matches_python_mirror(spark, orders_spec):
+    """Property: the snapshot classifier equals a dict replay of the
+    derived mutation (delete % 97, change % 7 with the exact +1.50
+    double, add % 101 into the offset key space) and the null-safe
+    per-column comparison.  Key 0 exercises the delete+add composition
+    (deleted from the new snapshot yet cloned into the added space)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _SNAP_ADD_OFFSET,
+        q_snapshot_diff,
+    )
+
+    old = {k: (pr, tp, stt) for k, pr, tp, stt in orders_spec}
+    new = {}
+    for k, (pr, tp, stt) in old.items():
+        if k % 97 != 0:
+            new[k] = (("9-CHANGED" if k % 7 == 0 else pr),
+                      (tp + 1.5 if k % 7 == 0 else tp), stt)
+    for k, row in old.items():
+        if k % 101 == 0:
+            new[k + _SNAP_ADD_OFFSET] = row
+    common = old.keys() & new.keys()
+    chg_pr = sum(1 for k in common if old[k][0] != new[k][0])
+    chg_tp = sum(1 for k in common if old[k][1] != new[k][1])
+    chg = sum(1 for k in common if old[k] != new[k])
+    expected = (len(old), len(new),
+                len(new.keys() - old.keys()), len(old.keys() - new.keys()),
+                chg, len(common) - chg, chg_pr, chg_tp)
+
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_orderpriority=pr, o_totalprice=tp, o_orderstatus=stt)
+         for k, pr, tp, stt in orders_spec]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"orders": orders}
+        got = tuple(q_snapshot_diff(spark, "u").collect()[0])
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+_rfp_tok = st.sampled_from(["a", "bb", "ccc", "d4", "x"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_rfp_tok, min_size=0, max_size=9).map(" ".join),
+                min_size=1, max_size=10))
+def test_doc_rolling_fingerprint_matches_python_mirror(spark, texts):
+    """Property: the portable rolling fingerprint equals a pure-Python
+    replay -- 60-bit md5-prefix token hashes, 3-token windows combined
+    with WRAPPING signed-64 multiply-add (Python: true-integer product
+    mod 2^64, two's-complement fold), zero-padding past the end, min
+    over max(1, n-2) windows, NULL for token-less docs.  A third
+    implementation of the wrap emulation the DuckDB oracle does with
+    HUGEINT residues."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.functions.text import _RFP_C
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_doc_rolling_fingerprint,
+    )
+
+    mask = 1 << 64
+
+    def fp(text: str) -> int | None:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return None
+        th = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        wins = []
+        for i in range(max(len(th) - 2, 1)):
+            v = (th[i] * _RFP_C[0]
+                 + (th[i + 1] if i + 1 < len(th) else 0) * _RFP_C[1]
+                 + (th[i + 2] if i + 2 < len(th) else 0) * _RFP_C[2]) % mask
+            wins.append(v - mask if v >= (1 << 63) else v)
+        return min(wins)
+
+    expected = [(i, fp(t)) for i, t in enumerate(texts)]
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_doc_rolling_fingerprint(spark, "u").collect()]
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+# 2-word alphabet: 8-token blocks collide constantly, so keep-first
+# fires beyond the synthetic self-append the operator guarantees
+_idd_tok = st.sampled_from(["p", "q"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_idd_tok, min_size=0, max_size=40).map(" ".join),
+                min_size=1, max_size=8))
+def test_intra_doc_dedup_matches_python_mirror(spark, texts):
+    """Property: the within-document block dedup equals a Python
+    replay -- block-aligned truncation + first-8-token self-append,
+    keep-FIRST per repeated md5 block hash, kept_hash over surviving
+    block hashes in position order, sub-8-token docs excluded."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BLOCK_N,
+        q_intra_doc_dedup,
+    )
+
+    expected = {}
+    for i, text in enumerate(texts):
+        t0 = [t for t in text.split(" ") if t != ""]
+        tk = t0[: len(t0) // _BLOCK_N * _BLOCK_N] + t0[:_BLOCK_N]
+        nb = len(tk) // _BLOCK_N
+        if nb == 0:
+            continue
+        bhs = [hashlib.md5(" ".join(tk[j * _BLOCK_N:(j + 1) * _BLOCK_N]).encode())
+               .hexdigest() for j in range(nb)]
+        seen, kept = set(), []
+        for bh in bhs:
+            if bh not in seen:
+                seen.add(bh)
+                kept.append(bh)
+        expected[i] = (nb, nb - len(kept),
+                       hashlib.md5("|".join(kept).encode()).hexdigest())
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.doc_id: (r.n_blocks, r.n_repeats, r.kept_hash)
+               for r in q_intra_doc_dedup(spark, "u").collect()}
+    finally:
+        curation.load_tables = orig
+    assert got == expected
