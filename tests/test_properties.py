@@ -2739,3 +2739,195 @@ def test_intra_doc_dedup_matches_python_mirror(spark, texts):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+_bm25_tok = st.sampled_from(
+    ["hash", "join", "vector", "scan", "slow", "merge", "batch",
+     "customer", "order", "filter", "column", "zz1", "zz2"]
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_bm25_tok, min_size=0, max_size=12).map(" ".join),
+                min_size=1, max_size=10))
+def test_bm25_search_matches_python_mirror(spark, texts):
+    """Property: BM25 top-5 per query equals a pure-Python replay --
+    Lucene idf ln(1+(N-df+0.5)/(df+0.5)) with N counting ALL documents
+    (token-less included), length norm over avgdl of TOKENIZED docs
+    only, HALF_UP-rounded summed score, rank ties on doc_id ASC.
+    Texts drawn from the literal query vocabulary (plus fillers), with
+    duplicate docs forcing exact score ties."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _BM25_TOPK,
+        q_bm25_search,
+    )
+
+    tokenized = {i: [t for t in text.split(" ") if t != ""]
+                 for i, text in enumerate(texts)}
+    tf = {i: Counter(toks) for i, toks in tokenized.items() if toks}
+    df_ = Counter(term for c in tf.values() for term in c)
+    dl = {i: sum(c.values()) for i, c in tf.items()}
+    n_docs = len(texts)
+    avgdl = sum(dl.values()) / len(dl) if dl else None
+
+    by_query: dict = {}
+    for query_id, term in _BM25_QUERIES:
+        by_query.setdefault(query_id, []).append(term)
+    expected = []
+    for query_id in sorted(by_query):
+        scored = []
+        for i, c in tf.items():
+            hit = [t for t in by_query[query_id] if c[t] > 0]
+            if not hit:
+                continue
+            score = sum(
+                math.log(1 + (n_docs - df_[t] + 0.5) / (df_[t] + 0.5))
+                * (c[t] * (1 + _BM25_K1))
+                / (c[t] + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[i] / avgdl))
+                for t in hit
+            )
+            scored.append((-round_half_up(score, 4), i, len(hit)))
+        for rank, (neg, i, nhit) in enumerate(sorted(scored)[:_BM25_TOPK], 1):
+            expected.append((query_id, rank, i, -neg, nhit))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_bm25_search(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
+
+
+# 35 distinct terms > _PMI_VOCAB = 30: the df-rank vocabulary cut on
+# (df DESC, term ASC) fires with dense df collisions on every example
+_pmi_tok = st.sampled_from([f"t{i:02d}" for i in range(35)])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_pmi_tok, min_size=0, max_size=12).map(" ".join),
+                min_size=1, max_size=10))
+def test_term_pmi_matches_python_mirror(spark, texts):
+    """Property: the PMI co-occurrence top-50 equals a Python replay --
+    document-level presence counts, the top-30 vocabulary cut on
+    (df DESC, term ASC) at its tie-dense boundary, in-vocab pair counts
+    per doc, pmi = ln(n_both*N/(df_a*df_b)) HALF_UP-rounded, and the
+    fully discrete (n_both DESC, term_a, term_b) emission order."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _PMI_TOPK,
+        _PMI_VOCAB,
+        q_term_pmi_cooccurrence,
+    )
+
+    present = [sorted({t for t in text.split(" ") if t != ""}) for text in texts]
+    df_ = Counter(t for terms in present for t in terms)
+    vocab = {t for t, _ in
+             sorted(df_.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_VOCAB]}
+    n_docs = len(texts)
+    n_both = Counter()
+    for terms in present:
+        for a, b in combinations([t for t in terms if t in vocab], 2):
+            n_both[(a, b)] += 1
+    rows = sorted(
+        ((a, b, n, df_[a], df_[b],
+          round_half_up(math.log(n * n_docs / (df_[a] * df_[b])), 4))
+         for (a, b), n in n_both.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:_PMI_TOPK]
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_term_pmi_cooccurrence(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == rows
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.lists(st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+             min_size=6, max_size=6),
+    min_size=1, max_size=10))
+def test_kmeans_cluster_profile_matches_python_mirror(spark, vectors):
+    """Property: the exact integer k-means replay equals a pure-Python
+    Lloyd run -- floor(float32-widened * 2^14) quantization, BIGINT
+    squared distances, (d2, cluster_id) struct-min assignment ties,
+    trunc-toward-zero `div` centroid updates, empty-cluster carry, and
+    zero-filled profile rows for clusters with no final members."""
+    import math
+
+    import numpy as np
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _KM_K,
+        _KM_QSCALE,
+        _KM_ROUNDS,
+        q_kmeans_cluster_profile,
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
+    qv = {i: [math.floor(float(np.float32(x)) * _KM_QSCALE) for x in vec]
+          for i, vec in enumerate(vectors)}
+    seeds = sorted(qv)[:_KM_K]
+    cent = {c: list(qv[v]) for c, v in enumerate(seeds)}
+    assign: dict = {}
+    for r in range(_KM_ROUNDS):
+        assign = {}
+        for v, vec in qv.items():
+            assign[v] = min(
+                (sum((a - b) ** 2 for a, b in zip(vec, cent[c])), c)
+                for c in cent
+            )
+        if r < _KM_ROUNDS - 1:
+            members: dict = {}
+            for v, (_, c) in assign.items():
+                members.setdefault(c, []).append(qv[v])
+            for c, vecs in members.items():
+                cent[c] = [tdiv(sum(col), len(vecs)) for col in zip(*vecs)]
+    expected = []
+    for c in sorted(cent):
+        mem = [v for v, (_, cc) in assign.items() if cc == c]
+        expected.append((c, len(mem), sum(mem),
+                         sum(d for v, (d, cc) in assign.items() if cc == c),
+                         sum(cent[c])))
+
+    emb = spark.createDataFrame(
+        [(i, vec, "l") for i, vec in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": emb}
+        got = [tuple(r) for r in q_kmeans_cluster_profile(spark, "u").collect()]
+    finally:
+        ext.load_tables = orig
+    assert got == expected
