@@ -2931,3 +2931,154 @@ def test_kmeans_cluster_profile_matches_python_mirror(spark, vectors):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+_qc_tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2"]),
+                          st.lists(_qc_tok, min_size=0, max_size=10).map(" ".join)),
+                min_size=1, max_size=12))
+def test_quality_classifier_matches_python_mirror(spark, docs_spec):
+    """Property: the hashing-trick quality classifier equals a hashlib
+    replay -- weight = md5-prefix-int % 2001 - 1000 per DISTINCT token,
+    exact integer doc score, keep iff score > 0, per-source rollup with
+    the sorted kept-id hash (md5 of '' when nothing survives), and
+    token-less docs never scored."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _QC_MOD,
+        q_quality_classifier_filter,
+    )
+
+    def weight(tok: str) -> int:
+        return (int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _QC_MOD
+                - (_QC_MOD - 1) // 2)
+
+    scores: dict = {}
+    for i, (src, text) in enumerate(docs_spec):
+        toks = {t for t in text.split(" ") if t != ""}
+        if toks:
+            scores[i] = (src, sum(weight(t) for t in toks))
+    expected = {}
+    by_src: dict = defaultdict(list)
+    for i, (src, sc) in scores.items():
+        by_src[src].append((i, sc))
+    for src, rows in by_src.items():
+        kept = sorted(i for i, sc in rows if sc > 0)
+        expected[src] = (
+            len(rows), len(kept), len(rows) - len(kept),
+            round_half_up(sum(sc for _, sc in rows) / len(rows), 2),
+            hashlib.md5(",".join(str(i) for i in kept).encode()).hexdigest(),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=src, text=t, lang="en", n_chars=len(t))
+         for i, (src, t) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.source: tuple(r)[1:]
+               for r in q_quality_classifier_filter(spark, "u").collect()}
+    finally:
+        curation.load_tables = orig
+    assert got == expected
+
+
+# 2-letter alphabet, words of length 1-5: the adjacent-pair space is 4
+# strings, so the top-50 ordering ties constantly on (n_occ, pair)
+_bpe_word = st.text(alphabet="xy", min_size=1, max_size=5)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_bpe_word, min_size=0, max_size=12).map(" ".join),
+                min_size=1, max_size=8))
+def test_bpe_merge_candidates_matches_python_mirror(spark, texts):
+    """Property: one BPE training round equals a Counter replay --
+    word-frequency table first, adjacent character pairs weighted by
+    word count, single-char words excluded, top-50 on
+    (n_occ DESC, pair ASC)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_bpe_merge_candidates,
+    )
+
+    words = Counter(w for text in texts for w in text.split(" ") if w != "")
+    pairs: Counter = Counter()
+    for w, wc in words.items():
+        if len(w) >= 2:
+            for i in range(len(w) - 1):
+                pairs[w[i:i + 2]] += wc
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [(r.pair, r.n_occ)
+               for r in q_bpe_merge_candidates(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
+
+
+# tokens include bare angle brackets and tag-like fragments: the
+# extractor's three regexes must agree with Python re on hostile text
+_html_tok = st.sampled_from(["plain", "a<b", "x>y", "<em>", "<", ">", "w"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_html_tok, min_size=0, max_size=8).map(" ".join),
+                min_size=1, max_size=8))
+def test_html_text_extract_matches_python_re_mirror(spark, texts):
+    """Property: the HTML extractor equals a Python ``re`` replay of
+    the same three regexes (script-with-contents drop, tag strip,
+    space collapse) plus the raw-html tag count -- a third regex
+    engine over texts salted with bare angle brackets and tag-like
+    fragments."""
+    import hashlib
+    import re
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_html_text_extract,
+    )
+
+    expected = []
+    for i, text in enumerate(texts):
+        html = (f"<html><head><script>var x={i};</script></head>"
+                f"<body><h1>Title {i}</h1><p class=\"c{i % 7}\">{text}"
+                f"</p><!-- footer --></body></html>")
+        clean = re.sub(r"<script>[^<]*</script>", " ", html)
+        clean = re.sub(r"<[^>]+>", " ", clean)
+        clean = re.sub(r" +", " ", clean).strip(" ")
+        expected.append((i, len(re.findall(r"<[^>]+>", html)),
+                         hashlib.md5(clean.encode()).hexdigest()))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_html_text_extract(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
