@@ -3082,3 +3082,270 @@ def test_html_text_extract_matches_python_re_mirror(spark, texts):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+_trend_hour_off = st.integers(0, 29)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+                          _trend_hour_off),
+                min_size=1, max_size=30))
+def test_trending_scores_matches_python_mirror(spark, events_spec):
+    """Property: the decayed trending score equals an integer fold
+    replay -- per-type ACTIVE-hour counts in hour order,
+    score_fp <- score_fp div 2 + cnt * 2^20, NULL types dropped, and
+    the reported score as the exact dyadic score_fp / 2^20."""
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _TREND_FP_SCALE,
+        q_trending_scores,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = [(i, et, base + h * 3_600_000_000)
+            for i, (et, h) in enumerate(events_spec)]
+
+    hourly = Counter((et, t // 3_600_000_000) for _, et, t in rows
+                     if et is not None)
+    expected = {}
+    for et in {et for _, et, _ in rows if et is not None}:
+        hours = sorted(h for (e, h) in hourly if e == et)
+        fp = 0
+        for h in hours:
+            fp = fp // 2 + hourly[(et, h)] * _TREND_FP_SCALE
+        expected[et] = (len(hours), fp, fp / _TREND_FP_SCALE)
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, t_us long"
+    ).select("event_id", "event_type", SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {r.event_type: (r.n_hours, r.score_fp, r.score)
+               for r in q_trending_scores(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.one_of(st.none(), st.integers(1, 6)),
+                          st.integers(0, 9)),
+                min_size=1, max_size=30))
+def test_cumulative_unique_users_matches_python_mirror(spark, events_spec):
+    """Property: the audience-growth curve equals a first-seen replay
+    -- min day per user, the gap-filled day spine between the GLOBAL
+    event bounds (not just first-seen days), zero-new days flat in the
+    cumulative, NULL users dropped."""
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_cumulative_unique_users,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = [(i, uid, base + d * 86_400_000_000)
+            for i, (uid, d) in enumerate(events_spec)]
+
+    days = [t // 86_400_000_000 for _, uid, t in rows if uid is not None]
+    expected = []
+    if days:
+        first_seen: dict = {}
+        for _, uid, t in rows:
+            if uid is not None:
+                d = t // 86_400_000_000
+                first_seen[uid] = min(first_seen.get(uid, d), d)
+        cum = 0
+        for d in range(min(days), max(days) + 1):
+            new = sum(1 for v in first_seen.values() if v == d)
+            cum += new
+            expected.append((d, new, cum))
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t_us long"
+    ).select("event_id", "user_id", SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = [tuple(r) for r in q_cumulative_unique_users(spark, "u").collect()]
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+# second offsets straddle the 1800s gap AND collide exactly (equal ts
+# forces the event_id tiebreak inside the path window)
+_path_sec = st.sampled_from([0, 1, 2, 3, 1800, 1801, 1802, 3700, 7200])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 3),
+                          st.one_of(st.none(), st.sampled_from(["u", "v", "w"])),
+                          _path_sec),
+                min_size=1, max_size=25))
+def test_session_path_mining_matches_python_mirror(spark, events_spec):
+    """Property: the top-20 3-step session paths equal a Python replay
+    -- the 30-min strict-gap session rule, (ts, event_id) ordering
+    with equal-timestamp ties, consecutive trigrams only within a
+    session, NULL event types dropped before sessionization."""
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.functions.sessions import (
+        SESSION_GAP_US,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _PATH_TOPK,
+        q_session_path_mining,
+    )
+
+    base = 1_700_000_000_000_000
+    rows = [(i, uid, et, base + s * 1_000_000)
+            for i, (uid, et, s) in enumerate(events_spec)]
+
+    per_user: dict = {}
+    for eid, uid, et, t in rows:
+        if et is not None:
+            per_user.setdefault(uid, []).append((t, eid, et))
+    paths: Counter = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        sessions, cur, prev_t = [], [], None
+        for t, eid, et in evs:
+            if prev_t is not None and t - prev_t > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(et)
+            prev_t = t
+        sessions.append(cur)
+        for s in sessions:
+            for j in range(len(s) - 2):
+                paths[">".join(s[j:j + 3])] += 1
+    expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOPK]
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, t_us long"
+    ).select("event_id", "user_id", "event_type",
+             SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = [(r.path, r.n_sequences)
+               for r in q_session_path_mining(spark, "u").collect()]
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 27)),
+                min_size=1, max_size=40))
+def test_zscore_anomaly_hours_matches_python_mirror(spark, events_spec):
+    """Property: the trailing-24h z-score flags equal a Python replay
+    of the integer predicate (c*x - S)^2 >= 9*(c*Q - S^2) over the
+    per-type gap-filled hour spine (GLOBAL bounds, zero-filled
+    buckets), with NULL flags below a full window and the zero-variance
+    any-deviation rule.  Anchor events pin the spine to 28 hours so the
+    full-window branch always fires."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _ZS_SIGMA,
+        _ZS_WINDOW,
+        q_zscore_anomaly_hours,
+    )
+
+    base = 1_700_000_000_000_000
+    spec = list(events_spec) + [("a", 0), ("a", 27)]  # pin the spine span
+    rows = [(i, et, base + h * 3_600_000_000) for i, (et, h) in enumerate(spec)]
+
+    base_hour = base // 3_600_000_000
+    cnt = Counter((et, base_hour + h) for et, h in spec)
+    types = sorted({et for et, _ in spec})
+    mn, mx = base_hour, base_hour + 27
+    expected = []
+    for et in types:
+        dense = [(h, cnt.get((et, h), 0)) for h in range(mn, mx + 1)]
+        for idx, (h, x) in enumerate(dense):
+            win = [c for _, c in dense[max(0, idx - _ZS_WINDOW):idx]]
+            s, q, c = sum(win), sum(v * v for v in win), len(win)
+            dev, varn = c * x - s, c * q - s * s
+            z = (round_half_up(dev / math.sqrt(varn), 4)
+                 if c >= _ZS_WINDOW and varn > 0 else None)
+            if c < _ZS_WINDOW:
+                flag = None
+            elif dev == 0:
+                flag = 0
+            else:
+                flag = 1 if dev * dev >= _ZS_SIGMA * _ZS_SIGMA * varn else 0
+            expected.append((et, h, x, z, flag))
+
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, t_us long"
+    ).select("event_id", "event_type", SF.timestamp_micros("t_us").alias("ts"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = [tuple(r) for r in q_zscore_anomaly_hours(spark, "u").collect()]
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 12),
+                          st.floats(0.01, 10_000.0,
+                                    allow_nan=False, allow_infinity=False)),
+                min_size=1, max_size=30))
+def test_revenue_concentration_matches_python_mirror(spark, orders_spec):
+    """Property: the Pareto tier report equals a Python replay --
+    per-row floor(price*10000 + 0.5) fixed-point, per-customer BIGINT
+    sums, (rev DESC, custkey ASC) ranking, discrete ceil tier cuts
+    k = (p*n + 99) div 100, and display-rounded revenue/share ratios
+    of the pinned integers."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_revenue_concentration,
+    )
+
+    per_cust: dict = defaultdict(int)
+    for ck, price in orders_spec:
+        per_cust[ck] += math.floor(price * 10000 + 0.5)
+    ranked = sorted(per_cust.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(ranked)
+    total_fp = sum(fp for _, fp in ranked)
+    expected = [n, round_half_up(total_fp / 10000.0, 2)]
+    for pct in (1, 5, 20):
+        k = (pct * n + 99) // 100
+        tier_fp = sum(fp for _, fp in ranked[:k])
+        expected.append(round_half_up(tier_fp / 10000.0, 2))
+        expected.append(round_half_up(tier_fp / total_fp, 4))
+
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=i, o_custkey=ck, o_totalprice=p)
+         for i, (ck, p) in enumerate(orders_spec)]
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"orders": orders}
+        got = list(q_revenue_concentration(spark, "u").collect()[0])
+    finally:
+        adv.load_tables = orig
+    assert got == expected
