@@ -3349,3 +3349,62 @@ def test_revenue_concentration_matches_python_mirror(spark, orders_spec):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+_decon_tok = st.sampled_from(["m", "n"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["src01", "src18", "src19"]),
+                          st.lists(_decon_tok, min_size=0, max_size=20).map(" ".join)),
+                min_size=1, max_size=10))
+def test_exact_ngram_decontaminate_matches_python_mirror(spark, docs_spec):
+    """Property: the verbatim 8-gram contamination pairs equal a
+    Python replay -- the shingle rule (empty docs none, sub-8-token
+    docs ONE whole-text gram, else sliding 8-grams), per-doc gram
+    distinct, and the (train, eval) shared-gram counts.  A 2-word
+    alphabet makes gram collisions dense enough that the sub-8-token
+    whole-text branch actually collides with full shingles."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _EVAL_SOURCES,
+        _NGRAM_N,
+        q_exact_ngram_decontaminate,
+    )
+
+    def grams(text: str) -> set:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return set()
+        if len(toks) < _NGRAM_N:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + _NGRAM_N])
+                for i in range(len(toks) - _NGRAM_N + 1)}
+
+    train = {i: grams(t) for i, (s, t) in enumerate(docs_spec)
+             if s not in _EVAL_SOURCES}
+    ev = {i: grams(t) for i, (s, t) in enumerate(docs_spec)
+          if s in _EVAL_SOURCES}
+    expected = Counter()
+    for ti, tg in train.items():
+        for ei, eg in ev.items():
+            shared = len(tg & eg)
+            if shared:
+                expected[(ti, ei)] = shared
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t, lang="en", n_chars=len(t))
+         for i, (s, t) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {(r.train_doc_id, r.eval_doc_id): r.n_shared_ngrams
+               for r in q_exact_ngram_decontaminate(spark, "u").collect()}
+    finally:
+        curation.load_tables = orig
+    assert got == dict(expected)
