@@ -3408,3 +3408,98 @@ def test_exact_ngram_decontaminate_matches_python_mirror(spark, docs_spec):
     finally:
         curation.load_tables = orig
     assert got == dict(expected)
+
+
+# stopwords, punctuation-bearing tokens, and empty tokens (doubled
+# spaces): the plain single-space split keeps empties, so n_tokens
+# counts them -- the ratio denominators must agree on that
+_dq_tok = st.sampled_from(["the", "and", "for", "xx", "a.b", "!!", ":", ""])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2"]),
+                          st.lists(_dq_tok, min_size=0, max_size=12).map(" ".join)),
+                min_size=1, max_size=10))
+def test_doc_quality_matches_python_mirror(spark, docs_spec):
+    """Property: the quality-feature rollup equals a Python replay --
+    single-space split WITH empty tokens in the denominator, the
+    10-word EN stopword list, the [.,!?;:] punctuation class, the
+    rounded stop_ratio and its > 0.05 richness threshold."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.functions.text import (
+        STOPWORDS,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_doc_quality
+
+    en = set(STOPWORDS["en"])
+    by_src: dict = defaultdict(list)
+    for i, (src, text) in enumerate(docs_spec):
+        toks = text.split(" ")
+        stop_ratio = round_half_up(
+            sum(1 for t in toks if t in en) / len(toks), 4
+        )
+        punct = sum(1 for ch in text if ch in ".,!?;:")
+        by_src[src].append((len(toks), stop_ratio, punct))
+    expected = {}
+    for src, feats in by_src.items():
+        n = len(feats)
+        expected[src] = (
+            n,
+            round_half_up(sum(f[0] for f in feats) / n, 2),
+            round_half_up(sum(f[1] for f in feats) / n, 4),
+            sum(f[2] for f in feats),
+            sum(1 for f in feats if f[1] > 0.05),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=src, text=t, lang="en", n_chars=len(t))
+         for i, (src, t) in enumerate(docs_spec)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.source: tuple(r)[1:] for r in q_doc_quality(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), st.integers(1, 30)),
+                min_size=1, max_size=60))
+def test_skew_key_report_matches_python_mirror(spark, user_ids):
+    """Property: the skew audit equals a Counter replay -- per-key
+    counts over non-NULL users, share and mean-load ratio as rounded
+    ratios of the pinned integers, top-20 on (cnt DESC, user_id)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_skew_key_report
+
+    counts = Counter(u for u in user_ids if u is not None)
+    total = sum(counts.values())
+    n_keys = len(counts)
+    expected = [
+        (u, c, n_keys,
+         round_half_up(c / total, 6),
+         round_half_up(c * n_keys / total, 4))
+        for u, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    ]
+
+    events = spark.createDataFrame(
+        [Row(event_id=i, user_id=u) for i, u in enumerate(user_ids)],
+        "event_id long, user_id long",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"events": events}
+        got = [tuple(r) for r in q_skew_key_report(spark, "u").collect()]
+    finally:
+        ext.load_tables = orig
+    assert got == expected
