@@ -3503,3 +3503,111 @@ def test_skew_key_report_matches_python_mirror(spark, user_ids):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(1, 120), st.integers(0, 10_800)),
+                min_size=1, max_size=25))
+def test_asof_quotes_matches_python_mirror(spark, events_spec):
+    """Property: the cogroup + merge_asof quote enrichment equals a
+    pure-Python backward-scan replay, INCLUDING the deterministic tick
+    synthesis (hourly ticks at segment-dependent second offsets, the
+    opening tick, the distinct dedup).  Random user ids spread events
+    over many of the 50 segments; second offsets straddle the
+    tick-per-hour grid so picks flip between opening/hourly ticks."""
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_asof_quotes
+
+    n_seg = 50
+    base = 1_700_000_000_000_000
+    rows = [(i, uid, base + s * 1_000_000)
+            for i, (uid, s) in enumerate(events_spec)]
+
+    hours = [t // 3_600_000_000 for _, _, t in rows]
+    mn, mx = min(hours), max(hours)
+    ticks: dict = {}
+    for seg in range(n_seg):
+        per_seg = {}
+        for h in range(mn, mx + 1):
+            t_us = h * 3_600_000_000 + ((seg * 97) % 3600) * 1_000_000
+            per_seg[t_us] = (h * 31 + seg * 7) % 1000 + 100
+        opening = mn * 3_600_000_000
+        per_seg.setdefault(opening, (mn * 31 + seg * 7) % 1000 + 100)
+        ticks[seg] = sorted(per_seg.items())
+    expected = []
+    for eid, uid, t in rows:
+        seg = uid % n_seg
+        tick_us, fp = max(
+            (tu, f) for tu, f in ticks[seg] if tu <= t
+        )
+        expected.append((eid, seg, t, fp, (t - tick_us) // 1_000_000))
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t_us long"
+    ).select("event_id", "user_id", SF.timestamp_micros("t_us").alias("ts"))
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"events": df}
+        got = [tuple(r) for r in q_asof_quotes(spark, "u").collect()]
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.lists(st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+             min_size=16, max_size=16),
+    min_size=1, max_size=20))
+def test_embedding_pq_audit_matches_python_mirror(spark, vectors):
+    """Property: the PQ assignment audit equals a Python replay --
+    float32-widened 2^14 quantization, the 8-dim subspace split, the
+    16-lowest-vec_id codebook, BIGINT subvector distances with
+    (d2, code) struct-min ties (duplicate vectors force them), and the
+    per-subspace count / codes-used / reconstruction-error rollup."""
+    import math
+
+    import numpy as np
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _KM_QSCALE,
+        _PQ_K,
+        _PQ_SUB,
+        q_embedding_pq_audit,
+    )
+
+    qv = {i: [math.floor(float(np.float32(x)) * _KM_QSCALE) for x in vec]
+          for i, vec in enumerate(vectors)}
+    dim = 16
+    n_sub = dim // _PQ_SUB
+    seeds = sorted(qv)[:_PQ_K]
+    book = {(m, code): qv[v][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            for code, v in enumerate(seeds) for m in range(n_sub)}
+    per_m: dict = {m: [0, set(), 0] for m in range(n_sub)}
+    for v, vec in qv.items():
+        for m in range(n_sub):
+            sub = vec[m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            d2, code = min(
+                (sum((a - b) ** 2 for a, b in zip(sub, book[(m, c)])), c)
+                for c in range(len(seeds))
+            )
+            per_m[m][0] += 1
+            per_m[m][1].add(code)
+            per_m[m][2] += d2
+    expected = [(m, n, len(codes), err)
+                for m, (n, codes, err) in sorted(per_m.items())]
+
+    emb = spark.createDataFrame(
+        [(i, vec, "l") for i, vec in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": emb}
+        got = [tuple(r) for r in q_embedding_pq_audit(spark, "u").collect()]
+    finally:
+        ext.load_tables = orig
+    assert got == expected
