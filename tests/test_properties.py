@@ -3611,3 +3611,130 @@ def test_embedding_pq_audit_matches_python_mirror(spark, vectors):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+_mh_tok = st.sampled_from(["r", "s", "t"])
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join),
+                min_size=2, max_size=8))
+def test_minhash_near_dup_matches_python_mirror(spark, texts):
+    """Property: the ENTIRE portable MinHash-LSH pipeline equals a
+    pure-Python replay -- 3-token shingle rule (sub-3-token docs one
+    whole-text shingle), md5-prefix mod-P shingle hashes, the 12
+    MINSTD affine permutations, 4x3 band keys, bucket candidate
+    generation, and the exact-Jaccard >= 0.4 verify.  A third
+    implementation of the hash family every LSH oracle composes."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _MH_PRIME,
+        _mh_ab,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_minhash_near_dup
+
+    def sh3(text: str) -> set:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    shs = {i: sh3(t) for i, t in enumerate(texts) if sh3(t)}
+    mins = {}
+    for i, ss in shs.items():
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME
+              for s in ss]
+        mins[i] = [min((a * h + b) % _MH_PRIME for h in hs)
+                   for a, b in (_mh_ab(k) for k in range(12))]
+    buckets: dict = {}
+    for i, m in mins.items():
+        for b in range(4):
+            key = hashlib.md5(
+                "|".join(str(v) for v in m[b * 3:(b + 1) * 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(i)
+    cand = {(a, b) for ids in buckets.values()
+            for a in ids for b in ids if a < b}
+    expected = {}
+    for a, b in cand:
+        j = round_half_up(len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 4)
+        if j >= 0.4:
+            expected[(a, b)] = j
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {(r.doc_id_1, r.doc_id_2): r.jaccard
+               for r in q_minhash_near_dup(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join),
+                min_size=2, max_size=8))
+def test_simhash_near_dup_matches_python_mirror(spark, texts):
+    """Property: the portable SimHash near-dup pipeline equals a
+    pure-Python replay -- md5-nibble bit votes over distinct tokens,
+    the strict-majority fingerprint, 4x16-bit banding, and the
+    Hamming <= 4 verify over both 32-bit halves."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_simhash_near_dup
+
+    fps = {}
+    for i, text in enumerate(texts):
+        toks = {t for t in text.split(" ") if t != ""}
+        if not toks:
+            continue
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                if (int(h[j // 4], 16) >> (j % 4)) & 1:
+                    votes[j] += 1
+        lo = sum(1 << j for j in range(32) if votes[j] * 2 > len(toks))
+        hi = sum(1 << (j - 32) for j in range(32, 64)
+                 if votes[j] * 2 > len(toks))
+        fps[i] = (lo, hi)
+    buckets: dict = {}
+    for i, (lo, hi) in fps.items():
+        for b, v in enumerate([lo % 65536, lo // 65536,
+                               hi % 65536, hi // 65536]):
+            buckets.setdefault((b, v), []).append(i)
+    expected = {}
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    ham = (bin(fps[a][0] ^ fps[b][0]).count("1")
+                           + bin(fps[a][1] ^ fps[b][1]).count("1"))
+                    if ham <= 4:
+                        expected[(a, b)] = ham
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {(r.doc_id_1, r.doc_id_2): r.hamming
+               for r in q_simhash_near_dup(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert got == expected
