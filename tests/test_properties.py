@@ -3738,3 +3738,157 @@ def test_simhash_near_dup_matches_python_mirror(spark, texts):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["s1", "s2"]),
+                          st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join)),
+                min_size=2, max_size=8))
+def test_canonical_docs_matches_python_mirror(spark, docs_spec):
+    """Property: the full cluster-dedup composition equals a Python
+    replay -- portable MinHash pairs (threshold 0.5), min-id union-find
+    components with shingle-less/singleton docs as their own cluster,
+    per-cluster arg-max on (n_chars, lowest doc_id), per-source
+    kept/dropped rollup."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _MH_PRIME,
+        _mh_ab,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.corpus import q_canonical_docs
+
+    def sh3(text: str) -> set:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    n_chars = {i: len(t) for i, (_, t) in enumerate(docs_spec)}
+    shs = {i: sh3(t) for i, (_, t) in enumerate(docs_spec) if sh3(t)}
+    buckets: dict = {}
+    for i, ss in shs.items():
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME
+              for s in ss]
+        mins = [min((a * h + b) % _MH_PRIME for h in hs)
+                for a, b in (_mh_ab(k) for k in range(12))]
+        for b in range(4):
+            key = hashlib.md5(
+                "|".join(str(v) for v in mins[b * 3:(b + 1) * 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    j = round_half_up(
+                        len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 4)
+                    if j >= 0.5:
+                        pairs.add((a, b))
+
+    parent = {i: i for i in range(len(docs_spec))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for i in range(len(docs_spec)):
+        clusters.setdefault(find(i), []).append(i)
+    kept = set()
+    for members in clusters.values():
+        kept.add(max(members, key=lambda i: (n_chars[i], -i)))
+    expected = {}
+    for i, (src, _) in enumerate(docs_spec):
+        n, k, d = expected.get(src, (0, 0, 0))
+        expected[src] = (n + 1, k + (i in kept), d + (i not in kept))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=src, text=t, lang="en", n_chars=len(t))
+         for i, (src, t) in enumerate(docs_spec)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.source: (r.n_docs, r.kept_docs, r.dropped_docs)
+               for r in q_canonical_docs(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False, width=32),
+             min_size=64, max_size=64),
+    min_size=2, max_size=8))
+def test_embedding_lsh_portable_matches_python_mirror(spark, vectors):
+    """Property: the integer-hyperplane LSH near-dup equals a Python
+    replay -- float32-widened 2^14 quantization, int64 plane dots with
+    the >= 0 sign rule over the 16x4 baked planes, bucket candidate
+    generation, and the left-to-right float64 cosine verify with the
+    round-4 threshold (zero-norm pairs dropped)."""
+    import math
+
+    import numpy as np
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _QUANT_SCALE,
+        _int_plane,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_embedding_lsh_near_dup_portable,
+    )
+
+    widened = [[float(np.float32(x)) for x in vec] for vec in vectors]
+    qv = [[math.floor(x * _QUANT_SCALE) for x in vec] for vec in widened]
+    buckets: dict = {}
+    for i, v in enumerate(qv):
+        for t in range(16):
+            key = t * 16
+            for j in range(4):
+                plane = _int_plane(t * 4 + j, 64)
+                if sum(a * b for a, b in zip(v, plane)) >= 0:
+                    key += 1 << j
+            buckets.setdefault(key, []).append(i)
+    cand = {(a, b) for ids in buckets.values()
+            for a in ids for b in ids if a < b}
+    expected = {}
+    for a, b in sorted(cand):
+        accd = acc1 = acc2 = 0.0
+        for x, y in zip(widened[a], widened[b]):
+            accd += x * y
+            acc1 += x * x
+            acc2 += y * y
+        den = math.sqrt(acc1) * math.sqrt(acc2)
+        if den == 0.0:
+            continue
+        cos = round_half_up(accd / den, 4)
+        if cos >= 0.4:
+            expected[(a, b)] = cos
+
+    emb = spark.createDataFrame(
+        [(i, vec, "l") for i, vec in enumerate(vectors)],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": emb}
+        got = {(r.vec_id_1, r.vec_id_2): r.cosine_sim
+               for r in q_embedding_lsh_near_dup_portable(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert got == expected
