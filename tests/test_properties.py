@@ -3892,3 +3892,96 @@ def test_embedding_lsh_portable_matches_python_mirror(spark, vectors):
     finally:
         ext.load_tables = orig
     assert got == expected
+
+
+_mix_lang = st.sampled_from(["en", "de", "fr", "es", "zh", "xx"])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 100_000), _mix_lang),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+def test_training_mix_sample_matches_python_mirror(spark, docs_spec):
+    """Property: the language-weighted downsampling manifest equals a
+    hashlib replay -- per-language md5-prefix cutoffs, rate >= 1 kept
+    unconditionally, UNKNOWN languages dropped (the when-chain
+    default)."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _MIX_RATES,
+        _cutoff_hex,
+        q_training_mix_sample,
+    )
+
+    expected: dict = defaultdict(lambda: [0, 0])
+    for doc_id, lang in docs_spec:
+        prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        rate = _MIX_RATES.get(lang)
+        keep = rate is not None and (rate >= 1.0 or prefix < _cutoff_hex(rate))
+        expected[lang][0] += 1
+        expected[lang][1] += keep
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, source="s", text="t", lang=lang, n_chars=1)
+         for d, lang in docs_spec]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.lang: (r.n_total, r.n_sampled)
+               for r in q_training_mix_sample(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 100_000), _mix_lang),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]))
+def test_training_mix_upsample_matches_python_mirror(spark, docs_spec):
+    """Property: the fractional upsampling manifest equals a hashlib
+    replay -- floor(rate) copies plus one iff the md5 prefix falls
+    under the fractional-part cutoff, unknown languages defaulting to
+    exactly one copy, realized_rate as the rounded copy ratio."""
+    import hashlib
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _UPSAMPLE_RATES,
+        _cutoff_hex,
+        q_training_mix_upsample,
+    )
+
+    by_lang: dict = defaultdict(lambda: [0, 0])
+    for doc_id, lang in docs_spec:
+        prefix = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        rate = _UPSAMPLE_RATES.get(lang)
+        if rate is None:
+            copies = 1
+        else:
+            whole, frac = int(rate), rate - int(rate)
+            copies = whole + (1 if frac > 0 and prefix < _cutoff_hex(frac) else 0)
+        by_lang[lang][0] += 1
+        by_lang[lang][1] += copies
+    expected = {lang: (n, c, round_half_up(c / n, 4))
+                for lang, (n, c) in by_lang.items()}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, source="s", text="t", lang=lang, n_chars=1)
+         for d, lang in docs_spec]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {r.lang: (r.n_docs, r.total_copies, r.realized_rate)
+               for r in q_training_mix_upsample(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
