@@ -3985,3 +3985,50 @@ def test_training_mix_upsample_matches_python_mirror(spark, docs_spec):
     finally:
         corpus.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.integers(0, 20),
+                          st.floats(0.01, 10_000.0,
+                                    allow_nan=False, allow_infinity=False)),
+                min_size=1, max_size=25))
+def test_rolling_7d_revenue_matches_python_mirror(spark, orders_spec):
+    """Property: the 7-day trailing revenue equals a Python replay of
+    the RANGE(-6, 0) frame over the day INDEX -- sparse order days must
+    genuinely shrink the window (the ROWS-vs-RANGE misread this mirror
+    exists to catch), with fixed-point day cents divided once at the
+    end."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as SF
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_rolling_7d_revenue,
+    )
+
+    epoch_1995 = 788_918_400_000_000  # 1995-01-01 UTC, micros
+    day_cents: dict = defaultdict(int)
+    for off, price in orders_spec:
+        day_cents[off] += math.floor(price * 100 + 0.5)
+    expected = {}
+    for off, cents in day_cents.items():
+        window = sum(c for o, c in day_cents.items() if off - 6 <= o <= off)
+        expected[epoch_1995 + off * 86_400_000_000] = (cents / 100.0,
+                                                       window / 100.0)
+
+    orders = spark.createDataFrame(
+        [(i, p, epoch_1995 + off * 86_400_000_000)
+         for i, (off, p) in enumerate(orders_spec)],
+        "o_orderkey long, o_totalprice double, t_us long",
+    ).select("o_orderkey", "o_totalprice",
+             SF.timestamp_micros("t_us").alias("o_orderdate"))
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"orders": orders}
+        got = {r.day_us: (r.day_revenue, r.rolling_7d_revenue)
+               for r in q_rolling_7d_revenue(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
