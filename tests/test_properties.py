@@ -4032,3 +4032,55 @@ def test_rolling_7d_revenue_matches_python_mirror(spark, orders_spec):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.one_of(st.none(), st.integers(1, 6)),
+                          st.sampled_from(["purchase", "view", "click"])),
+                min_size=1, max_size=30))
+def test_user_set_ops_match_python_multiset_mirror(spark, events_spec):
+    """Property: both set-algebra segmentations equal a multiset replay
+    -- distinct INTERSECT/EXCEPT as set ops, INTERSECT ALL as
+    sum-of-min multiplicities and EXCEPT ALL as sum of clamped count
+    differences -- with repeated (user, type) events forcing the
+    bag-vs-set divergence on every example."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_user_set_ops,
+        q_user_set_ops_all,
+    )
+
+    purch = Counter(u for u, t in events_spec if u is not None and t == "purchase")
+    views = Counter(u for u, t in events_spec if u is not None and t == "view")
+    expected_distinct = {
+        "purchase_and_view": len(purch.keys() & views.keys()),
+        "view_only": len(views.keys() - purch.keys()),
+        "purchase_only": len(purch.keys() - views.keys()),
+    }
+    expected_all = {
+        "purchase_intersect_all_view":
+            sum(min(purch[u], views[u]) for u in purch.keys() & views.keys()),
+        "view_except_all_purchase":
+            sum(max(0, views[u] - purch[u]) for u in views),
+    }
+
+    events = spark.createDataFrame(
+        [Row(event_id=i, user_id=u, event_type=t)
+         for i, (u, t) in enumerate(events_spec)],
+        "event_id long, user_id long, event_type string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": events}
+        got_distinct = {r.segment: r.n_users
+                        for r in q_user_set_ops(spark, "u").collect()}
+        got_all = {r.segment: r.n_rows
+                   for r in q_user_set_ops_all(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got_distinct == expected_distinct
+    assert got_all == expected_all
