@@ -4084,3 +4084,58 @@ def test_user_set_ops_match_python_multiset_mirror(spark, events_spec):
         adv.load_tables = orig
     assert got_distinct == expected_distinct
     assert got_all == expected_all
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                          st.one_of(st.none(),
+                                    st.integers(-400, 400).map(lambda v: v / 4.0))),
+                min_size=1, max_size=25))
+def test_value_percentiles_matches_python_mirror(spark, events_spec):
+    """Property: the exact interpolated percentiles equal a Python
+    replay of Spark's rule -- position = q*(n-1) over the sorted
+    non-NULL values, (higher-pos)*lower_val + (pos-lower)*higher_val
+    interpolation (the weighted form, NOT lower + frac*diff), NULL for
+    all-NULL groups."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import (
+        q_value_percentiles,
+    )
+
+    def pct(vals, q):
+        if not vals:
+            return None
+        pos = q * (len(vals) - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            return round_half_up(vals[lo], 4)
+        return round_half_up(
+            (hi - pos) * vals[lo] + (pos - lo) * vals[hi], 4)
+
+    by_type: dict = defaultdict(list)
+    for et, v in events_spec:
+        if v is not None:
+            by_type[et].append(v)
+    expected = {}
+    for et in {et for et, _ in events_spec}:
+        vals = sorted(by_type.get(et, []))
+        expected[et] = (pct(vals, 0.5), pct(vals, 0.9), pct(vals, 0.99))
+
+    events = spark.createDataFrame(
+        [Row(event_id=i, event_type=et, value=v)
+         for i, (et, v) in enumerate(events_spec)],
+        "event_id long, event_type string, value double",
+    )
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": events}
+        got = {r.event_type: (r.p50, r.p90, r.p99)
+               for r in q_value_percentiles(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
