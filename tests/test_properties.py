@@ -4139,3 +4139,61 @@ def test_value_percentiles_matches_python_mirror(spark, events_spec):
     finally:
         core.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_mh_tok, min_size=0, max_size=14).map(" ".join),
+                min_size=2, max_size=8))
+def test_ngram_jaccard_pairs_matches_python_mirror(spark, texts):
+    """Property: the min-shingle-hash blocked Jaccard pairs equal a
+    Python replay -- the every-4th-POSITION sampled 3-gram rule
+    (positions 0, 4, 8, ... of the full gram array; sub-3-token docs
+    one whole-text gram), lexicographic min over md5 HEX STRINGS as
+    the blocking key, fingerprint-equality candidates, and the
+    distinct-token Jaccard >= 0.2 verify."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_ngram_jaccard_pairs,
+    )
+
+    def sampled(text: str) -> list:
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            return []
+        if len(toks) < 3:
+            return [" ".join(toks)]
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        return [g for i, g in enumerate(grams) if i % 4 == 0]
+
+    fps, tok_sets = {}, {}
+    for i, t in enumerate(texts):
+        ss = sampled(t)
+        if ss:
+            fps[i] = min(hashlib.md5(s.encode()).hexdigest() for s in ss)
+            tok_sets[i] = {tk for tk in t.split(" ") if tk != ""}
+    expected = {}
+    for a in fps:
+        for b in fps:
+            if a < b and fps[a] == fps[b]:
+                j = round_half_up(
+                    len(tok_sets[a] & tok_sets[b])
+                    / len(tok_sets[a] | tok_sets[b]), 4)
+                if j >= 0.2:
+                    expected[(a, b)] = j
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang="en", n_chars=len(t))
+         for i, t in enumerate(texts)]
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {(r.doc_id_1, r.doc_id_2): r.jaccard
+               for r in q_ngram_jaccard_pairs(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert got == expected
