@@ -470,3 +470,70 @@ def test_trending_topk_sink_evicted_floor_watermark(spark):
 
     # both survivors score above the floor -> their ranks are exact
     assert all(s > sink.exact_above() for _, s in sink.topk())
+
+
+_trend_split_counter = iter(range(10_000))
+
+
+@pytest.mark.parametrize("_tier", ["randomized"])
+def test_trending_stream_batch_split_invariance(spark, tmp_path, _tier):
+    """Randomized micro-batch-boundary invariance: for random event
+    multisets split into random batch sequences, the stateful trending
+    score must equal the pure fold over each key's ACTIVE batches
+    (score <- score * TREND_DECAY + batch_count) -- the state-store
+    machinery may never leak a decay into a batch the key was silent
+    for, whatever the boundaries are.  Decay 0.5 on integer counts is
+    dyadic, so equality is exact."""
+    import os
+    import random
+    from datetime import timedelta
+
+    from pyspark.sql import functions as SF
+
+    from spark_streaming_postgres_lab2_spark.streaming.anomaly import (
+        TREND_DECAY,
+        trending_stream,
+    )
+
+    rng = random.Random(427)
+    for trial in range(4):
+        batches = [
+            [rng.choice(["view", "search"]) for _ in range(rng.randint(1, 8))]
+            for _ in range(rng.randint(1, 4))
+        ]
+        in_dir = tmp_path / f"in_{trial}"
+        os.makedirs(in_dir)
+        t0 = NOW.replace(tzinfo=None)
+        gen = EventGenerator(seed=7, anomaly_rate=0.0, now=NOW)
+        uid = 0
+        for bi, batch in enumerate(batches):
+            evs = []
+            for etype in batch:
+                uid += 1
+                evs.append(_mk_event(uid, t0 + timedelta(minutes=uid), etype))
+            gen.write_csv(evs, str(in_dir), f"b{bi}.csv")
+            os.utime(in_dir / f"b{bi}.csv", (bi + 1, bi + 1))
+
+        expected = {}
+        for etype in {e for b in batches for e in b}:
+            score, nb = 0.0, 0
+            for b in batches:
+                n = sum(1 for e in b if e == etype)
+                if n:
+                    score = score * TREND_DECAY + float(n)
+                    nb += 1
+            expected[etype] = (score, nb)
+
+        raw = csv_stream(spark, str(in_dir), get_registry().get_schema(), 1)
+        enriched = transform_and_enrich(validate(raw)).filter(SF.col("is_valid"))
+        name = run_to_memory(
+            trending_stream(enriched, idle_timeout_ms=None),
+            f"trend_split_{next(_trend_split_counter)}",
+            "update",
+        )
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        final = {}
+        for r in rows:
+            if r.event_type not in final or r.batches > final[r.event_type][1]:
+                final[r.event_type] = (r.score, r.batches)
+        assert final == expected, f"trial {trial}: {batches}"
