@@ -2809,7 +2809,15 @@ def test_bm25_search_matches_python_mirror(spark, texts):
         got = [tuple(r) for r in q_bm25_search(spark, "u").collect()]
     finally:
         curation.load_tables = orig
-    assert got == expected
+    # ranks/ids/hit-counts exact; scores to within one rounding step --
+    # Spark's SUM adds join-output rows in plan order while the mirror
+    # sums in query-term order, so a score within 1 ulp of an x.xxxx5
+    # boundary can legitimately round differently (the production
+    # docstring's own caveat; the oracle hash pins the exact value)
+    assert [(q, r, d, n) for q, r, d, _s, n in got] \
+        == [(q, r, d, n) for q, r, d, _s, n in expected]
+    for (_q, _r, _d, s_got, _n), (_q2, _r2, _d2, s_exp, _n2) in zip(got, expected):
+        assert abs(s_got - s_exp) <= 5e-5
 
 
 # 35 distinct terms > _PMI_VOCAB = 30: the df-rank vocabulary cut on
@@ -3465,7 +3473,16 @@ def test_doc_quality_matches_python_mirror(spark, docs_spec):
         got = {r.source: tuple(r)[1:] for r in q_doc_quality(spark, "u").collect()}
     finally:
         ext.load_tables = orig
-    assert got == expected
+    # avg_stop_ratio averages inexact 4-decimal doubles, so Spark's
+    # partition summation order vs the mirror's can differ by 1 ulp at
+    # a rounding boundary -- compare it to within one rounding step;
+    # everything else (counts, the exact int-sum average, punct,
+    # threshold counts) stays exact
+    assert set(got) == set(expected)
+    for src, (n, avg_t, avg_sr, punct, rich) in expected.items():
+        g = got[src]
+        assert (g[0], g[1], g[3], g[4]) == (n, avg_t, punct, rich), src
+        assert abs(g[2] - avg_sr) <= 5e-5, src
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -3616,51 +3633,58 @@ def test_embedding_pq_audit_matches_python_mirror(spark, vectors):
 _mh_tok = st.sampled_from(["r", "s", "t"])
 
 
+def _portable_minhash_replay(texts) -> tuple[dict, set]:
+    """Shared pure-Python replay of the portable MinHash front half --
+    3-token shingle rule (sub-3-token docs one whole-text shingle),
+    md5-prefix mod-P shingle hashes, the 12 MINSTD affine permutation
+    minima, 4x3 band md5 keys, bucket candidate generation.  Returns
+    (shingle_sets, candidate_pairs); the ONE definition both the
+    near-dup and the cluster-dedup mirrors replay, so a hash-family
+    change cannot silently leave one mirror testing a stale spec."""
+    import hashlib
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _MH_PRIME,
+        _mh_ab,
+    )
+
+    shs: dict = {}
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t != ""]
+        if not toks:
+            continue
+        shs[i] = ({" ".join(toks)} if len(toks) < 3 else
+                  {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)})
+    buckets: dict = {}
+    for i, ss in shs.items():
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME
+              for s in ss]
+        mins = [min((a * h + b) % _MH_PRIME for h in hs)
+                for a, b in (_mh_ab(k) for k in range(12))]
+        for b in range(4):
+            key = hashlib.md5(
+                "|".join(str(v) for v in mins[b * 3:(b + 1) * 3]).encode()
+            ).hexdigest()
+            buckets.setdefault((b, key), []).append(i)
+    cand = {(a, b) for ids in buckets.values()
+            for a in ids for b in ids if a < b}
+    return shs, cand
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join),
                 min_size=2, max_size=8))
 def test_minhash_near_dup_matches_python_mirror(spark, texts):
     """Property: the ENTIRE portable MinHash-LSH pipeline equals a
-    pure-Python replay -- 3-token shingle rule (sub-3-token docs one
-    whole-text shingle), md5-prefix mod-P shingle hashes, the 12
-    MINSTD affine permutations, 4x3 band keys, bucket candidate
-    generation, and the exact-Jaccard >= 0.4 verify.  A third
-    implementation of the hash family every LSH oracle composes."""
-    import hashlib
-
+    pure-Python replay (_portable_minhash_replay) plus the
+    exact-Jaccard >= 0.4 verify.  A third implementation of the hash
+    family every LSH oracle composes."""
     from pyspark.sql import Row
 
     import spark_streaming_postgres_lab2_spark.queries.ext as ext
-    from spark_streaming_postgres_lab2_spark.functions.similarity import (
-        _MH_PRIME,
-        _mh_ab,
-    )
     from spark_streaming_postgres_lab2_spark.queries.ext import q_minhash_near_dup
 
-    def sh3(text: str) -> set:
-        toks = [t for t in text.split(" ") if t != ""]
-        if not toks:
-            return set()
-        if len(toks) < 3:
-            return {" ".join(toks)}
-        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-
-    shs = {i: sh3(t) for i, t in enumerate(texts) if sh3(t)}
-    mins = {}
-    for i, ss in shs.items():
-        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME
-              for s in ss]
-        mins[i] = [min((a * h + b) % _MH_PRIME for h in hs)
-                   for a, b in (_mh_ab(k) for k in range(12))]
-    buckets: dict = {}
-    for i, m in mins.items():
-        for b in range(4):
-            key = hashlib.md5(
-                "|".join(str(v) for v in m[b * 3:(b + 1) * 3]).encode()
-            ).hexdigest()
-            buckets.setdefault((b, key), []).append(i)
-    cand = {(a, b) for ids in buckets.values()
-            for a in ids for b in ids if a < b}
+    shs, cand = _portable_minhash_replay(texts)
     expected = {}
     for a, b in cand:
         j = round_half_up(len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 4)
@@ -3750,47 +3774,18 @@ def test_canonical_docs_matches_python_mirror(spark, docs_spec):
     components with shingle-less/singleton docs as their own cluster,
     per-cluster arg-max on (n_chars, lowest doc_id), per-source
     kept/dropped rollup."""
-    import hashlib
-
     from pyspark.sql import Row
 
     import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
-    from spark_streaming_postgres_lab2_spark.functions.similarity import (
-        _MH_PRIME,
-        _mh_ab,
-    )
     from spark_streaming_postgres_lab2_spark.queries.corpus import q_canonical_docs
 
-    def sh3(text: str) -> set:
-        toks = [t for t in text.split(" ") if t != ""]
-        if not toks:
-            return set()
-        if len(toks) < 3:
-            return {" ".join(toks)}
-        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-
     n_chars = {i: len(t) for i, (_, t) in enumerate(docs_spec)}
-    shs = {i: sh3(t) for i, (_, t) in enumerate(docs_spec) if sh3(t)}
-    buckets: dict = {}
-    for i, ss in shs.items():
-        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MH_PRIME
-              for s in ss]
-        mins = [min((a * h + b) % _MH_PRIME for h in hs)
-                for a, b in (_mh_ab(k) for k in range(12))]
-        for b in range(4):
-            key = hashlib.md5(
-                "|".join(str(v) for v in mins[b * 3:(b + 1) * 3]).encode()
-            ).hexdigest()
-            buckets.setdefault((b, key), []).append(i)
+    shs, cand = _portable_minhash_replay([t for _, t in docs_spec])
     pairs = set()
-    for ids in buckets.values():
-        for a in ids:
-            for b in ids:
-                if a < b:
-                    j = round_half_up(
-                        len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 4)
-                    if j >= 0.5:
-                        pairs.add((a, b))
+    for a, b in cand:
+        j = round_half_up(len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 4)
+        if j >= 0.5:
+            pairs.add((a, b))
 
     parent = {i: i for i in range(len(docs_spec))}
 

@@ -472,11 +472,7 @@ def test_trending_topk_sink_evicted_floor_watermark(spark):
     assert all(s > sink.exact_above() for _, s in sink.topk())
 
 
-_trend_split_counter = iter(range(10_000))
-
-
-@pytest.mark.parametrize("_tier", ["randomized"])
-def test_trending_stream_batch_split_invariance(spark, tmp_path, _tier):
+def test_trending_stream_batch_split_invariance(spark, tmp_path):
     """Randomized micro-batch-boundary invariance: for random event
     multisets split into random batch sequences, the stateful trending
     score must equal the pure fold over each key's ACTIVE batches
@@ -528,7 +524,7 @@ def test_trending_stream_batch_split_invariance(spark, tmp_path, _tier):
         enriched = transform_and_enrich(validate(raw)).filter(SF.col("is_valid"))
         name = run_to_memory(
             trending_stream(enriched, idle_timeout_ms=None),
-            f"trend_split_{next(_trend_split_counter)}",
+            f"trend_split_{trial}",
             "update",
         )
         rows = spark.sql(f"SELECT * FROM {name}").collect()
