@@ -41,77 +41,77 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 11, tier 0 (3): the two operators whose code changed AFTER
-    # the r10 driver window froze (VERDICT r10 item 1 -- their green
-    # CORRECTNESS rows are r9 rows for superseded code), plus the
-    # newly oracle-ized capped cut flavor (VERDICT r10 item 7).
-    "substring_dedup_cut",      # r10 one-window-pass reformulation
-    "bpe_apply_compression",    # r10 reserved-codepoint vocab guard
-    "substring_dedup_cut_fast",  # oracle NEW this round (rank-replayed cap)
-    # round 11, tier 1 (20): the r6-green TPC-H cohort deliberately
-    # held out of the r10 window (VERDICT r10 item 3) -- after this
-    # window no oracle's last driver-green row predates r8.
-    "above_avg_orders",
-    "customers_without_orders",
-    "disjunctive_revenue",
-    "nation_pairs",
-    "nation_volume",
-    "order_count_distribution",
-    "order_priority",
-    "promo_revenue",
-    "quality_percentile_filter",
-    "regional_revenue",
-    "returned_revenue",
-    "small_quantity_revenue",
-    "table_counts_union",
-    "top_customers",
-    "top_parts_per_brand",
-    "tpch_q1",
-    "tpch_q6",
-    "user_activity",
-    "value_percentiles",
-    "value_stats",
-    # round 11, tier 2 (26 of the 49 oracles whose last driver-green
-    # row is r8): drift-prone multi-stage shapes first (dedup/
-    # decontamination/multimodal/clustering/corpus-stats families);
-    # the 23 held to r12 are the lower-drift window/SQL cohort
-    # (asof of simple shapes: cumulative_unique_users, doc_hof_stats,
-    # fact_join_bucketed/unbucketed, freq_items_audit,
-    # gapfill_interpolate, hourly_gapfill, latest_event_per_user,
-    # mad_anomaly_hours, nation_profit, order_first_last_nth,
-    # order_window_suite, revenue_concentration, rolling_7d_revenue,
-    # salted_nation_revenue, session_concurrency,
-    # session_overlap_pairs, similarity_topk, top_spenders_lateral,
-    # user_event_paths, value_histogram, embedding_near_dup,
-    # doc_token_stats).
-    "minhash_near_dup",
-    "ngram_jaccard_pairs",
-    "embedding_lsh_near_dup_portable",
-    "boilerplate_dedup",
-    "incremental_dedup",
-    "decontaminate",
-    "exact_ngram_decontaminate",
-    "kmeans_cluster_profile",
-    "asof_quotes",
-    "snapshot_diff",
-    "audio_decode",
-    "audio_frame_energy",
-    "png_decode",
-    "multimodal_features",
-    "multimodal_frames",
-    "video_frame_stats",
-    "bpe_merge_candidates",
-    "pii_redaction",
-    "tfidf_top_terms",
-    "zipf_top_terms",
-    "source_quota_sample",
-    "corpus_filter_chain",
-    "doc_rolling_fingerprint",
-    "doc_language",
-    "doc_quality",
-    "bfs_reachability",
+    # round 12, tier 0 (2): the two IVF audits whose shared helper
+    # (kmeans_lite empty-slice guard, functions/similarity.py:157-163,
+    # commit e52992e) changed AFTER their last r9 driver window -- the
+    # stamp guard's pre-stamp-era exemption was silent on them
+    # (VERDICT r11 item 1: driver slots 1-2).
+    "ann_ivf_lossless_audit",
+    "ann_recall_audit",
+    # round 12, tier 1 (23): the full r8 cohort -- the lower-drift
+    # window/SQL shapes deliberately held out of the r11 window
+    # (VERDICT r11 item 3 tier 1).  After this window no oracle's last
+    # driver-green row predates r9, and every r8-era row is stamped.
+    "cumulative_unique_users",
+    "doc_hof_stats",
+    "doc_token_stats",
+    "embedding_near_dup",
+    "fact_join_bucketed",
+    "fact_join_unbucketed",
+    "freq_items_audit",
+    "gapfill_interpolate",
+    "hourly_gapfill",
+    "latest_event_per_user",
+    "mad_anomaly_hours",
+    "nation_profit",
+    "order_first_last_nth",
+    "order_window_suite",
+    "revenue_concentration",
+    "rolling_7d_revenue",
+    "salted_nation_revenue",
+    "session_concurrency",
+    "session_overlap_pairs",
+    "similarity_topk",
+    "top_spenders_lateral",
+    "user_event_paths",
+    "value_histogram",
+    # round 12, tier 2 (24 of the 44 remaining r9-green oracles):
+    # drift-prone multi-stage families first (ANN/PQ, near-dup
+    # clustering, corpus stats, multimodal, graph); the 20 held to r13
+    # are simple SQL shapes (approx_distinct_audit,
+    # approx_quantiles_audit, doc_regex_extract, dominant_suppliers,
+    # embedding_norms, idle_customers, parts_never_shipped,
+    # part_string_funcs, priority_linestatus, props_json,
+    # psi_value_drift, salted_distinct_users, schema_migration,
+    # sessionization, stratified_sample_audit, supplier_count_by_part,
+    # trending_topk, url_domain_filter, user_set_ops,
+    # zscore_anomaly_hours).
+    "ann_ivfpq_adc_audit",
+    "embedding_pq_audit",
+    "canonical_docs",
+    "near_dup_clusters",
+    "simhash_near_dup",
+    "sorted_neighborhood_dedup",
+    "intra_doc_dedup",
+    "duplicate_ngrams",
+    "source_overlap_matrix",
+    "url_canonical_dedup",
+    "quality_classifier_filter",
+    "doc_repetition",
+    "doc_fingerprints",
+    "html_text_extract",
+    "bm25_search",
+    "term_pmi_cooccurrence",
+    "pagerank_links",
+    "triangle_counts",
+    "multimodal_decode",
+    "multimodal_meta",
+    "shard_manifest",
+    "train_eval_split",
+    "training_mix_upsample",
+    "session_path_mining",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; seven
+    # the cheapest canary for another fixture timestamp drift; eight
     # rounds green and counting (VERDICT r6 item 8: keep it pinned).
     "user_session_window",
 ]

@@ -286,6 +286,189 @@ def test_stamp_guard_goes_red_on_edit_until_reprioritized(tmp_path):
     assert stamp_guard_violations({"demo": s2}, set(), last_green, {}) == []
 
 
+def _blame_guard_inputs():
+    """Shared plumbing for the blame-tier tests: (queries, last-green
+    map, stamps-by-round, correctness-add commits) at the current repo
+    state, with an optional round ceiling for history-pinned checks."""
+    import __spark_entry__ as entrymod
+    from parity_check import correctness_added_commits
+
+    return (
+        entrymod.queries(),
+        _driver_green_rounds(),
+        _parity_stamps_by_round(),
+        correctness_added_commits(str(REPO)),
+    )
+
+
+def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
+    """Crafted end-to-end check of the second guard tier (VERDICT r11
+    item 2 done-criterion): in a throwaway git repo, editing a HELPER
+    of a pre-stamp-era-certified query AFTER the certification artifact
+    landed turns the guard red; windowing the query clears it; and a
+    certification that POSTdates the edit is clean without windowing."""
+    import importlib.util
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from parity_check import blame_guard_violations, correctness_added_commits
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- blame guard cannot run here")
+
+    repo = tmp_path / "demo_repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+
+    mod_path = repo / "demo_blame_mod.py"
+    src_v1 = (
+        "THRESHOLD = 3\n"
+        "def _helper(x):\n"
+        "    return x + THRESHOLD\n"
+        "def q_demo(spark, sf_dir):\n"
+        "    return _helper(1)\n"
+    )
+    mod_path.write_text(src_v1)
+    git("add", "-A")
+    git("commit", "-qm", "v1")
+    # round-5 certification lands
+    (repo / "CORRECTNESS_r05.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "r5 artifact")
+    # post-certification helper edit (the kmeans_lite pattern)
+    mod_path.write_text(src_v1.replace("x + THRESHOLD", "x * THRESHOLD"))
+    git("add", "-A")
+    git("commit", "-qm", "helper fix")
+    # a later round certifies AFTER the edit
+    (repo / "CORRECTNESS_r06.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "r6 artifact")
+
+    spec = importlib.util.spec_from_file_location("demo_blame_mod", mod_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fns = {"demo": mod.q_demo}
+    corr_add = correctness_added_commits(str(repo))
+    assert set(corr_add) == {5, 6}
+
+    # pre-stamp green at r5, edit postdates r5's artifact: RED
+    assert blame_guard_violations(
+        fns, set(), {"demo": 5}, {}, corr_add, str(repo)
+    ) == ["demo"]
+    # windowed: clears
+    assert blame_guard_violations(
+        fns, {"demo"}, {"demo": 5}, {}, corr_add, str(repo)
+    ) == []
+    # last green r6 (certified after the edit): clean without windowing
+    assert blame_guard_violations(
+        fns, set(), {"demo": 6}, {}, corr_add, str(repo)
+    ) == []
+    # a stamp recorded at the green round => the stamp tier governs,
+    # blame tier stays silent even though blame would flag
+    assert blame_guard_violations(
+        fns, set(), {"demo": 5}, {5: {"demo": "abcd"}}, corr_add, str(repo)
+    ) == []
+    # uncommitted working-tree edit: always post-certification
+    mod_path.write_text(src_v1.replace("return _helper(1)", "return _helper(2)"))
+    spec2 = importlib.util.spec_from_file_location("demo_blame_mod2", mod_path)
+    mod2 = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mod2)
+    assert blame_guard_violations(
+        {"demo": mod2.q_demo}, set(), {"demo": 6}, {}, corr_add, str(repo)
+    ) == ["demo"]
+
+
+def test_blame_guard_spans_reach_cross_module_helpers():
+    """The r11 gap was a CROSS-module helper (queries/ext.py fns call
+    functions/similarity.py's kmeans_lite): the blame span list for the
+    IVF audit queries must include similarity.py, which the stamp
+    guard's same-module-only traversal never reaches."""
+    import __spark_entry__ as entrymod
+    from parity_check import fn_blame_spans
+
+    fn = entrymod.queries()["ann_ivf_lossless_audit"]
+    files = {path for path, _, _ in fn_blame_spans(fn)}
+    assert any(p.endswith("functions/similarity.py") for p in files), (
+        f"cross-module helper file missing from blame spans: {sorted(files)}"
+    )
+
+
+def test_blame_guard_would_have_caught_the_r11_ivf_gap():
+    """History-pinned retro-check (VERDICT r11 item 2: 'ann_ivf_
+    lossless_audit would have been caught by it'): evaluated against
+    the FROZEN r1-r11 evidence (committed artifacts only, rounds <= 11)
+    with an empty driver window, the blame tier must flag both IVF
+    audits whose shared kmeans_lite helper changed after their r9
+    certification.  Pinned to <= r11 so future rounds' re-greening
+    doesn't erode the regression check."""
+    import shutil
+
+    import pytest
+
+    from parity_check import blame_guard_violations
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- blame guard cannot run here")
+
+    qs, last_green, stamps, corr_add = _blame_guard_inputs()
+    last_green_r11 = {}
+    for p in REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"r(\d+)", p.name).group(1))
+        if rnd > 11:
+            continue
+        for name, row in json.loads(p.read_text()).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green_r11[name] = max(last_green_r11.get(name, 0), rnd)
+    stamps_r11 = {rnd: s for rnd, s in stamps.items() if rnd <= 11}
+    flagged = blame_guard_violations(
+        {n: qs[n] for n in ("ann_ivf_lossless_audit", "ann_recall_audit")},
+        set(), last_green_r11, stamps_r11, corr_add, str(REPO),
+    )
+    assert flagged == ["ann_ivf_lossless_audit", "ann_recall_audit"]
+
+
+def test_post_certification_edits_to_pre_stamp_queries_are_windowed():
+    """Live enforcement of the second guard tier over the whole
+    inventory at HEAD: any pre-stamp-era-certified query whose blamed
+    function-closure lines postdate its certification commit must sit
+    in the current driver window.  This is the structural closure of
+    the exemption ann_ivf_lossless_audit fell through in r11."""
+    import shutil
+
+    import pytest
+
+    from parity_check import blame_guard_violations
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- blame guard cannot run here")
+
+    qs, last_green, stamps, corr_add = _blame_guard_inputs()
+    window = set(list(qs)[:50])
+    violations = blame_guard_violations(
+        qs, window, last_green, stamps, corr_add, str(REPO)
+    )
+    assert not violations, (
+        "pre-stamp-era-certified queries edited after certification but "
+        "NOT re-prioritized into the driver window (DRIVER_PRIORITY in "
+        f"queries/__init__.py): {violations}"
+    )
+
+
 def test_driver_and_local_parity_agree_on_hash_status():
     """VERDICT r9 item 7: the compaction_plan r9 divergence (local
     PARITY said PASS, driver CORRECTNESS said hash-FAIL, because the

@@ -232,6 +232,153 @@ def stamp_guard_violations(
     return sorted(out)
 
 
+def fn_blame_spans(fn) -> list:
+    """(source_file, first_line, last_line) spans for a query fn and
+    every package function reachable from it: same-module helpers
+    transitively (the ``query_stamp`` closure) PLUS directly referenced
+    functions imported from OTHER package modules and their own
+    closures.  The wider-than-stamp scope is deliberate (VERDICT r11
+    item 2): the r11 ``kmeans_lite`` fix lived in
+    functions/similarity.py while the affected IVF-audit query fns live
+    in queries/ext.py -- a same-module-only span list would never see
+    it.  Third-party modules (pyspark etc.) are out of scope."""
+    import functools
+    import inspect
+
+    spans: list = []
+    seen: set[str] = set()
+    root = (getattr(fn, "__module__", "") or "").split(".")[0]
+
+    def visit(f) -> None:
+        if isinstance(f, functools.partial):
+            visit(f.func)
+            return
+        key = f"{getattr(f, '__module__', '')}.{getattr(f, '__qualname__', repr(f))}"
+        if key in seen:
+            return
+        seen.add(key)
+        try:
+            lines, start = inspect.getsourcelines(f)
+            path = inspect.getsourcefile(f)
+        except (OSError, TypeError):
+            return
+        if path:
+            spans.append((path, start, start + len(lines) - 1))
+        code = getattr(f, "__code__", None)
+        if code is None:
+            return
+        mod_globals = getattr(f, "__globals__", {})
+        for name in _collect_code_names(code):
+            v = mod_globals.get(name)
+            if v is None or not inspect.isfunction(v):
+                continue
+            vmod = getattr(v, "__module__", "") or ""
+            if vmod == f.__module__ or vmod.split(".")[0] == root:
+                visit(v)
+
+    visit(fn)
+    return spans
+
+
+def correctness_added_commits(repo: str) -> dict:
+    """round -> full sha of the commit that FIRST added that round's
+    CORRECTNESS_r{N}.json (the certification boundary the blame guard
+    compares edits against)."""
+    import glob as _glob
+    import re as _re
+    import subprocess
+
+    out: dict = {}
+    for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        name = os.path.basename(p)
+        rnd = int(_re.search(r"r(\d+)", name).group(1))
+        adds = subprocess.run(
+            ["git", "-C", repo, "log", "--diff-filter=A", "--format=%H",
+             "--", name],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if adds:
+            out[rnd] = adds[-1]  # earliest add (log is newest-first)
+    return out
+
+
+def blame_guard_violations(
+    fns_by_name: dict,
+    driver_window: set,
+    last_green_round: dict,
+    stamps_by_round: dict,
+    corr_added_commit: dict,
+    repo: str,
+) -> list:
+    """Second guard tier (VERDICT r11 item 2): closes the stamp
+    guard's pre-stamp-era exemption.  A query whose last driver-green
+    round has NO recorded content stamp escapes
+    ``stamp_guard_violations`` entirely; here git blame over its
+    function-closure line spans (``fn_blame_spans``) decides instead:
+    if any blamed line's commit is NOT an ancestor of the commit that
+    added that round's CORRECTNESS artifact -- i.e. the code was edited
+    after certification -- the query must sit in the current driver
+    window.  Uncommitted working-tree lines blame to the zero sha and
+    always count as post-certification.  Queries whose green round HAS
+    a stamp are skipped here (the stamp tier is stricter and already
+    covers them)."""
+    import subprocess
+
+    blame_cache: dict = {}
+    anc_cache: dict = {}
+
+    def line_commits(path: str) -> list:
+        if path not in blame_cache:
+            shas: list = []
+            res = subprocess.run(
+                ["git", "-C", repo, "blame", "--line-porcelain", "--",
+                 os.path.relpath(path, repo)],
+                capture_output=True, text=True,
+            )
+            if res.returncode == 0:
+                for ln in res.stdout.splitlines():
+                    parts = ln.split()
+                    if (
+                        len(parts) >= 3
+                        and len(parts[0]) == 40
+                        and all(c in "0123456789abcdef" for c in parts[0])
+                        and parts[1].isdigit()
+                        and parts[2].isdigit()
+                    ):
+                        shas.append(parts[0])
+            blame_cache[path] = shas
+        return blame_cache[path]
+
+    def postdates(sha: str, base: str) -> bool:
+        if set(sha) == {"0"}:
+            return True  # uncommitted working-tree line
+        key = (sha, base)
+        if key not in anc_cache:
+            res = subprocess.run(
+                ["git", "-C", repo, "merge-base", "--is-ancestor", sha, base],
+                capture_output=True,
+            )
+            anc_cache[key] = res.returncode != 0
+        return anc_cache[key]
+
+    violations = []
+    for name, fn in fns_by_name.items():
+        rnd = last_green_round.get(name)
+        if rnd is None or name in driver_window:
+            continue
+        if (stamps_by_round.get(rnd) or {}).get(name) is not None:
+            continue  # stamped evidence: the stamp tier governs
+        base = corr_added_commit.get(rnd)
+        if base is None:
+            continue  # certification artifact not committed (mid-round)
+        for path, start, end in fn_blame_spans(fn):
+            shas = line_commits(path)
+            if any(postdates(s, base) for s in set(shas[start - 1:end])):
+                violations.append(name)
+                break
+    return sorted(violations)
+
+
 FIXTURE_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
