@@ -216,6 +216,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_load() -> dict:
+    """Host-load snapshot for bench adjudication (VERDICT r11 item 4):
+    1/5/15-min loadavg, runnable/total task counts (4th field of
+    /proc/loadavg), and live process count.  BENCH_r11's driver run was
+    ~2x slower than the same-head local run purely from host load; with
+    start/end snapshots in the artifact itself, a driver-window swing
+    is classifiable without a local re-run."""
+    out: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out["loadavg_1m"] = round(la1, 2)
+        out["loadavg_5m"] = round(la5, 2)
+        out["loadavg_15m"] = round(la15, 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/loadavg") as f:
+            runnable, total = f.read().split()[3].split("/")
+        out["runnable_tasks"] = int(runnable)
+        out["total_tasks"] = int(total)
+    except (OSError, IndexError, ValueError):
+        pass
+    try:
+        out["n_processes"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:
+        pass
+    return out
+
+
 def _percentile(sorted_vals: list[float], p: float) -> float:
     """Nearest-rank percentile over a sorted list."""
     if not sorted_vals:
@@ -285,6 +314,7 @@ def bench_streaming_pipeline(spark, n_events: int = 20_000) -> dict:
 
 
 def main() -> None:
+    load_start = _host_load()
     # amortize parquet listing/footer reads across the suite (the
     # driver's correctness runs stay stateless -- this is bench-only)
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
@@ -368,6 +398,9 @@ def main() -> None:
         "n_queries": len(timings),
         "streaming_events_per_sec_warm": stream.get("streaming_events_per_sec"),
         "streaming_events_per_sec_cold": stream_cold.get("streaming_events_per_sec"),
+        # host-load evidence (VERDICT r11 item 4): start/end snapshots
+        # so a loaded driver window is classifiable from the artifact
+        "host_load": {"start": load_start, "end": _host_load()},
     }
     # The BASELINE.md comparable (VERDICT r10 item 4): the reference's
     # max sustainable streaming throughput is ~167 events/s (10,000
