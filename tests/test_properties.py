@@ -4381,14 +4381,14 @@ def test_gdpr_erasure_audit_matches_python_mirror(
     ),
     min_size=1, max_size=60,
 ))
-def test_benford_digit_audit_matches_python_mirror(spark, prices):
-    """Property: the first-digit audit equals a Python replay of the
-    exact integer recipe -- floor(p*10000+0.5) fixed-point, first char
-    of the BIGINT's string, shares as HALF_UP-rounded ratios.  The
-    float branch of the strategy produces sub-0.0001 positives whose
-    fixed-point value is 0: digit 0 has no Benford expectation, so
-    benford_expected and abs_deviation must both be NULL (map-miss
-    semantics), never a crash or a fabricated 0."""
+def test_benford_digit_audit_mirror_float_and_digit0_corner(spark, prices):
+    """Complement to the cents-domain mirror above (which would
+    KeyError on digit 0): the float branch of this strategy produces
+    sub-0.0001 positives whose fixed-point value is 0 -- digit 0 has
+    no Benford expectation, so benford_expected and abs_deviation must
+    both be NULL (map-miss semantics), never a crash or a fabricated
+    0.  Also pins the full ORDERED row list (digit ASC) rather than a
+    dict, so a dropped or duplicated digit group cannot cancel out."""
     import math
     from collections import Counter
 
