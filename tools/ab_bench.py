@@ -131,6 +131,9 @@ def main() -> None:
         # for normalization purposes (the pre-r11 behavior)
         unchanged = set(measured)
 
+    from bench import _host_load
+
+    load_start = _host_load()
     samples: dict[str, list[float]] = {n: [] for n in measured}
     # pass 0 = warmup (JVM/codegen/footer caches), not counted
     for p in range(passes + 1):
@@ -174,6 +177,12 @@ def main() -> None:
                 "host_shift_cohort": f"{len(shift_base)} unchanged of "
                                      f"{len(measured)} measured",
                 "residual_band": RESIDUAL_BAND,
+                # same evidence as bench.py's summary.host_load
+                # (VERDICT r11 item 4): the adjudicator's own window
+                # must be classifiable too -- r12's first A/B pass ran
+                # loaded and flagged 4 queries; the quieter rerun
+                # flagged 2, all load-concentration
+                "host_load": {"start": load_start, "end": _host_load()},
                 "queries": rows,
                 "flagged": flagged,
             }
