@@ -373,10 +373,53 @@ def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
     assert blame_guard_violations(
         fns, set(), {"demo": 6}, {}, corr_add, str(repo)
     ) == []
-    # a stamp recorded at the green round => the stamp tier governs,
-    # blame tier stays silent even though blame would flag
+    # a stamp recorded at the green round => same-module edits are the
+    # stamp tier's job: blame stays silent on the own-file spans even
+    # though it would flag them
     assert blame_guard_violations(
         fns, set(), {"demo": 5}, {5: {"demo": "abcd"}}, corr_add, str(repo)
+    ) == []
+    # ... but a CROSS-module helper edit after certification flags a
+    # STAMPED query too (the stamped-era recurrence of the r11
+    # kmeans_lite incident: a helper-module edit never flips the query
+    # module's stamp, so blame must cover that remainder)
+    import importlib as _importlib
+
+    pkg = repo / "demopkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    helper_path = pkg / "helper.py"
+    helper_path.write_text("def x_helper(v):\n    return v + 1\n")
+    caller_path = pkg / "caller.py"
+    caller_path.write_text(
+        "from demopkg.helper import x_helper\n"
+        "def q_cross(spark, sf_dir):\n"
+        "    return x_helper(1)\n"
+    )
+    git("add", "-A")
+    git("commit", "-qm", "cross-module pair")
+    (repo / "CORRECTNESS_r07.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "r7 artifact")
+    helper_path.write_text("def x_helper(v):\n    return v + 2\n")
+    git("add", "-A")
+    git("commit", "-qm", "helper-module fix")
+    sys.path.insert(0, str(repo))
+    try:
+        mod3 = _importlib.import_module("demopkg.caller")
+    finally:
+        sys.path.remove(str(repo))
+    corr_add = correctness_added_commits(str(repo))
+    stamped = {7: {"cross": "feed"}}
+    # stamped at r7, helper edited after r7's artifact: RED
+    assert blame_guard_violations(
+        {"cross": mod3.q_cross}, set(), {"cross": 7}, stamped,
+        corr_add, str(repo)
+    ) == ["cross"]
+    # windowed: clears
+    assert blame_guard_violations(
+        {"cross": mod3.q_cross}, {"cross"}, {"cross": 7}, stamped,
+        corr_add, str(repo)
     ) == []
     # uncommitted working-tree edit: always post-certification
     mod_path.write_text(src_v1.replace("return _helper(1)", "return _helper(2)"))

@@ -232,6 +232,14 @@ def stamp_guard_violations(
     return sorted(out)
 
 
+_BLAME_EXEMPT_SUFFIXES = ("sources/tables.py", "session.py")
+# Shared-infrastructure modules every query touches (load_tables, the
+# session builder): an edit there invalidates MOST of the inventory at
+# once, which a 50-slot driver window can never absorb -- the same
+# rationale that scopes query_stamp to same-module helpers.  Those
+# edits are covered by the full local parity sweep each round instead.
+
+
 def fn_blame_spans(fn) -> list:
     """(source_file, first_line, last_line) spans for a query fn and
     every package function reachable from it: same-module helpers
@@ -241,7 +249,11 @@ def fn_blame_spans(fn) -> list:
     item 2): the r11 ``kmeans_lite`` fix lived in
     functions/similarity.py while the affected IVF-audit query fns live
     in queries/ext.py -- a same-module-only span list would never see
-    it.  Third-party modules (pyspark etc.) are out of scope."""
+    it.  Third-party modules (pyspark etc.) are out of scope, as are
+    the ``_BLAME_EXEMPT_SUFFIXES`` shared-infrastructure files.
+    Limit: spans cover function BODIES; a module-level constant
+    assignment in a cross-module file is outside every span (the
+    same-module constant case IS stamped by query_stamp)."""
     import functools
     import inspect
 
@@ -262,7 +274,7 @@ def fn_blame_spans(fn) -> list:
             path = inspect.getsourcefile(f)
         except (OSError, TypeError):
             return
-        if path:
+        if path and not path.endswith(_BLAME_EXEMPT_SUFFIXES):
             spans.append((path, start, start + len(lines) - 1))
         code = getattr(f, "__code__", None)
         if code is None:
@@ -319,9 +331,19 @@ def blame_guard_violations(
     added that round's CORRECTNESS artifact -- i.e. the code was edited
     after certification -- the query must sit in the current driver
     window.  Uncommitted working-tree lines blame to the zero sha and
-    always count as post-certification.  Queries whose green round HAS
-    a stamp are skipped here (the stamp tier is stricter and already
-    covers them)."""
+    always count as post-certification.
+
+    Queries whose green round HAS a stamp are still checked, but only
+    on their CROSS-MODULE spans (files other than the fn's own source
+    file): query_stamp covers same-module content exhaustively, yet is
+    structurally blind across modules -- the r11 kmeans_lite incident
+    would recur in the stamped era without this tier (an edit to
+    functions/similarity.py never flips a queries/ext.py stamp).
+    Fanout is window-absorbable by measurement: the widest-shared
+    non-exempt cross-module helper (queries.core.money_sum) reaches 12
+    queries; shared infrastructure every query touches is exempt via
+    ``_BLAME_EXEMPT_SUFFIXES``."""
+    import inspect
     import subprocess
 
     blame_cache: dict = {}
@@ -366,12 +388,19 @@ def blame_guard_violations(
         rnd = last_green_round.get(name)
         if rnd is None or name in driver_window:
             continue
-        if (stamps_by_round.get(rnd) or {}).get(name) is not None:
-            continue  # stamped evidence: the stamp tier governs
         base = corr_added_commit.get(rnd)
         if base is None:
             continue  # certification artifact not committed (mid-round)
-        for path, start, end in fn_blame_spans(fn):
+        spans = fn_blame_spans(fn)
+        if (stamps_by_round.get(rnd) or {}).get(name) is not None:
+            # stamped evidence: the stamp tier governs same-module
+            # content; blame only the cross-module remainder
+            try:
+                own = inspect.getsourcefile(fn)
+            except TypeError:
+                own = None
+            spans = [s for s in spans if s[0] != own]
+        for path, start, end in spans:
             shas = line_commits(path)
             if any(postdates(s, base) for s in set(shas[start - 1:end])):
                 violations.append(name)
