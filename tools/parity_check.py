@@ -350,6 +350,12 @@ def blame_guard_violations(
     anc_cache: dict = {}
 
     def line_commits(path: str) -> list:
+        # exact --line-porcelain walk: each record is one header line
+        # (sha orig final [count]), metadata lines, then the single
+        # tab-prefixed content line.  Pattern-matching headers by
+        # shape instead would mis-map lines whenever SOURCE text
+        # itself looks like "<40hex> <int> <int>" (plausible in test
+        # fixtures), silently shifting every subsequent span.
         if path not in blame_cache:
             shas: list = []
             res = subprocess.run(
@@ -358,16 +364,13 @@ def blame_guard_violations(
                 capture_output=True, text=True,
             )
             if res.returncode == 0:
+                cur = None
                 for ln in res.stdout.splitlines():
-                    parts = ln.split()
-                    if (
-                        len(parts) >= 3
-                        and len(parts[0]) == 40
-                        and all(c in "0123456789abcdef" for c in parts[0])
-                        and parts[1].isdigit()
-                        and parts[2].isdigit()
-                    ):
-                        shas.append(parts[0])
+                    if cur is None:
+                        cur = ln.split(None, 1)[0] if ln else ""
+                    elif ln.startswith("\t"):
+                        shas.append(cur)
+                        cur = None
             blame_cache[path] = shas
         return blame_cache[path]
 
