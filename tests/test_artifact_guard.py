@@ -289,7 +289,7 @@ def test_stamp_guard_goes_red_on_edit_until_reprioritized(tmp_path):
 def _blame_guard_inputs():
     """Shared plumbing for the blame-tier tests: (queries, last-green
     map, stamps-by-round, correctness-add commits) at the current repo
-    state, with an optional round ceiling for history-pinned checks."""
+    state."""
     import __spark_entry__ as entrymod
     from parity_check import correctness_added_commits
 
@@ -409,6 +409,10 @@ def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
         mod3 = _importlib.import_module("demopkg.caller")
     finally:
         sys.path.remove(str(repo))
+        # drop the tmp package from the import cache: a cached module
+        # would serve stale tmp paths to any in-process re-run
+        for m in [m for m in sys.modules if m.split(".")[0] == "demopkg"]:
+            del sys.modules[m]
     corr_add = correctness_added_commits(str(repo))
     stamped = {7: {"cross": "feed"}}
     # stamped at r7, helper edited after r7's artifact: RED
