@@ -2850,7 +2850,11 @@ def test_bm25_search_matches_python_mirror(spark, texts):
             assert doc in mirror_by_doc, f"doc {doc} not a mirror candidate"
             s_exp, nhit_exp = mirror_by_doc[doc]
             assert nhit == nhit_exp
-            assert abs(s_got - s_exp) <= 5e-5
+            # one full rounding step: a legitimate boundary divergence
+            # puts the two 4-dp values on ADJACENT multiples of 1e-4
+            # (|diff| ~= 1e-4); a tighter 5e-5 bound would reject the
+            # exact case the class machinery below exists to accept
+            assert abs(s_got - s_exp) <= step
             # Spark-side emitted order: score non-increasing, doc_id
             # ASC on exact emitted-score ties
             assert s_got <= prev_score + 1e-12
@@ -4307,11 +4311,19 @@ def test_market_basket_matches_python_mirror(spark, pairs, extra_orders):
     assert got == expected
 
 
+from spark_streaming_postgres_lab2_spark.queries.tpch_more import (  # noqa: E402
+    _GDPR_MOD as _GDPR_M,
+)
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
-    st.sets(st.integers(0, 300), min_size=1, max_size=25),
-    st.sets(st.sampled_from([0, 97, 194, 291]), max_size=4),
-    st.dictionaries(st.integers(0, 40), st.integers(0, 320), max_size=25),
+    st.sets(st.integers(0, 3 * _GDPR_M + 9), min_size=1, max_size=25),
+    # derived from the modulus, not literals: if _GDPR_MOD ever
+    # changes, the forced-victim arm must keep forcing real victims
+    st.sets(st.sampled_from([0, _GDPR_M, 2 * _GDPR_M, 3 * _GDPR_M]), max_size=4),
+    st.dictionaries(st.integers(0, 40), st.integers(0, 3 * _GDPR_M + 29),
+                    max_size=25),
     st.lists(st.integers(0, 50), max_size=40),
 )
 def test_gdpr_erasure_audit_matches_python_mirror(

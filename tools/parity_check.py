@@ -251,15 +251,34 @@ def fn_blame_spans(fn) -> list:
     in queries/ext.py -- a same-module-only span list would never see
     it.  Third-party modules (pyspark etc.) are out of scope, as are
     the ``_BLAME_EXEMPT_SUFFIXES`` shared-infrastructure files.
-    Limit: spans cover function BODIES; a module-level constant
+
+    Helpers are resolved three ways, because module globals alone miss
+    the repo's two other prevalent call styles (r12 review finding --
+    q_decontaminate reaches minhash_decontaminate ONLY via a
+    function-local ``from ..functions.similarity import ...``):
+    (1) names in module globals, (2) function-local from-imports via
+    the IMPORT_NAME/fromlist bytecode pair, (3) module-alias attribute
+    calls (``TX.tokens``) via LOAD_GLOBAL+LOAD_ATTR pairs.  Remaining
+    limits: spans cover function BODIES, so a module-level constant
     assignment in a cross-module file is outside every span (the
-    same-module constant case IS stamped by query_stamp)."""
+    same-module constant case IS stamped by query_stamp), and an
+    attribute call on a LOCALLY-bound module alias is not statically
+    resolvable."""
+    import dis
     import functools
+    import importlib
+    import importlib.util
     import inspect
 
     spans: list = []
     seen: set[str] = set()
     root = (getattr(fn, "__module__", "") or "").split(".")[0]
+
+    def iter_codes(code):
+        yield code
+        for const in code.co_consts:
+            if hasattr(const, "co_names"):
+                yield from iter_codes(const)
 
     def visit(f) -> None:
         if isinstance(f, functools.partial):
@@ -287,6 +306,56 @@ def fn_blame_spans(fn) -> list:
             vmod = getattr(v, "__module__", "") or ""
             if vmod == f.__module__ or vmod.split(".")[0] == root:
                 visit(v)
+        anchor = (f.__module__ or "").rpartition(".")[0]
+        for c in iter_codes(code):
+            instrs = list(dis.get_instructions(c))
+            for i, ins in enumerate(instrs):
+                if ins.opname == "IMPORT_NAME":
+                    level = (
+                        instrs[i - 2].argval
+                        if i >= 2 and instrs[i - 2].opname == "LOAD_CONST"
+                        else 0
+                    )
+                    fromlist = (
+                        instrs[i - 1].argval
+                        if i >= 1 and instrs[i - 1].opname == "LOAD_CONST"
+                        else None
+                    )
+                    try:
+                        target = (
+                            importlib.util.resolve_name(
+                                "." * level + (ins.argval or ""), anchor
+                            )
+                            if level
+                            else ins.argval
+                        )
+                    except (ImportError, ValueError):
+                        continue
+                    if (target or "").split(".")[0] != root:
+                        continue
+                    try:
+                        mod = importlib.import_module(target)
+                    except Exception:  # noqa: BLE001
+                        continue
+                    for nm in fromlist or ():
+                        if not isinstance(nm, str):
+                            continue
+                        v = getattr(mod, nm, None)
+                        if inspect.isfunction(v):
+                            visit(v)
+                elif (
+                    ins.opname in ("LOAD_ATTR", "LOAD_METHOD")
+                    and i >= 1
+                    and instrs[i - 1].opname == "LOAD_GLOBAL"
+                ):
+                    base = mod_globals.get(instrs[i - 1].argval)
+                    if (
+                        inspect.ismodule(base)
+                        and (base.__name__ or "").split(".")[0] == root
+                    ):
+                        v = getattr(base, ins.argval, None)
+                        if inspect.isfunction(v):
+                            visit(v)
 
     visit(fn)
     return spans
@@ -349,21 +418,28 @@ def blame_guard_violations(
     blame_cache: dict = {}
     anc_cache: dict = {}
 
-    def line_commits(path: str) -> list:
+    def line_commits(path: str):
         # exact --line-porcelain walk: each record is one header line
         # (sha orig final [count]), metadata lines, then the single
         # tab-prefixed content line.  Pattern-matching headers by
         # shape instead would mis-map lines whenever SOURCE text
         # itself looks like "<40hex> <int> <int>" (plausible in test
         # fixtures), silently shifting every subsequent span.
+        # Returns None when blame itself fails (e.g. an UNTRACKED file:
+        # 'no such path in HEAD', exit 128) -- the caller must treat
+        # that as post-certification, not as an empty/passing span
+        # (r12 review finding: a helper refactored into a
+        # not-yet-committed file silently passed).
         if path not in blame_cache:
-            shas: list = []
             res = subprocess.run(
                 ["git", "-C", repo, "blame", "--line-porcelain", "--",
                  os.path.relpath(path, repo)],
                 capture_output=True, text=True,
             )
-            if res.returncode == 0:
+            if res.returncode != 0:
+                blame_cache[path] = None
+            else:
+                shas: list = []
                 cur = None
                 for ln in res.stdout.splitlines():
                     if cur is None:
@@ -371,20 +447,25 @@ def blame_guard_violations(
                     elif ln.startswith("\t"):
                         shas.append(cur)
                         cur = None
-            blame_cache[path] = shas
+                blame_cache[path] = shas
         return blame_cache[path]
 
-    def postdates(sha: str, base: str) -> bool:
-        if set(sha) == {"0"}:
-            return True  # uncommitted working-tree line
-        key = (sha, base)
-        if key not in anc_cache:
+    def ancestors(base: str) -> set:
+        # one rev-list per certification base answers every ancestry
+        # query (vs one merge-base subprocess per (sha, base) pair);
+        # an unresolvable base yields the empty set, i.e. everything
+        # counts as post-certification -- conservative.  The zero sha
+        # of uncommitted working-tree lines is never in rev-list
+        # output, so it always flags, as documented.
+        if base not in anc_cache:
             res = subprocess.run(
-                ["git", "-C", repo, "merge-base", "--is-ancestor", sha, base],
-                capture_output=True,
+                ["git", "-C", repo, "rev-list", base],
+                capture_output=True, text=True,
             )
-            anc_cache[key] = res.returncode != 0
-        return anc_cache[key]
+            anc_cache[base] = (
+                set(res.stdout.split()) if res.returncode == 0 else set()
+            )
+        return anc_cache[base]
 
     violations = []
     for name, fn in fns_by_name.items():
@@ -403,9 +484,12 @@ def blame_guard_violations(
             except TypeError:
                 own = None
             spans = [s for s in spans if s[0] != own]
+        ok = ancestors(base)
         for path, start, end in spans:
             shas = line_commits(path)
-            if any(postdates(s, base) for s in set(shas[start - 1:end])):
+            if shas is None or any(
+                s not in ok for s in set(shas[start - 1:end])
+            ):
                 violations.append(name)
                 break
     return sorted(violations)
