@@ -439,15 +439,148 @@ def test_blame_guard_spans_reach_cross_module_helpers():
     """The r11 gap was a CROSS-module helper (queries/ext.py fns call
     functions/similarity.py's kmeans_lite): the blame span list for the
     IVF audit queries must include similarity.py, which the stamp
-    guard's same-module-only traversal never reaches."""
+    guard's same-module-only traversal never reaches.  All three
+    helper call styles in this repo must resolve (r12 review finding:
+    module-globals-only resolution missed the other two):
+    module-global import (ann_ivf_lossless_audit -> kmeans_lite),
+    function-LOCAL from-import (decontaminate ->
+    minhash_decontaminate, corpus.py), and module-alias attribute call
+    (doc_token_stats -> TX.tokens, functions/text.py)."""
     import __spark_entry__ as entrymod
     from parity_check import fn_blame_spans
 
-    fn = entrymod.queries()["ann_ivf_lossless_audit"]
-    files = {path for path, _, _ in fn_blame_spans(fn)}
-    assert any(p.endswith("functions/similarity.py") for p in files), (
-        f"cross-module helper file missing from blame spans: {sorted(files)}"
+    qs = entrymod.queries()
+    for query, helper_file in [
+        ("ann_ivf_lossless_audit", "functions/similarity.py"),
+        ("decontaminate", "functions/similarity.py"),
+        ("doc_token_stats", "functions/text.py"),
+    ]:
+        files = {path for path, _, _ in fn_blame_spans(qs[query])}
+        assert any(p.endswith(helper_file) for p in files), (
+            f"{query}: {helper_file} missing from blame spans: "
+            f"{sorted(files)}"
+        )
+
+
+def test_blame_guard_flags_untracked_helper_file(tmp_path):
+    """r12 review finding: git blame exits 128 on an UNTRACKED file,
+    and an empty sha list silently PASSED a query whose helper lives
+    entirely in post-certification code.  A helper refactored into a
+    not-yet-committed file must flag the query."""
+    import importlib
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from parity_check import blame_guard_violations, correctness_added_commits
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- blame guard cannot run here")
+
+    repo = tmp_path / "untracked_repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    pkg = repo / "untrackedpkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "caller.py").write_text(
+        "from untrackedpkg.newhelper import fresh\n"
+        "def q_un(spark, sf_dir):\n"
+        "    return fresh(1)\n"
     )
+    # the helper file is written but NEVER committed
+    (pkg / "newhelper.py").write_text("def fresh(v):\n    return v\n")
+    git("add", "--", "untrackedpkg/__init__.py", "untrackedpkg/caller.py")
+    git("commit", "-qm", "caller only")
+    (repo / "CORRECTNESS_r03.json").write_text("{}")
+    git("add", "CORRECTNESS_r03.json")
+    git("commit", "-qm", "r3 artifact")
+
+    sys.path.insert(0, str(repo))
+    try:
+        mod = importlib.import_module("untrackedpkg.caller")
+    finally:
+        sys.path.remove(str(repo))
+        for m in [m for m in sys.modules if m.split(".")[0] == "untrackedpkg"]:
+            del sys.modules[m]
+    corr_add = correctness_added_commits(str(repo))
+    assert blame_guard_violations(
+        {"un": mod.q_un}, set(), {"un": 3}, {}, corr_add, str(repo)
+    ) == ["un"]
+
+
+def test_blame_parser_immune_to_header_shaped_source_lines(tmp_path):
+    """r12 review fix pin: a SOURCE line whose text looks like a blame
+    header ('<40hex> <int> <int>') must not be mistaken for one -- the
+    shape-matching parser counted it as a record and shifted the
+    line-to-commit mapping for every later span.  Here the decoy
+    string is edited post-certification while the query fn is not: the
+    exact parser stays green; the shifted mapping would have bled the
+    decoy's new sha into the fn's span and flagged it."""
+    import importlib.util
+    import shutil
+    import subprocess
+
+    import pytest
+
+    from parity_check import blame_guard_violations, correctness_added_commits
+
+    if shutil.which("git") is None:
+        pytest.skip("git unavailable -- blame guard cannot run here")
+
+    repo = tmp_path / "decoy_repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(repo), *args], check=True, capture_output=True
+        )
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    # line 2 of the module docstring IS a header-shaped line; the
+    # shape parser counted it as a record, inserting a bogus sha (the
+    # decoy text itself) and shifting every later line's mapping by
+    # one -- so the fn span (lines 5-6) would read line 4's sha, which
+    # the post-certification edit below makes post-cert: false flag.
+    src = (
+        '"""doc\n'
+        f'{"a" * 40} 1 1\n'
+        '"""\n'
+        "OTHER = 1\n"
+        "def q_decoy(spark, sf_dir):\n"
+        "    return 1\n"
+    )
+    mod_path = repo / "decoy_mod.py"
+    mod_path.write_text(src)
+    git("add", "-A")
+    git("commit", "-qm", "v1")
+    (repo / "CORRECTNESS_r04.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "r4 artifact")
+    # post-certification edit OUTSIDE the fn span (line 4; the fn
+    # never references OTHER, so its span stays lines 5-6)
+    mod_path.write_text(src.replace("OTHER = 1", "OTHER = 2"))
+    git("add", "-A")
+    git("commit", "-qm", "unrelated constant edit")
+
+    spec = importlib.util.spec_from_file_location("decoy_mod", mod_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    corr_add = correctness_added_commits(str(repo))
+    assert blame_guard_violations(
+        {"decoy": mod.q_decoy}, set(), {"decoy": 4}, {}, corr_add, str(repo)
+    ) == []
 
 
 def test_blame_guard_would_have_caught_the_r11_ivf_gap():
