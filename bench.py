@@ -6,17 +6,24 @@
 
 Each query is forced through the noop sink (full computation, no
 driver collect overhead).  A warmup query absorbs JVM/codegen start-up
-so per-query numbers reflect steady-state executor time.  Each query
-runs ``$SPARK_GRAFT_BENCH_N`` times (default 3); ``queries`` reports
-the WARM median (runs 2..N -- steady-state plan cost) and
-``queries_cold`` the first run (codegen compile + caches), so one-time
-compile artifacts stop masquerading as plan cost (VERDICT r4 item 5:
-at n=2 a single cold run dominated the median for every Arrow-path
-query).  The headline ``value`` is the warm-median suite total.  Key
-order is deliberate (VERDICT r5 item 3): ``queries_cold`` first, the
-warm ``queries`` map and a compact ``summary`` object LAST, so a
-tail-truncated capture of the JSON line still shows the
-round-over-round comparable (warm) numbers.
+so per-query numbers reflect steady-state executor time.  The suite
+runs ``$SPARK_GRAFT_BENCH_N`` full passes (default 3) INTERLEAVED
+round-robin -- pass 1 = every query once (cold: codegen compile +
+caches), passes 2..N = every query once more each -- and ``queries``
+reports the per-query WARM median across passes 2..N, ``queries_cold``
+the pass-1 time.  Interleaving is deliberate (VERDICT r12 item 2): the
+previous consecutive-N-samples-per-query layout let a host-load ramp
+land entirely on whichever query was in flight (r12's semantic_dedup
+swung 6.9->18.0 s across four same-code measurements); round-robin
+spreads any ramp across the whole suite, so host load biases the suite
+TOTAL but not individual per-query medians -- which is what the
+tools/ab_bench.py residual band assumes.  The cold/warm split itself
+is older (VERDICT r4 item 5: at n=2 a single cold run dominated the
+median for every Arrow-path query).  The headline ``value`` is the
+warm-median suite total.  Key order is deliberate (VERDICT r5 item 3):
+``queries_cold`` first, the warm ``queries`` map and a compact
+``summary`` object LAST, so a tail-truncated capture of the JSON line
+still shows the round-over-round comparable (warm) numbers.
 """
 
 from __future__ import annotations
@@ -348,16 +355,23 @@ def main() -> None:
     only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     only = [q for q in only_env.split(",") if q] or None
     bench_list = [q for q in BENCH_QUERIES if only is None or q in only]
+    # interleaved passes (VERDICT r12 item 2): pass 1 = every query
+    # once (cold), passes 2..N = every query once more each; a host
+    # ramp then spreads across the suite instead of landing on one
+    # query's consecutive samples
+    samples: dict[str, list[float]] = {name: [] for name in bench_list}
+    pass_host_load: list[dict] = []
+    for _ in range(n_runs):
+        pass_host_load.append(_host_load())
+        for name in bench_list:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in bench_list:
-        samples = []
-        for _ in range(n_runs):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.time() - t0)
-        cold[name] = round(samples[0], 3)
-        warm = samples[1:] or samples  # n_runs=1: cold IS the estimate
+        cold[name] = round(samples[name][0], 3)
+        warm = samples[name][1:] or samples[name]  # n_runs=1: cold IS the estimate
         timings[name] = round(statistics.median(warm), 3)
 
     # streaming twice: first run pays source-listing + state-store
@@ -399,8 +413,14 @@ def main() -> None:
         "streaming_events_per_sec_warm": stream.get("streaming_events_per_sec"),
         "streaming_events_per_sec_cold": stream_cold.get("streaming_events_per_sec"),
         # host-load evidence (VERDICT r11 item 4): start/end snapshots
-        # so a loaded driver window is classifiable from the artifact
-        "host_load": {"start": load_start, "end": _host_load()},
+        # so a loaded driver window is classifiable from the artifact;
+        # per-pass snapshots (r12 item 2) additionally locate WHICH
+        # interleaved pass a ramp hit
+        "host_load": {
+            "start": load_start,
+            "per_pass": pass_host_load,
+            "end": _host_load(),
+        },
     }
     # The BASELINE.md comparable (VERDICT r10 item 4): the reference's
     # max sustainable streaming throughput is ~167 events/s (10,000

@@ -41,78 +41,79 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 12, tier 0 (2): the two IVF audits whose shared helper
-    # (kmeans_lite empty-slice guard, functions/similarity.py:157-163,
-    # commit e52992e) changed AFTER their last r9 driver window -- the
-    # stamp guard's pre-stamp-era exemption was silent on them
-    # (VERDICT r11 item 1: driver slots 1-2).
-    "ann_ivf_lossless_audit",
-    "ann_recall_audit",
-    # round 12, tier 1 (23): the full r8 cohort -- the lower-drift
-    # window/SQL shapes deliberately held out of the r11 window
-    # (VERDICT r11 item 3 tier 1).  After this window no oracle's last
-    # driver-green row predates r9, and every r8-era row is stamped.
-    "cumulative_unique_users",
-    "doc_hof_stats",
-    "doc_token_stats",
-    "embedding_near_dup",
-    "fact_join_bucketed",
-    "fact_join_unbucketed",
-    "freq_items_audit",
-    "gapfill_interpolate",
-    "hourly_gapfill",
-    "latest_event_per_user",
-    "mad_anomaly_hours",
-    "nation_profit",
-    "order_first_last_nth",
-    "order_window_suite",
-    "revenue_concentration",
-    "rolling_7d_revenue",
-    "salted_nation_revenue",
-    "session_concurrency",
-    "session_overlap_pairs",
-    "similarity_topk",
-    "top_spenders_lateral",
-    "user_event_paths",
-    "value_histogram",
-    # round 12, tier 2 (24 of the 44 remaining r9-green oracles):
-    # drift-prone multi-stage families first (ANN/PQ, near-dup
-    # clustering, corpus stats, multimodal, graph); the 20 held to r13
-    # are simple SQL shapes (approx_distinct_audit,
-    # approx_quantiles_audit, doc_regex_extract, dominant_suppliers,
-    # embedding_norms, idle_customers, parts_never_shipped,
-    # part_string_funcs, priority_linestatus, props_json,
-    # psi_value_drift, salted_distinct_users, schema_migration,
-    # sessionization, stratified_sample_audit, supplier_count_by_part,
-    # trending_topk, url_domain_filter, user_set_ops,
-    # zscore_anomaly_hours).
-    "ann_ivfpq_adc_audit",
-    "embedding_pq_audit",
-    "canonical_docs",
+    # round 13, tier 0 (20, slots 1-20): the last pre-stamp-era cohort
+    # (VERDICT r12 item 1) -- the r9 holdouts whose driver-green rows
+    # carry no src_stamp.  After this window greens, EVERY oracle's
+    # last driver row is stamped-era, and the pre-stamp exemption
+    # branches in both guard tiers (tools/parity_check.py
+    # stamp_guard_violations `old is None`, blame_guard pre-stamp path)
+    # can become hard assertions next round.
+    "approx_distinct_audit",
+    "approx_quantiles_audit",
+    "doc_regex_extract",
+    "dominant_suppliers",
+    "embedding_norms",
+    "idle_customers",
+    "parts_never_shipped",
+    "part_string_funcs",
+    "priority_linestatus",
+    "props_json",
+    "psi_value_drift",
+    "salted_distinct_users",
+    "schema_migration",
+    "sessionization",
+    "stratified_sample_audit",
+    "supplier_count_by_part",
+    "trending_topk",
+    "url_domain_filter",
+    "user_set_ops",
+    "zscore_anomaly_hours",
+    # round 13, tier 1 (29, slots 21-49): stamped oracles ranked by
+    # MEASURED cross-module blame-span width (sum of span lines in
+    # files other than the fn's own module, via
+    # tools/parity_check.fn_blame_spans at the r13 head) -- the code
+    # most able to change under a certification without flipping the
+    # same-module content stamp (VERDICT r12 item 3).  The named
+    # high-risk families all rank here by measurement: decontaminate
+    # (196 cross-module lines), incremental_dedup (196), the substring
+    # family (55 each), the IVF audits (151-182).  The PQ pair
+    # (ann_ivfpq_adc_audit, embedding_pq_audit) is deliberately NOT
+    # re-windowed: measured cross-module width ~0 -- every helper is
+    # same-module in queries/ext.py, which query_stamp already covers
+    # exhaustively, and both are stamped green r12.
+    "semantic_dedup",
     "near_dup_clusters",
+    "canonical_docs",
+    "embedding_lsh_near_dup_portable",
+    "incremental_dedup",
+    "decontaminate",
+    "ann_recall_audit",
+    "minhash_near_dup",
+    "ann_ivf_lossless_audit",
+    "video_frame_stats",
+    "png_decode",
+    "multimodal_resize_real",
     "simhash_near_dup",
-    "sorted_neighborhood_dedup",
-    "intra_doc_dedup",
-    "duplicate_ngrams",
-    "source_overlap_matrix",
-    "url_canonical_dedup",
-    "quality_classifier_filter",
-    "doc_repetition",
-    "doc_fingerprints",
-    "html_text_extract",
-    "bm25_search",
-    "term_pmi_cooccurrence",
-    "pagerank_links",
-    "triangle_counts",
     "multimodal_decode",
-    "multimodal_meta",
-    "shard_manifest",
-    "train_eval_split",
-    "training_mix_upsample",
-    "session_path_mining",
+    "audio_frame_energy",
+    "audio_decode",
+    "triangle_counts",
+    "pagerank_links",
+    "table_counts_union",
+    "quality_hourly",
+    "multimodal_features",
+    "ngram_jaccard_pairs",
+    "asof_quotes",
+    "fact_join_bucketed",
+    "substring_dedup_cut_fast",
+    "substring_dedup_cut",
+    "source_overlap_matrix",
+    "exact_ngram_decontaminate",
+    "duplicate_ngrams",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; eight
-    # rounds green and counting (VERDICT r6 item 8: keep it pinned).
+    # the cheapest canary for another fixture timestamp drift; nine
+    # rounds green and counting (VERDICT r6 item 8 / r12 item 3: keep
+    # it pinned).
     "user_session_window",
 ]
 

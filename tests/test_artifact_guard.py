@@ -639,13 +639,25 @@ def test_post_certification_edits_to_pre_stamp_queries_are_windowed():
 
     qs, last_green, stamps, corr_add = _blame_guard_inputs()
     window = set(list(qs)[:50])
+    skipped: list = []
     violations = blame_guard_violations(
-        qs, window, last_green, stamps, corr_add, str(REPO)
+        qs, window, last_green, stamps, corr_add, str(REPO), skipped=skipped
     )
     assert not violations, (
         "pre-stamp-era-certified queries edited after certification but "
         "NOT re-prioritized into the driver window (DRIVER_PRIORITY in "
         f"queries/__init__.py): {violations}"
+    )
+    # r12 advice: a query silently skipped because its green round's
+    # CORRECTNESS artifact never resolved to a commit would disable
+    # this tier for it permanently.  Only the CURRENT round's artifact
+    # may legitimately be uncommitted (it lands at round end); every
+    # OTHER green round must resolve.
+    current_round = max(corr_add, default=0) + 1
+    bad = sorted({(n, r) for n, r in skipped if r <= max(corr_add, default=0)})
+    assert not bad, (
+        "blame guard silently disabled for queries whose green-round "
+        f"artifact (< r{current_round}) has no committed add: {bad}"
     )
 
 

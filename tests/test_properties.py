@@ -2860,9 +2860,19 @@ def test_bm25_search_matches_python_mirror(spark, texts):
             assert s_got <= prev_score + 1e-12
             if s_got == prev_score:
                 assert doc > prev_doc
-            # mirror class order respected
-            assert cls_of[doc] >= prev_cls
-            prev_cls, prev_score, prev_doc = cls_of[doc], s_got, doc
+                # mirror class order is NOT asserted on exact emitted
+                # ties (r12 advice): two mirror candidates ~2e-4 apart
+                # land in adjacent classes, yet both 4-dp roundings can
+                # legitimately meet in the middle on the Spark side --
+                # the doc-ASC tiebreak may then emit the higher class
+                # first.  Track the MIN of the tied classes so the
+                # completeness check below stays conservative.
+                new_cls = min(prev_cls, cls_of[doc])
+            else:
+                # mirror class order respected
+                assert cls_of[doc] >= prev_cls
+                new_cls = cls_of[doc]
+            prev_cls, prev_score, prev_doc = new_cls, s_got, doc
         if g:
             for ci in range(prev_cls):
                 assert cls_docs[ci] <= got_docs, (

@@ -232,12 +232,18 @@ def stamp_guard_violations(
     return sorted(out)
 
 
-_BLAME_EXEMPT_SUFFIXES = ("sources/tables.py", "session.py")
+_BLAME_EXEMPT_SUFFIXES = (
+    os.sep + os.path.join("sources", "tables.py"),
+    os.sep + "session.py",
+)
 # Shared-infrastructure modules every query touches (load_tables, the
 # session builder): an edit there invalidates MOST of the inventory at
 # once, which a 50-slot driver window can never absorb -- the same
 # rationale that scopes query_stamp to same-module helpers.  Those
 # edits are covered by the full local parity sweep each round instead.
+# Each suffix starts with a path SEPARATOR so only the exact basename
+# matches (r12 advice: a future queries/user_session.py must not
+# silently inherit session.py's inventory-wide exemption).
 
 
 def fn_blame_spans(fn) -> list:
@@ -258,12 +264,16 @@ def fn_blame_spans(fn) -> list:
     function-local ``from ..functions.similarity import ...``):
     (1) names in module globals, (2) function-local from-imports via
     the IMPORT_NAME/fromlist bytecode pair, (3) module-alias attribute
-    calls (``TX.tokens``) via LOAD_GLOBAL+LOAD_ATTR pairs.  Remaining
-    limits: spans cover function BODIES, so a module-level constant
-    assignment in a cross-module file is outside every span (the
-    same-module constant case IS stamped by query_stamp), and an
-    attribute call on a LOCALLY-bound module alias is not statically
-    resolvable."""
+    calls (``TX.tokens``) via LOAD_GLOBAL+LOAD_ATTR pairs.  Package
+    CLASSES resolved any of those ways contribute their whole class
+    body as a span, and their methods' own closures are walked too
+    (r12 advice: a query depending on a cross-module class previously
+    got no span for it -- the same shape as the r11 kmeans_lite gap).
+    Remaining limits: spans cover function/class BODIES, so a
+    module-level constant assignment in a cross-module file is outside
+    every span (the same-module constant case IS stamped by
+    query_stamp), and an attribute call on a LOCALLY-bound module
+    alias is not statically resolvable."""
     import dis
     import functools
     import importlib
@@ -295,13 +305,23 @@ def fn_blame_spans(fn) -> list:
             return
         if path and not path.endswith(_BLAME_EXEMPT_SUFFIXES):
             spans.append((path, start, start + len(lines) - 1))
+        if inspect.isclass(f):
+            # class body IS the span; walk the methods for their own
+            # cross-module closures (a method body lies inside the
+            # class span, but what IT calls may not)
+            for v in vars(f).values():
+                if isinstance(v, (staticmethod, classmethod)):
+                    v = v.__func__
+                if inspect.isfunction(v):
+                    visit(v)
+            return
         code = getattr(f, "__code__", None)
         if code is None:
             return
         mod_globals = getattr(f, "__globals__", {})
         for name in _collect_code_names(code):
             v = mod_globals.get(name)
-            if v is None or not inspect.isfunction(v):
+            if v is None or not (inspect.isfunction(v) or inspect.isclass(v)):
                 continue
             vmod = getattr(v, "__module__", "") or ""
             if vmod == f.__module__ or vmod.split(".")[0] == root:
@@ -341,7 +361,10 @@ def fn_blame_spans(fn) -> list:
                         if not isinstance(nm, str):
                             continue
                         v = getattr(mod, nm, None)
-                        if inspect.isfunction(v):
+                        if (
+                            (inspect.isfunction(v) or inspect.isclass(v))
+                            and (getattr(v, "__module__", "") or "").split(".")[0] == root
+                        ):
                             visit(v)
                 elif (
                     ins.opname in ("LOAD_ATTR", "LOAD_METHOD")
@@ -354,7 +377,10 @@ def fn_blame_spans(fn) -> list:
                         and (base.__name__ or "").split(".")[0] == root
                     ):
                         v = getattr(base, ins.argval, None)
-                        if inspect.isfunction(v):
+                        if (
+                            (inspect.isfunction(v) or inspect.isclass(v))
+                            and (getattr(v, "__module__", "") or "").split(".")[0] == root
+                        ):
                             visit(v)
 
     visit(fn)
@@ -390,6 +416,7 @@ def blame_guard_violations(
     stamps_by_round: dict,
     corr_added_commit: dict,
     repo: str,
+    skipped: list | None = None,
 ) -> list:
     """Second guard tier (VERDICT r11 item 2): closes the stamp
     guard's pre-stamp-era exemption.  A query whose last driver-green
@@ -474,7 +501,16 @@ def blame_guard_violations(
             continue
         base = corr_added_commit.get(rnd)
         if base is None:
-            continue  # certification artifact not committed (mid-round)
+            # certification artifact not committed.  Legitimate only
+            # MID-ROUND (the current round's artifact lands at round
+            # end); a never-committed or renamed artifact would
+            # otherwise disable this tier for its queries forever with
+            # no signal (r12 advice) -- so the skip is surfaced and the
+            # live guard test asserts every skipped round is the
+            # current one.
+            if skipped is not None:
+                skipped.append((name, rnd))
+            continue
         spans = fn_blame_spans(fn)
         if (stamps_by_round.get(rnd) or {}).get(name) is not None:
             # stamped evidence: the stamp tier governs same-module
