@@ -91,3 +91,97 @@ def test_simhash_fast_equals_portable(spark):
         f"fast-only: {sorted(fast - portable)[:5]} "
         f"portable-only: {sorted(portable - fast)[:5]}"
     )
+
+
+def test_ngram_fast_equals_portable_on_planted_exact_dups(spark):
+    """VERDICT r12 item 5: pin ngram_jaccard_pairs_fast (xxhash64
+    min-shingle blocking, rows-only) to its oracled portable twin.
+    EXACT-copy planting makes the blocking deterministic for BOTH hash
+    families: identical texts share the whole sampled-shingle set, so
+    their min-hash fingerprints collide under ANY hash function, while
+    disjoint-3-gram noise shares no shingle string (a min-fp collision
+    would need a raw 128/64-bit hash collision) and the token-Jaccard
+    verify (< 0.2) rejects anything that slipped.  Both twins must
+    emit the IDENTICAL verified pair set, every pair at jaccard 1.0."""
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_ngram_jaccard_pairs,
+        q_ngram_jaccard_pairs_fast,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    rows, expected = [], set()
+    for i in range(10):
+        text = " ".join(rng.sample(vocab, 60))
+        rows.append((i, text))
+        rows.append((1000 + i, text))
+        expected.add((i, 1000 + i))
+    for j in range(20):
+        rows.append((2000 + j, " ".join(rng.sample(vocab, 60))))
+    docs = spark.createDataFrame(
+        [(d, "s", t, "en", len(t)) for d, t in rows],
+        "doc_id long, source string, text string, lang string, n_chars long",
+    )
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"documents": docs}
+        fast = {(r.doc_id_1, r.doc_id_2): r.jaccard
+                for r in q_ngram_jaccard_pairs_fast(spark, "u").collect()}
+        portable = {(r.doc_id_1, r.doc_id_2): r.jaccard
+                    for r in q_ngram_jaccard_pairs(spark, "u").collect()}
+    finally:
+        ext.load_tables = orig
+    assert set(fast) == expected, (
+        f"fast missing: {expected - set(fast)} extra: {set(fast) - expected}"
+    )
+    assert fast == portable, (
+        f"fast-only: {sorted(set(fast) - set(portable))[:5]} "
+        f"portable-only: {sorted(set(portable) - set(fast))[:5]}"
+    )
+    assert all(j == 1.0 for j in fast.values())
+
+
+def test_simhash_signature_partition_fast_equals_portable(spark):
+    """VERDICT r12 item 5: pin q_simhash (the signature-only rows-only
+    query, backed by xxhash64 ``simhash64``) to the oracled family's
+    md5-nibble ``simhash_portable``.  SimHash is bag-of-DISTINCT-tokens,
+    so a token-REORDER duplicate must get the IDENTICAL fingerprint in
+    each family (Hamming 0 -- the invariance the signature query
+    exports), while disjoint-vocabulary noise docs sit ~32 bits apart.
+    The identical-signature PARTITION of the corpus must therefore
+    equal the planted pairing under BOTH families -- signature-set
+    equivalence, the same planted-dup pattern as the pair tests."""
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        simhash64,
+        simhash_portable,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i:04d}" for i in range(5000)]
+    rows = []
+    planted = set()
+    for i in range(10):
+        words = rng.sample(vocab, 60)
+        shuffled = list(words)
+        rng.shuffle(shuffled)
+        rows.append((i, " ".join(words)))
+        rows.append((1000 + i, " ".join(shuffled)))
+        planted.add((i, 1000 + i))
+    for j in range(20):
+        rows.append((2000 + j, " ".join(rng.sample(vocab, 60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fast = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    portable = {r.doc_id: (r.sim_lo, r.sim_hi)
+                for r in simhash_portable(docs).collect()}
+    assert set(fast) == set(portable) == {d for d, _ in rows}
+    for label, fps in (("fast", fast), ("portable", portable)):
+        groups: dict = {}
+        for d, fp in fps.items():
+            groups.setdefault(fp, []).append(d)
+        partition = {tuple(sorted(g)) for g in groups.values() if len(g) > 1}
+        assert partition == {(i, 1000 + i) for i in range(10)}, (
+            f"{label}: identical-signature partition != planted pairing: "
+            f"{sorted(partition)[:5]}"
+        )

@@ -4493,3 +4493,216 @@ def test_freq_items_audit_matches_python_mirror(spark, texts):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+# --- round 13 mirror batch: trending top-k / BFS / incremental dedup -----------
+#
+# VERDICT r12 item 4 tail: the last three crafted-test-only queries
+# get the same third-opinion treatment -- pure-Python spec replays on
+# hypothesis-generated inputs, catching a SHARED Spark/DuckDB spec
+# misreading the oracle hash cannot.
+
+# 7 types > _TREND_TOPK = 5: the top-k cut on (score_fp DESC,
+# event_type ASC) fires with score ties on every dense example
+_trend_type = st.sampled_from([f"e{i}" for i in range(7)])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.tuples(_trend_type, st.integers(min_value=0, max_value=30)),
+        st.integers(min_value=1, max_value=3),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_trending_topk_matches_python_mirror(spark, occupancy):
+    """Property: the global trending top-k equals a pure-Python replay
+    of the integer decay recurrence (score_fp <- score_fp div 2 +
+    cnt * 2^20 over each type's ACTIVE hours in order) plus the
+    (score_fp DESC, event_type ASC) rank cut at k=5 -- including the
+    exact dyadic ``score`` doubles both engines derive from the pinned
+    integer."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _TREND_FP_SCALE,
+        _TREND_TOPK,
+        q_trending_topk,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
+    cnts: dict = {}
+    for (etype, h), n in occupancy.items():
+        cnts.setdefault(etype, {})[h] = cnts.get(etype, {}).get(h, 0) + n
+    folded = {}
+    for etype, by_hour in cnts.items():
+        acc = 0
+        for h in sorted(by_hour):
+            acc = acc // 2 + by_hour[h] * _TREND_FP_SCALE
+        folded[etype] = acc
+    ranked = sorted(folded.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = [
+        (r + 1, etype, fp, fp / float(_TREND_FP_SCALE))
+        for r, (etype, fp) in enumerate(ranked[:_TREND_TOPK])
+    ]
+
+    rows = []
+    i = 0
+    for (etype, h), n in occupancy.items():
+        us = base_us + h * 3_600_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        for _ in range(n):
+            rows.append(Row(event_id=i, ts=ts, user_id=1, event_type=etype,
+                            value=1.0, props="{}"))
+            i += 1
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = [
+            (r.rank, r.event_type, r.score_fp, r.score)
+            for r in q_trending_topk(spark, "u").collect()
+        ]
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=2, max_value=18),                     # n nodes
+    st.lists(st.tuples(st.integers(0, 97), st.integers(0, 97)),  # raw edges
+             min_size=0, max_size=50),
+    st.lists(st.integers(0, 97), min_size=1, max_size=5),        # raw seeds
+    st.integers(min_value=1, max_value=5),                       # depth
+)
+def test_bfs_hops_matches_python_bfs_on_random_graphs(spark, n, raw_edges,
+                                                      raw_seeds, depth):
+    """Property (VERDICT r12 item 4): the iterative frontier operator
+    ``bfs_hops`` -- the machinery under bfs_reachability -- assigns
+    every node its true min-hop distance from the seed set on random
+    DIRECTED multigraphs (self-loops and duplicate edges kept), with
+    -1 for nodes unreached within the depth bound, vs a textbook
+    Python BFS.  The crafted tests and the recursive-CTE oracle sample
+    this thinly; random graphs exercise frontier/visited interleavings
+    the fixture graph never hits."""
+    from collections import deque
+
+    from spark_streaming_postgres_lab2_spark.functions.graph import bfs_hops
+
+    edges = [(a % n, b % n) for a, b in raw_edges]
+    seeds = sorted({s % n for s in raw_seeds})
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    hop = {s: 0 for s in seeds}
+    frontier = deque(seeds)
+    while frontier:
+        v = frontier.popleft()
+        if hop[v] >= depth:
+            continue
+        for w in adj.get(v, ()):
+            if w not in hop:
+                hop[w] = hop[v] + 1
+                frontier.append(w)
+    expected = {i: hop.get(i, -1) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges_df = spark.createDataFrame(edges, "src bigint, dst bigint") \
+        if edges else spark.createDataFrame([], "src bigint, dst bigint")
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "id bigint")
+    got = {r.id: r.hop for r in bfs_hops(nodes, edges_df, seeds_df,
+                                         depth=depth).collect()}
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join),
+                          st.sampled_from(["A", "B"])),
+                min_size=1, max_size=12))
+def test_incremental_dedup_matches_python_mirror(spark, docs_spec):
+    """Property (VERDICT r12 item 4): the two-tier incremental dedup
+    equals a pure-Python replay on randomized history/batch splits --
+    the derived new batch (exact-copy / near-copy / fresh arms against
+    the NEXT doc's text), the md5 exact tier, the asymmetric MinHash
+    near tier (_portable_minhash_replay cross-pairs + exact-Jaccard
+    verify at 0.4), the tier DISJOINTNESS (dropped_near counts only
+    non-exact near-dups), and the kept-ids md5 per source."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _INC_ID_OFFSET,
+        q_incremental_dedup,
+    )
+
+    texts = [t for t, _ in docs_spec]
+    sources = [s for _, s in docs_spec]
+    n = len(texts)
+
+    # derived new batch (mirror of _incremental_new_batch)
+    new_batch = {}  # new_id -> (source, text)
+    for i in range(n):
+        if i % 10 not in (0, 5, 7):
+            continue
+        nxt = texts[i + 1] if i + 1 < n else None
+        if i % 10 == 0 and nxt is not None:
+            t = nxt
+        elif i % 10 == 5 and nxt is not None:
+            t = nxt + " extradoc"
+        else:
+            t = f"fresh arrival number {i} with unseen content"
+        new_batch[i + _INC_ID_OFFSET] = (sources[i], t)
+
+    hist_texts = set(texts)
+    exact = {nid for nid, (_s, t) in new_batch.items() if t in hist_texts}
+
+    # near tier: portable MinHash bands over the COMBINED corpus,
+    # keeping only (history, new) cross-candidates, then the exact
+    # 3-shingle Jaccard verify at >= 0.4 (4-dp round)
+    combined = texts + [new_batch[nid][1] for nid in sorted(new_batch)]
+    new_pos = {n + j: nid for j, nid in enumerate(sorted(new_batch))}
+    shs, cand = _portable_minhash_replay(combined)
+    near = set()
+    for a, b in cand:
+        lo, hi = (a, b) if a < b else (b, a)
+        if lo < n and hi in new_pos:  # history x new only
+            j = round_half_up(len(shs[lo] & shs[hi]) / len(shs[lo] | shs[hi]), 4)
+            if j >= 0.4:
+                near.add(new_pos[hi])
+
+    expected = {}
+    for src in sorted({s for s, _t in new_batch.values()}):
+        ids = [nid for nid, (s, _t) in new_batch.items() if s == src]
+        kept = sorted(i for i in ids
+                      if i not in exact and i not in near)
+        expected[src] = (
+            len(ids),
+            sum(1 for i in ids if i in exact),
+            sum(1 for i in ids if i not in exact and i in near),
+            len(kept),
+            hashlib.md5(",".join(str(i) for i in kept).encode()).hexdigest(),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=sources[i], text=texts[i], lang="en",
+             n_chars=len(texts[i])) for i in range(n)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            r.source: (r.n_new, r.dropped_exact, r.dropped_near, r.kept,
+                       r.kept_ids_hash)
+            for r in q_incremental_dedup(spark, "u").collect()
+        }
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
