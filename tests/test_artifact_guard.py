@@ -462,6 +462,63 @@ def test_blame_guard_spans_reach_cross_module_helpers():
         )
 
 
+def test_blame_spans_follow_cross_module_classes(tmp_path):
+    """r12 advice: a query depending on a cross-module CLASS (or
+    callable object) previously got no span for it, so a
+    post-certification edit to a shared class escaped both guard tiers
+    -- the same shape as the r11 kmeans_lite gap.  Package classes now
+    contribute their class-body span under every resolution style
+    (module-global ref, function-local from-import, module-alias
+    attribute), and their METHODS' own cross-module closures are
+    walked too."""
+    import importlib
+
+    from parity_check import fn_blame_spans
+
+    repo = tmp_path / "clsrepo"
+    pkg = repo / "clspkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "deep.py").write_text("def deep_fn(v):\n    return v + 1\n")
+    (pkg / "helper.py").write_text(
+        "from clspkg.deep import deep_fn\n"
+        "class Gadget:\n"
+        "    def spin(self, v):\n"
+        "        return deep_fn(v)\n"
+    )
+    (pkg / "caller.py").write_text(
+        "import clspkg.helper as H\n"
+        "from clspkg.helper import Gadget\n"
+        "def q_global(spark, sf_dir):\n"
+        "    return Gadget().spin(1)\n"
+        "def q_local(spark, sf_dir):\n"
+        "    from clspkg.helper import Gadget as G\n"
+        "    return G().spin(1)\n"
+        "def q_alias(spark, sf_dir):\n"
+        "    return H.Gadget().spin(1)\n"
+    )
+    sys.path.insert(0, str(repo))
+    try:
+        caller = importlib.import_module("clspkg.caller")
+        for fn in (caller.q_global, caller.q_local, caller.q_alias):
+            files = {path for path, _, _ in fn_blame_spans(fn)}
+            assert any(p.endswith("helper.py") for p in files), (
+                f"{fn.__name__}: class file missing from spans: {files}"
+            )
+            # the method closure reaches a THIRD module
+            assert any(p.endswith("deep.py") for p in files), (
+                f"{fn.__name__}: method-closure file missing: {files}"
+            )
+        # the helper.py span covers the whole class BODY (line 2..4)
+        spans = [s for s in fn_blame_spans(caller.q_global)
+                 if s[0].endswith("helper.py")]
+        assert any(start <= 2 and end >= 4 for _, start, end in spans), spans
+    finally:
+        sys.path.remove(str(repo))
+        for m in [m for m in sys.modules if m.split(".")[0] == "clspkg"]:
+            del sys.modules[m]
+
+
 def test_blame_guard_flags_untracked_helper_file(tmp_path):
     """r12 review finding: git blame exits 128 on an UNTRACKED file,
     and an empty sha list silently PASSED a query whose helper lives
