@@ -46,9 +46,26 @@ def main() -> None:
     header = f"{'query':26s}" + "".join(f" {lab:>9s}" for lab in labels)
     header += "".join(f" {'step x' + str(i + 1):>9s}" for i in range(len(SFS) - 1))
     print(header + "   (each step = 10x data; ratio ~<=10x is linear-or-better)")
+    def drop_session_state() -> None:
+        # localCheckpoint blocks and cached tables accumulate across
+        # measurements in this shared session; at sf10 the leftover
+        # block-manager state from one heavy query inflates the NEXT
+        # one several-fold via GC/eviction thrash (r13 measurement:
+        # kmeans_cluster_profile 67.8s in-session vs 32.0s fresh-JVM
+        # at sf10; ann_ivfpq_adc_audit 160.5s vs 137.4s).  Dropping
+        # persistent RDDs + cached relations between queries keeps
+        # each measurement's JVM state comparable to a fresh session.
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        rdds = jsc.getPersistentRDDs()
+        it = rdds.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     for name in only:
         times = []
         for sf in SFS:
+            drop_session_state()
             t0 = time.time()
             qs[name](spark, sf).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
