@@ -359,11 +359,26 @@ def main() -> None:
     # once (cold), passes 2..N = every query once more each; a host
     # ramp then spreads across the suite instead of landing on one
     # query's consecutive samples
+    def drop_checkpoint_blocks() -> None:
+        # localCheckpoint blocks left by one query inflate the NEXT
+        # query's timing via block-manager/GC pressure (the same
+        # session-state mechanism SCALING.md r13 measured at 2-7x on
+        # sf10) -- and interleaving makes every warm sample adjacent to
+        # a DIFFERENT query's leftovers, so the residue must go between
+        # timings.  The deliberate table cache
+        # (SPARK_GRAFT_CACHE_TABLES) is untouched: it is a driver-side
+        # dict of DataFrame handles (plan/footer reuse,
+        # sources/tables.py:144), not block-manager state.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+
     samples: dict[str, list[float]] = {name: [] for name in bench_list}
     pass_host_load: list[dict] = []
     for _ in range(n_runs):
         pass_host_load.append(_host_load())
         for name in bench_list:
+            drop_checkpoint_blocks()
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)

@@ -480,11 +480,16 @@ def test_blame_spans_follow_cross_module_classes(tmp_path):
     pkg.mkdir(parents=True)
     (pkg / "__init__.py").write_text("")
     (pkg / "deep.py").write_text("def deep_fn(v):\n    return v + 1\n")
-    (pkg / "helper.py").write_text(
+    (pkg / "base.py").write_text(
         "from clspkg.deep import deep_fn\n"
-        "class Gadget:\n"
+        "class Base:\n"
         "    def spin(self, v):\n"
         "        return deep_fn(v)\n"
+    )
+    (pkg / "helper.py").write_text(
+        "from clspkg.base import Base\n"
+        "class Gadget(Base):\n"
+        "    pass\n"
     )
     (pkg / "caller.py").write_text(
         "import clspkg.helper as H\n"
@@ -505,13 +510,19 @@ def test_blame_spans_follow_cross_module_classes(tmp_path):
             assert any(p.endswith("helper.py") for p in files), (
                 f"{fn.__name__}: class file missing from spans: {files}"
             )
-            # the method closure reaches a THIRD module
+            # the inherited BASE class's body is a span too (r13
+            # review finding: Gadget(Base) with spin defined on Base
+            # previously produced no span for base.py)
+            assert any(p.endswith("base.py") for p in files), (
+                f"{fn.__name__}: base-class file missing: {files}"
+            )
+            # the base method's closure reaches a FOURTH module
             assert any(p.endswith("deep.py") for p in files), (
                 f"{fn.__name__}: method-closure file missing: {files}"
             )
-        # the helper.py span covers the whole class BODY (line 2..4)
+        # the base.py span covers the whole class BODY (line 2..4)
         spans = [s for s in fn_blame_spans(caller.q_global)
-                 if s[0].endswith("helper.py")]
+                 if s[0].endswith("base.py")]
         assert any(start <= 2 and end >= 4 for _, start, end in spans), spans
     finally:
         sys.path.remove(str(repo))
@@ -708,13 +719,16 @@ def test_post_certification_edits_to_pre_stamp_queries_are_windowed():
     # r12 advice: a query silently skipped because its green round's
     # CORRECTNESS artifact never resolved to a commit would disable
     # this tier for it permanently.  Only the CURRENT round's artifact
-    # may legitimately be uncommitted (it lands at round end); every
-    # OTHER green round must resolve.
+    # may legitimately be uncommitted (it lands at round end), and the
+    # current round is exactly max(committed)+1 -- tolerating anything
+    # above max would let a round whose artifact NEVER lands pass
+    # silently forever once the next round starts (r13 review
+    # finding).
     current_round = max(corr_add, default=0) + 1
-    bad = sorted({(n, r) for n, r in skipped if r <= max(corr_add, default=0)})
+    bad = sorted({(n, r) for n, r in skipped if r != current_round})
     assert not bad, (
         "blame guard silently disabled for queries whose green-round "
-        f"artifact (< r{current_round}) has no committed add: {bad}"
+        f"artifact (!= current r{current_round}) has no committed add: {bad}"
     )
 
 

@@ -4537,7 +4537,7 @@ def test_trending_topk_matches_python_mirror(spark, occupancy):
     base_us = 1_704_067_200_000_000  # 2024-01-01 in epoch micros
     cnts: dict = {}
     for (etype, h), n in occupancy.items():
-        cnts.setdefault(etype, {})[h] = cnts.get(etype, {}).get(h, 0) + n
+        cnts.setdefault(etype, {})[h] = n  # (etype, h) keys are unique
     folded = {}
     for etype, by_hour in cnts.items():
         acc = 0

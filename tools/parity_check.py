@@ -165,10 +165,10 @@ def query_stamp(fn, oracle) -> str:
         # source shows only the expression text, e.g. a constant's
         # NAME): stamp the resolved values too (r11 review finding --
         # a changed _CUT_OCC_CAP otherwise left the stamp unchanged)
-        for dv in (f.__defaults__ or ()):
+        for dv in (getattr(f, "__defaults__", None) or ()):
             if isinstance(dv, _CONSTS):
                 parts.append(f"default={const_repr(dv)}")
-        for dk, dv in sorted((f.__kwdefaults__ or {}).items()):
+        for dk, dv in sorted((getattr(f, "__kwdefaults__", None) or {}).items()):
             if isinstance(dv, _CONSTS):
                 parts.append(f"kwdefault {dk}={const_repr(dv)}")
         code = getattr(f, "__code__", None)
@@ -180,6 +180,15 @@ def query_stamp(fn, oracle) -> str:
             if v is None:
                 continue
             if inspect.isfunction(v) and v.__module__ == f.__module__:
+                visit(v)
+            elif inspect.isclass(v) and v.__module__ == f.__module__:
+                # same-module CLASSES stamp their whole body (r13
+                # review finding: the blame tier discards own-file
+                # spans for stamped queries on the premise the stamp
+                # covers same-module content exhaustively -- a class
+                # helper previously entered neither tier).  No query
+                # module defines such a class today, so this changes
+                # no existing stamp value.
                 visit(v)
             elif isinstance(v, _CONSTS):
                 # data constants too, not just scalars: _EVAL_SOURCES
@@ -308,10 +317,27 @@ def fn_blame_spans(fn) -> list:
         if inspect.isclass(f):
             # class body IS the span; walk the methods for their own
             # cross-module closures (a method body lies inside the
-            # class span, but what IT calls may not)
+            # class span, but what IT calls may not).  Inherited BASE
+            # classes are visited too -- a subclass's behavior lives in
+            # its bases' bodies, which sit in other spans (r13 review
+            # finding: Gadget(Base) with spin defined on Base got no
+            # span for base.py).  Descriptor wrappers (property,
+            # cached_property, lru_cache-style __wrapped__) unwrap to
+            # their underlying functions.
+            for base in f.__bases__:
+                if (getattr(base, "__module__", "") or "").split(".")[0] == root:
+                    visit(base)
             for v in vars(f).values():
                 if isinstance(v, (staticmethod, classmethod)):
                     v = v.__func__
+                elif isinstance(v, property):
+                    for acc in (v.fget, v.fset, v.fdel):
+                        if inspect.isfunction(acc):
+                            visit(acc)
+                    continue
+                elif isinstance(v, functools.cached_property):
+                    v = v.func
+                v = inspect.unwrap(v) if callable(v) else v
                 if inspect.isfunction(v):
                     visit(v)
             return
