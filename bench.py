@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "bpe_apply_compression",
     "psi_value_drift",
     "train_eval_split",
+    # round-13: CCNet-style LM quality gate
+    "lm_surprisal_filter",
 ]
 
 

@@ -1418,8 +1418,182 @@ ORDER BY term_count DESC, term
 """
 
 
+# --- CCNet-style LM quality gate -----------------------------------------------
+
+
+def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality gate, the CCNet recipe (Wenzek et al., LREC
+    2020: score every document with a language model and keep the
+    low-perplexity side) with the LM trained on the corpus itself: an
+    add-one-smoothed BIGRAM model, P(w2|w1) = (c12+1)/(c1+V).  The
+    heuristic tier (``quality_classifier_filter``) scores surface
+    features; this is the missing model-based tier of the quality
+    family.
+
+    Exactness: real log-probabilities can never hash-match across
+    engines (libm), so the score is an integer SURPRISAL surrogate:
+    per bigram, bits = floor(log2((c1+V) div (c12+1))) computed as
+    length(bin(q))-1 -- pure integer division + binary length, bit-
+    identical on Spark and DuckDB (verified: both engines' ``bin``
+    agree).  A document's mean bits-per-bigram is a double obtained by
+    ONE IEEE division of two BIGINTs, and the keep rule compares it to
+    the corpus mean (same construction), so every comparison is
+    deterministic.  Docs with < 2 tokens have no bigrams: counted
+    (n_docs) but never scored or kept.
+
+    Scale shape (100 TB): token and bigram counts are map-side-
+    combinable groupBys; scoring joins the bigram stream against the
+    count tables with plain hash equi-joins on the bigram/context key
+    (both sides corpus-derived -- nothing corpus-sized is ever
+    broadcast); V and the corpus-mean gate are 1-row broadcast
+    scalars.  No window, no self-join, no driver loop."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("__tk"),
+    )
+    bg = (
+        docs.filter(F.size("__tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__tk) - 2),"
+                    " i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))"
+                )
+            ).alias("__b"),
+        )
+        .select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = docs.select(F.explode("__tk").alias("__t")).agg(
+        F.countDistinct("__t").cast("long").alias("v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__bits",
+            (F.length(F.expr("bin((c1 + v) div (c12 + 1))")) - 1).cast("long"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__bits").cast("long").alias("total_bits"),
+        )
+    )
+    gate = scored.agg(
+        (F.sum("total_bits") / F.sum("n_bigrams")).alias("__mean")
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "total_bits",
+            F.col("n_bigrams").isNotNull().alias("__scored"),
+            (
+                F.col("n_bigrams").isNotNull()
+                & ((F.col("total_bits") / F.col("n_bigrams")) <= F.col("__mean"))
+            ).alias("__kept"),
+        )
+    )
+    kept_ids = F.array_sort(
+        F.collect_list(F.when(F.col("__kept"), F.col("doc_id")))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("__scored"), 1)).cast("long").alias("n_scored"),
+            F.count(F.when(F.col("__kept"), 1)).cast("long").alias("n_kept"),
+            F.coalesce(F.sum("total_bits"), F.lit(0)).cast("long").alias("sum_bits"),
+            F.coalesce(F.sum("n_bigrams"), F.lit(0)).cast("long").alias("sum_bigrams"),
+            F.when(
+                F.coalesce(F.sum("n_bigrams"), F.lit(0)) > 0,
+                F.round(F.sum("total_bits") / F.sum("n_bigrams"), 4),
+            ).alias("mean_bits"),
+            F.md5(
+                F.concat_ws(",", F.transform(kept_ids, lambda x: x.cast("string")))
+            ).alias("kept_ids_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LM_SURPRISAL = """
+WITH ftk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+bgpos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+  FROM ftk WHERE len(tk) >= 2
+),
+bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM bgpos),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1  AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM (SELECT unnest(tk) AS t FROM ftk)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(length(bin((c1.c1 + vocab.v) // (c12.c12 + 1))) - 1)
+              AS BIGINT) AS total_bits
+  FROM bg b
+  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1, vocab
+  GROUP BY b.doc_id
+),
+gate AS (
+  SELECT CAST(sum(total_bits) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE)
+           AS mean_bits
+  FROM scored
+),
+flagged AS (
+  SELECT f.doc_id, f.source, s.n_bigrams, s.total_bits,
+         s.doc_id IS NOT NULL AS scored,
+         (s.doc_id IS NOT NULL)
+           AND (CAST(s.total_bits AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+                <= g.mean_bits) AS kept
+  FROM ftk f LEFT JOIN scored s ON s.doc_id = f.doc_id, gate g
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN scored THEN 1 END) AS BIGINT) AS n_scored,
+       CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(total_bits), 0) AS BIGINT) AS sum_bits,
+       CAST(coalesce(sum(n_bigrams), 0) AS BIGINT) AS sum_bigrams,
+       CASE WHEN coalesce(sum(n_bigrams), 0) > 0
+            THEN round(CAST(sum(total_bits) AS DOUBLE)
+                       / CAST(sum(n_bigrams) AS DOUBLE), 4)
+       END AS mean_bits,
+       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                    FILTER (WHERE kept), '')) AS kept_ids_hash
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(
+            "lm_surprisal_filter",
+            q_lm_surprisal_filter,
+            ORACLE_LM_SURPRISAL,
+            "CCNet-style LM quality gate: corpus-trained add-one bigram "
+            "model, integer bit-surprisal score, keep-below-corpus-mean",
+        ),
         QuerySpec(
             "exact_ngram_decontaminate",
             q_exact_ngram_decontaminate,

@@ -4706,3 +4706,83 @@ def test_incremental_dedup_matches_python_mirror(spark, docs_spec):
     finally:
         corpus.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=10).map(" ".join),
+                          st.sampled_from(["A", "B"])),
+                min_size=1, max_size=12))
+def test_lm_surprisal_filter_matches_python_mirror(spark, docs_spec):
+    """Property: the CCNet-style LM gate equals a pure-Python replay of
+    the spec on random corpora -- add-one bigram counts, the corpus
+    vocabulary V over ALL docs (including unscored short ones), the
+    integer bit-surprisal floor(log2((c1+V) div (c12+1))) via
+    bit_length, the one-IEEE-division doc mean vs corpus mean keep
+    rule, and the per-source accounting incl. the kept-ids md5.  The
+    3-symbol alphabet makes bigram-count collisions and mean-boundary
+    ties dense."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_lm_surprisal_filter,
+    )
+
+    toks = {i: [t for t in text.split(" ") if t] for i, (text, _s) in enumerate(docs_spec)}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    per_doc = {}
+    for i, tk in toks.items():
+        bgs = list(zip(tk, tk[1:]))
+        if bgs:
+            per_doc[i] = bgs
+            c12.update(bgs)
+            c1.update(w1 for w1, _ in bgs)
+    vocab = len({t for tk in toks.values() for t in tk})
+    scored = {}
+    for i, bgs in per_doc.items():
+        total = sum(
+            (((c1[w1] + vocab) // (c12[(w1, w2)] + 1)).bit_length() - 1)
+            for w1, w2 in bgs
+        )
+        scored[i] = (len(bgs), total)
+    mean = (sum(t for _n, t in scored.values())
+            / sum(n for n, _t in scored.values())) if scored else None
+    by_src: dict = defaultdict(lambda: [0, 0, 0, 0, 0, []])
+    for i, (text, src) in enumerate(docs_spec):
+        e = by_src[src]
+        e[0] += 1
+        if i in scored:
+            n, t = scored[i]
+            e[1] += 1
+            e[3] += t
+            e[4] += n
+            if t / n <= mean:
+                e[2] += 1
+                e[5].append(i)
+    expected = {}
+    for src, (nd, ns, nk, sb, sg, kept) in by_src.items():
+        expected[src] = (
+            nd, ns, nk, sb, sg,
+            round_half_up(sb / sg, 4) if sg > 0 else None,
+            hashlib.md5(",".join(str(i) for i in sorted(kept)).encode()).hexdigest(),
+        )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t, lang="en", n_chars=len(t))
+         for i, (t, s) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            r.source: (r.n_docs, r.n_scored, r.n_kept, r.sum_bits,
+                       r.sum_bigrams, r.mean_bits, r.kept_ids_hash)
+            for r in q_lm_surprisal_filter(spark, "u").collect()
+        }
+    finally:
+        curation.load_tables = orig
+    assert got == expected
