@@ -220,8 +220,9 @@ BENCH_QUERIES = [
     "bpe_apply_compression",
     "psi_value_drift",
     "train_eval_split",
-    # round-13: CCNet-style LM quality gate
+    # round-13: CCNet-style LM quality gate + DSIR selection
     "lm_surprisal_filter",
+    "dsir_importance_select",
 ]
 
 

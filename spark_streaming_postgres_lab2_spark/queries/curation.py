@@ -1585,8 +1585,148 @@ ORDER BY source
 """
 
 
+# --- DSIR importance selection ---------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 50
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling -- the DSIR recipe
+    (Xie et al., NeurIPS 2023: weight every raw document by the
+    likelihood ratio of a TARGET domain vs the raw corpus under
+    hashed-n-gram feature distributions, then sample by weight).  The
+    target here is the ``lang = 'en'`` subcorpus (the "select
+    web data that looks like Wikipedia" framing); the emitted result
+    is the top-k docs by importance weight -- the deterministic
+    ranking core of the method (the paper's Gumbel perturbation is a
+    sampling detail on top of exactly this weight).
+
+    Exactness: features are hashed BIGRAM buckets (md5-prefix int mod
+    256, the package's portable hash recipe), and the per-bucket log
+    ratio ln(p_target/p_raw) is replaced by the integer surrogate
+    floor(log2(c_t+1)) - floor(log2(c_r+1)) via length(bin(x))-1 --
+    the same bit-surprisal trick as lm_surprisal_filter, so weights
+    are BIGINTs under the driver hash and the top-k cut
+    (weight DESC, doc_id ASC) is fully discrete.
+
+    Scale shape (100 TB): the feature space is CONSTANT (256 buckets),
+    so both distributions are one map-side-combinable agg each, the
+    weight table is 256 rows and BROADCASTS, scoring is one broadcast
+    join over the bigram stream plus a per-doc partial agg, and the
+    top-k is TakeOrdered (no global sort shuffle).  Nothing
+    corpus-sized is ever joined against itself or broadcast."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("__tk"),
+    )
+    bg = (
+        docs.filter(F.size("__tk") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__tk) - 2),"
+                    " i -> concat(__tk[i], ' ', __tk[i + 1]))"
+                )
+            ).alias("__bgram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("__bgram"), 1, 15), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("__bucket"),
+        )
+    )
+    raw = bg.groupBy("__bucket").agg(F.count(F.lit(1)).cast("long").alias("__c_r"))
+    tgt = (
+        bg.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("__bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c_t"))
+    )
+    weights = (
+        raw.join(tgt, "__bucket", "left")
+        .select(
+            "__bucket",
+            (
+                (F.length(F.expr("bin(coalesce(__c_t, 0L) + 1L)")) - 1)
+                - (F.length(F.expr("bin(__c_r + 1L)")) - 1)
+            ).cast("long").alias("__w"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(weights), "__bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("__w").cast("long").alias("weight"),
+        )
+    )
+    return (
+        scored.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select("doc_id", "source", "lang", "n_bigrams", "weight")
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+ORACLE_DSIR = f"""
+WITH ftk AS (
+  SELECT doc_id, source, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+bgpos AS (
+  SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+  FROM ftk WHERE len(tk) >= 2
+),
+bg AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 15)) AS BIGINT)
+           % {_DSIR_BUCKETS} AS bucket
+  FROM bgpos
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM bg GROUP BY bucket),
+tgt AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+  FROM bg WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket
+),
+w AS (
+  SELECT r.bucket,
+         CAST((length(bin(coalesce(t.c_t, 0) + 1)) - 1)
+              - (length(bin(r.c_r + 1)) - 1) AS BIGINT) AS w
+  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(w.w) AS BIGINT) AS weight
+  FROM bg b JOIN w ON w.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT s.doc_id, f.source, f.lang, s.n_bigrams, s.weight
+FROM scored s JOIN ftk f ON f.doc_id = s.doc_id
+ORDER BY s.weight DESC, s.doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
+        QuerySpec(
+            "dsir_importance_select",
+            q_dsir_importance_select,
+            ORACLE_DSIR,
+            "DSIR importance selection: hashed-bigram target/raw "
+            "likelihood-ratio weights (integer bit surrogate), top-k",
+        ),
         QuerySpec(
             "lm_surprisal_filter",
             q_lm_surprisal_filter,

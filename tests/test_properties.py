@@ -4786,3 +4786,68 @@ def test_lm_surprisal_filter_matches_python_mirror(spark, docs_spec):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=10).map(" ".join),
+                          st.sampled_from(["en", "de"])),
+                min_size=1, max_size=12))
+def test_dsir_importance_select_matches_python_mirror(spark, docs_spec):
+    """Property: the DSIR selection equals a pure-Python replay on
+    random corpora -- md5-prefix bigram buckets mod 256, the raw and
+    target (lang='en') bucket counts, the integer bit log-ratio
+    surrogate, per-doc occurrence-weighted sums, and the discrete
+    (weight DESC, doc_id ASC) top-k cut.  The 3-symbol alphabet makes
+    bucket collisions and weight ties dense; corpora with NO target
+    docs exercise the all-zero c_t arm."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_LANG,
+        _DSIR_TOPK,
+        q_dsir_importance_select,
+    )
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
+        return int(h, 16) % _DSIR_BUCKETS
+
+    toks = {i: [t for t in text.split(" ") if t] for i, (text, _l) in enumerate(docs_spec)}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    doc_buckets = {}
+    for i, tk in toks.items():
+        bks = [bucket(a, b) for a, b in zip(tk, tk[1:])]
+        if not bks:
+            continue
+        doc_buckets[i] = bks
+        raw.update(bks)
+        if docs_spec[i][1] == _DSIR_TARGET_LANG:
+            tgt.update(bks)
+
+    def bits(x):
+        return x.bit_length() - 1
+
+    expected_rows = []
+    for i, bks in doc_buckets.items():
+        weight = sum(bits(tgt[b] + 1) - bits(raw[b] + 1) for b in bks)
+        expected_rows.append((i, "s", docs_spec[i][1], len(bks), weight))
+    expected_rows.sort(key=lambda r: (-r[4], r[0]))
+    expected = expected_rows[:_DSIR_TOPK]
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t, lang=l, n_chars=len(t))
+         for i, (t, l) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = [tuple(r) for r in q_dsir_importance_select(spark, "u").collect()]
+    finally:
+        curation.load_tables = orig
+    assert got == expected
