@@ -4851,3 +4851,184 @@ def test_dsir_importance_select_matches_python_mirror(spark, docs_spec):
     finally:
         curation.load_tables = orig
     assert got == expected
+
+
+# --- round 13 mirror batch 2: session windows / window frames / percentile -----
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.tuples(st.integers(min_value=1, max_value=3),      # user
+                  st.integers(min_value=0, max_value=12)),    # ts = k * 300 s
+        st.integers(min_value=-10, max_value=10),             # value * 0.5
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_user_session_window_matches_python_mirror(spark, occupancy):
+    """Property: the session_window(10 min) operator equals a
+    gaps-and-islands Python replay on random sparse streams whose
+    300-second grid makes EXACT-gap boundaries (ts step == 600 s)
+    dense: an exactly-gap-sized step still MERGES (session_window
+    extends the session while next.start <= last + gap; only a
+    STRICTLY greater step opens a new one -- the boundary this mirror
+    caught the oracle mis-stating as >=), same-timestamp events share
+    one session, and end = last + gap.  This is the slot-50 canary's
+    arithmetic under randomization instead of the fixture."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_user_session_window,
+    )
+
+    base_us = 1_704_067_200_000_000
+    gap_us = 600 * 1_000_000
+    by_user: dict = {}
+    for (uid, k), half in occupancy.items():
+        by_user.setdefault(uid, []).append((base_us + k * 300_000_000, half * 0.5))
+    expected = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess: list = []
+        for us, val in evs:
+            if not sess or us - sess[-1][-1][0] > gap_us:
+                sess.append([(us, val)])
+            else:
+                sess[-1].append((us, val))
+        for s in sess:
+            expected.add((
+                uid,
+                s[0][0],
+                s[-1][0] + gap_us,
+                len(s),
+                round_half_up(sum(v for _u, v in s), 2),
+            ))
+
+    rows = []
+    i = 0
+    for (uid, k), half in occupancy.items():
+        us = base_us + k * 300_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(event_id=i, ts=ts, user_id=uid, event_type="view",
+                        value=half * 0.5, props="{}"))
+        i += 1
+    df = spark.createDataFrame(rows)
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_user_session_window(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),    # custkey
+                  st.integers(min_value=0, max_value=3),    # orderdate day
+                  st.integers(min_value=0, max_value=10_000)),  # cents
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_order_first_last_nth_matches_python_mirror(spark, orders_spec):
+    """Property: the first/last/nth_value unbounded-frame suite equals
+    a Python replay -- (o_orderdate, o_orderkey) ordering with dense
+    date ties (4 distinct dates), nth_value(2) NULL on single-order
+    customers, one row per customer."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_order_first_last_nth,
+    )
+
+    base = date(2024, 1, 1)
+    per_cust: dict = {}
+    for key, (cust, day, cents) in enumerate(orders_spec):
+        per_cust.setdefault(cust, []).append((day, key, cents / 100.0))
+    expected = {}
+    for cust, rows_ in per_cust.items():
+        rows_.sort()
+        prices = [p for _d, _k, p in rows_]
+        expected[cust] = (
+            prices[0],
+            prices[-1],
+            prices[1] if len(prices) > 1 else None,
+            len(prices),
+        )
+
+    df = spark.createDataFrame([
+        Row(o_orderkey=key, o_custkey=cust, o_orderdate=base + timedelta(days=day),
+            o_totalprice=cents / 100.0, o_orderstatus="O", o_orderpriority="1-URGENT",
+            o_clerk="c", o_shippriority=0, o_comment="x")
+        for key, (cust, day, cents) in enumerate(orders_spec)
+    ])
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"orders": df}
+        got = {
+            r.o_custkey: (r.first_price, r.last_price, r.second_price, r.n_orders)
+            for r in q_order_first_last_nth(spark, "u").collect()
+        }
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=8).map(" ".join),
+                          st.sampled_from(["A", "B"])),
+                min_size=1, max_size=16))
+def test_quality_percentile_filter_matches_python_mirror(spark, docs_spec):
+    """Property: the corpus-relative 25th-percentile gate equals a
+    Python replay of the .5-interpolated percentile (h = 0.25*(n-1),
+    linear between the two bracketing order statistics) over the
+    unique-token counts -- INCLUDING the unfiltered-split rule (an
+    empty text has one '' token, uniq = 1) and the >= cut boundary,
+    which the 3-symbol alphabet's dense integer ties hit constantly."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_quality_percentile_filter,
+    )
+
+    uniq = [len(set(t.split(" "))) for t, _s in docs_spec]
+    v = sorted(uniq)
+    h = 0.25 * (len(v) - 1)
+    lo = math.floor(h)
+    cut = v[lo] + (h - lo) * (v[min(lo + 1, len(v) - 1)] - v[lo])
+    expected: dict = defaultdict(lambda: [0, 0, 0])
+    for (t, src), u in zip(docs_spec, uniq):
+        e = expected[src]
+        e[0] += 1
+        if u >= cut:
+            e[1] += 1
+        else:
+            e[2] += 1
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t, lang="en", n_chars=len(t))
+         for i, (t, s) in enumerate(docs_spec)]
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {
+            r.source: (r.n_docs, r.kept_docs, r.dropped_docs)
+            for r in q_quality_percentile_filter(spark, "u").collect()
+        }
+    finally:
+        corpus.load_tables = orig
+    assert got == {k: tuple(vv) for k, vv in expected.items()}
