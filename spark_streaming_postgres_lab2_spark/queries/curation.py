@@ -46,6 +46,15 @@ def _clean_tokens(col):
     return F.filter(F.split(col, " "), lambda t: t != "")
 
 
+def _md5_bucket(col, mod: int):
+    """The package's portable hash recipe (md5-prefix-15-hex int mod
+    m) as a Column.  quality_classifier_filter still inlines an
+    identical copy: fold it in here at that query's next
+    driver-window rotation -- refactoring it now would flip its
+    content stamp outside the window (r13 review, deferred)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
+
+
 # --- exact n-gram decontamination --------------------------------------------
 
 
@@ -1451,7 +1460,7 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select(
         "doc_id",
         "source",
-        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("__tk"),
+        _clean_tokens(F.col("text")).alias("__tk"),
     )
     bg = (
         docs.filter(F.size("__tk") >= 2)
@@ -1471,14 +1480,23 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = docs.select(F.explode("__tk").alias("__t")).agg(
         F.countDistinct("__t").cast("long").alias("v")
     )
-    scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+    # per-DISTINCT-bigram surprisal table, built from the two count
+    # tables alone (bounded by the distinct-bigram count, never corpus
+    # size) so the corpus-sized bigram stream shuffles through ONE
+    # join instead of two (r13 review)
+    bits = (
+        c12.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "__bits",
-            (F.length(F.expr("bin((c1 + v) div (c12 + 1))")) - 1).cast("long"),
+        .select(
+            "w1",
+            "w2",
+            (F.length(F.expr("bin((c1 + v) div (c12 + 1))")) - 1)
+            .cast("long")
+            .alias("__bits"),
         )
+    )
+    scored = (
+        bg.join(bits, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -1622,7 +1640,7 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "lang",
-        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("__tk"),
+        _clean_tokens(F.col("text")).alias("__tk"),
     )
     bg = (
         docs.filter(F.size("__tk") >= 2)
@@ -1639,10 +1657,7 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            (
-                F.conv(F.substring(F.md5("__bgram"), 1, 15), 16, 10).cast("long")
-                % _DSIR_BUCKETS
-            ).alias("__bucket"),
+            _md5_bucket(F.col("__bgram"), _DSIR_BUCKETS).alias("__bucket"),
         )
     )
     raw = bg.groupBy("__bucket").agg(F.count(F.lit(1)).cast("long").alias("__c_r"))

@@ -4799,7 +4799,10 @@ def test_dsir_importance_select_matches_python_mirror(spark, docs_spec):
     surrogate, per-doc occurrence-weighted sums, and the discrete
     (weight DESC, doc_id ASC) top-k cut.  The 3-symbol alphabet makes
     bucket collisions and weight ties dense; corpora with NO target
-    docs exercise the all-zero c_t arm."""
+    docs exercise the all-zero c_t arm.  The generated corpus is
+    REPLICATED to > _DSIR_TOPK docs so the limit-50 cut and its
+    doc_id-ASC tiebreak bind on every example (identical replicas tie
+    exactly -- r13 review: at <= 12 docs the cut never truncated)."""
     import hashlib
     from collections import Counter
 
@@ -4816,6 +4819,10 @@ def test_dsir_importance_select_matches_python_mirror(spark, docs_spec):
     def bucket(w1, w2):
         h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
         return int(h, 16) % _DSIR_BUCKETS
+
+    # replicate past the top-k so the cut truncates on every example
+    reps = _DSIR_TOPK // len(docs_spec) + 2
+    docs_spec = [d for _ in range(reps) for d in docs_spec]
 
     toks = {i: [t for t in text.split(" ") if t] for i, (text, _l) in enumerate(docs_spec)}
     raw: Counter = Counter()
