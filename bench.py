@@ -374,7 +374,11 @@ def main() -> None:
         # sources/tables.py:144), not block-manager state.
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
         while it.hasNext():
-            it.next()._2().unpersist(False)
+            # blocking=True: non-blocking removal is asynchronous, so
+            # eviction/GC work would overlap the NEXT timed run -- the
+            # exact cross-query residue this helper exists to remove
+            # (r13 advice)
+            it.next()._2().unpersist(True)
 
     samples: dict[str, list[float]] = {name: [] for name in bench_list}
     pass_host_load: list[dict] = []

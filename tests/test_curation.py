@@ -603,3 +603,29 @@ def test_bpe_apply_reserved_codepoint_words_are_excluded(spark):
     con.register("documents", pdf)
     drow = con.sql(ORACLE_BPE_APPLY).fetchall()[0]
     assert drow == ("s", 3, 12, 6, 0.5)
+
+
+def test_md5_bucket_matches_quality_classifier_inline_copy(spark):
+    """r13 advice: ``_md5_bucket`` is the package's portable-hash
+    recipe, but ``q_quality_classifier_filter`` still inlines an
+    identical expression (folding it would flip that query's content
+    stamp outside a driver window -- deferred to its next rotation).
+    Until the fold, this pins the two expressions to each other on
+    hostile inputs so they cannot silently drift."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _QC_MOD,
+        _md5_bucket,
+    )
+
+    vals = ["", "a", "tok", "\\N", "ümlaut", "x" * 64, "0", "deadbeef",
+            '{"j": 1}', "-1"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    inline = (
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _QC_MOD
+    )
+    rows = df.select(
+        _md5_bucket(F.col("s"), _QC_MOD).alias("a"), inline.alias("b")
+    ).collect()
+    assert all(r.a == r.b for r in rows), rows

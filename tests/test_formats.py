@@ -64,3 +64,26 @@ def test_query_results_are_format_independent(spark, tmp_path, fmt):
     finally:
         core.load_tables = orig_load
     assert got == expected
+
+
+def test_csv_hostile_string_values_survive_round_trip(spark, tmp_path):
+    """r13 advice: the old CSV dialect used the MySQL-dump sentinel
+    ``\\N`` for NULL, so a field whose DATA is that literal string was
+    written unquoted and read back as NULL -- silent corruption on
+    arbitrary production corpora.  The dialect now distinguishes NULL
+    (zero-width unquoted field) from empty string (quoted \"\") and
+    every printable string value -- including a literal backslash-N
+    and whitespace-significant strings -- survives byte-identically."""
+    rows = [
+        (1, "\\N"),             # the old sentinel as DATA
+        (2, None),              # genuine NULL
+        (3, ""),                # empty string (must NOT become NULL)
+        (4, ' json {"a": 1}, "b" '),  # quotes, commas, edge whitespace
+        (5, "__SPARK_GRAFT_NULL__"),  # any plausible textual sentinel
+        (6, "\\\\N"),           # escaped-sentinel lookalike
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    path = str(tmp_path / "hostile.csv")
+    write_table(df, path, "csv")
+    back = read_table(spark, path, "csv", df.schema)
+    assert sorted((r.id, r.s) for r in back.collect()) == sorted(rows)

@@ -60,7 +60,9 @@ def main() -> None:
         rdds = jsc.getPersistentRDDs()
         it = rdds.iterator()
         while it.hasNext():
-            it.next()._2().unpersist(False)
+            # blocking removal so async eviction never overlaps the
+            # next measurement (r13 advice)
+            it.next()._2().unpersist(True)
 
     for name in only:
         times = []
