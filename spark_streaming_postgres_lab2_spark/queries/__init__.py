@@ -41,79 +41,79 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 13, tier 0 (20, slots 1-20): the last pre-stamp-era cohort
-    # (VERDICT r12 item 1) -- the r9 holdouts whose driver-green rows
-    # carry no src_stamp.  After this window greens, EVERY oracle's
-    # last driver row is stamped-era, and the pre-stamp exemption
-    # branches in both guard tiers (tools/parity_check.py
-    # stamp_guard_violations `old is None`, blame_guard pre-stamp path)
-    # can become hard assertions next round.
-    "approx_distinct_audit",
-    "approx_quantiles_audit",
-    "doc_regex_extract",
-    "dominant_suppliers",
-    "embedding_norms",
-    "idle_customers",
-    "parts_never_shipped",
-    "part_string_funcs",
-    "priority_linestatus",
-    "props_json",
-    "psi_value_drift",
-    "salted_distinct_users",
-    "schema_migration",
-    "sessionization",
-    "stratified_sample_audit",
-    "supplier_count_by_part",
-    "trending_topk",
-    "url_domain_filter",
-    "user_set_ops",
-    "zscore_anomaly_hours",
-    # round 13, tier 1 (29, slots 21-49): stamped oracles ranked by
-    # MEASURED cross-module blame-span width (sum of span lines in
-    # files other than the fn's own module, via
-    # tools/parity_check.fn_blame_spans at the r13 head) -- the code
-    # most able to change under a certification without flipping the
-    # same-module content stamp (VERDICT r12 item 3).  The named
-    # high-risk families all rank here by measurement: decontaminate
-    # (196 cross-module lines), incremental_dedup (196), the substring
-    # family (55 each), the IVF audits (151-182).  The PQ pair
-    # (ann_ivfpq_adc_audit, embedding_pq_audit) is deliberately NOT
-    # re-windowed: measured cross-module width ~0 -- every helper is
-    # same-module in queries/ext.py, which query_stamp already covers
-    # exhaustively, and both are stamped green r12.
-    "semantic_dedup",
-    "near_dup_clusters",
-    "canonical_docs",
-    "embedding_lsh_near_dup_portable",
-    "incremental_dedup",
-    "decontaminate",
-    "ann_recall_audit",
-    "minhash_near_dup",
-    "ann_ivf_lossless_audit",
-    "video_frame_stats",
-    "png_decode",
-    "multimodal_resize_real",
-    "simhash_near_dup",
-    "multimodal_decode",
-    "audio_frame_energy",
-    "audio_decode",
-    "triangle_counts",
-    "pagerank_links",
-    "table_counts_union",
-    "quality_hourly",
-    "multimodal_features",
-    "ngram_jaccard_pairs",
-    "asof_quotes",
-    "fact_join_bucketed",
-    "substring_dedup_cut_fast",
-    "substring_dedup_cut",
-    "source_overlap_matrix",
-    "exact_ngram_decontaminate",
-    "duplicate_ngrams",
+    # round 14, tier 0 (slots 1-3): the only oracles with NO driver
+    # CORRECTNESS row ever.  Slots 1-2 are the two r13-born operators
+    # (VERDICT r13 item 1: lm_surprisal_filter, dsir_importance_select
+    # -- locally oracle-green at three scales, never windowed because
+    # the r13 window was pinned by the r12 order); slot 3 is the new
+    # CSV-round-trip twin of the flagship hourly rollup (VERDICT r13
+    # item 6: the non-parquet formats path gets driver-grade evidence).
+    "lm_surprisal_filter",
+    "dsir_importance_select",
+    "hourly_event_summary_csv",
+    # round 14, tier 1 (46, slots 4-49): the COMPLETE r10-last-green
+    # cohort -- the stalest driver evidence in the inventory (4 rounds
+    # old) and, because PARITY src_stamps begin at r11, the last
+    # oracles whose certified round carries no content stamp.  Greening
+    # all 46 here advances the minimum last-green round to r11 and
+    # makes "every certified round is stamped" an invariant the guards
+    # hard-assert (VERDICT r13 items 2+4).  Ranked by MEASURED
+    # cross-module blame-span width (sum of span lines in files other
+    # than the fn's own module, via tools/parity_check.fn_blame_spans
+    # at the r14 head): dlq_breakdown 60, embedding_quantize 54,
+    # enriched_events/validation_summary 37, purchase_attribution 29,
+    # dedup_exact 5, doc_array_ops/top_supplier/winsorized_value_stats
+    # 4, remainder 0 (alphabetical).
+    "dlq_breakdown",
+    "embedding_quantize",
+    "enriched_events",
+    "validation_summary",
+    "purchase_attribution",
+    "dedup_exact",
+    "doc_array_ops",
+    "top_supplier",
+    "winsorized_value_stats",
+    "ab_test_conversion",
+    "benford_digit_audit",
+    "big_orders",
+    "category_performance",
+    "cohort_retention",
+    "compaction_plan",
+    "cube_events",
+    "doc_chunks",
+    "doc_clean",
+    "event_distribution",
+    "event_pivot",
+    "event_transitions",
+    "event_unpivot",
+    "forecast_baseline",
+    "funnel_conversion",
+    "fuzzy_record_linkage",
+    "gdpr_erasure_audit",
+    "grouping_sets_events",
+    "hourly_event_summary",
+    "important_parts",
+    "iqr_outlier_summary",
+    "late_arrivals",
+    "market_basket",
+    "market_share",
+    "min_cost_supplier",
+    "ols_trend",
+    "order_date_math",
+    "rollup_revenue",
+    "scd2_priority_dim",
+    "sequence_packing",
+    "skew_key_report",
+    "sole_failed_supplier",
+    "table_profile_events",
+    "training_mix_sample",
+    "trending_scores",
+    "user_map_funcs",
+    "user_set_ops_all",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift; nine
-    # rounds green and counting (VERDICT r6 item 8 / r12 item 3: keep
-    # it pinned).
+    # the cheapest canary for another fixture timestamp drift, and the
+    # first re-certification of the r13 exact-gap-boundary oracle fix
+    # (VERDICT r6 item 8 / r12 item 3: keep it pinned).
     "user_session_window",
 ]
 

@@ -282,8 +282,20 @@ def test_stamp_guard_goes_red_on_edit_until_reprioritized(tmp_path):
     assert stamp_guard_violations(
         {"demo": s2}, {"demo"}, last_green, stamps_at_green
     ) == []
-    # pre-stamp-era evidence (no stamp at the green round): exempt
-    assert stamp_guard_violations({"demo": s2}, set(), last_green, {}) == []
+    # pre-stamp-era evidence (no stamp at the green round) is now
+    # HARD-REJECTED unless the query is windowed (VERDICT r13 item 2:
+    # the rotation retired that era; an unstamped non-window green row
+    # can only mean guard bookkeeping regressed)
+    import pytest
+
+    with pytest.raises(AssertionError, match="no recorded src_stamp"):
+        stamp_guard_violations({"demo": s2}, set(), last_green, {})
+    # windowed: tolerated (stamp lands when the window re-certifies)
+    assert stamp_guard_violations({"demo": s2}, {"demo"}, last_green, {}) == []
+    # frozen-history replay escape hatch: old exemption semantics
+    assert stamp_guard_violations(
+        {"demo": s2}, set(), last_green, {}, allow_pre_stamp=True
+    ) == []
 
 
 def _blame_guard_inputs():
@@ -361,9 +373,17 @@ def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
     corr_add = correctness_added_commits(str(repo))
     assert set(corr_add) == {5, 6}
 
+    # an UNSTAMPED green round outside the window is hard-rejected by
+    # default (the pre-stamp era is retired; VERDICT r13 item 2) --
+    # historical-replay semantics below are explicit opt-in
+    import pytest
+
+    with pytest.raises(AssertionError, match="no recorded src_stamp"):
+        blame_guard_violations(fns, set(), {"demo": 5}, {}, corr_add, str(repo))
     # pre-stamp green at r5, edit postdates r5's artifact: RED
+    # (historical full-span-blame semantics, frozen-history replay)
     assert blame_guard_violations(
-        fns, set(), {"demo": 5}, {}, corr_add, str(repo)
+        fns, set(), {"demo": 5}, {}, corr_add, str(repo), allow_pre_stamp=True
     ) == ["demo"]
     # windowed: clears
     assert blame_guard_violations(
@@ -371,7 +391,7 @@ def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
     ) == []
     # last green r6 (certified after the edit): clean without windowing
     assert blame_guard_violations(
-        fns, set(), {"demo": 6}, {}, corr_add, str(repo)
+        fns, set(), {"demo": 6}, {}, corr_add, str(repo), allow_pre_stamp=True
     ) == []
     # a stamp recorded at the green round => same-module edits are the
     # stamp tier's job: blame stays silent on the own-file spans even
@@ -431,7 +451,8 @@ def test_blame_guard_mechanics_red_on_post_certification_edit(tmp_path):
     mod2 = importlib.util.module_from_spec(spec2)
     spec2.loader.exec_module(mod2)
     assert blame_guard_violations(
-        {"demo": mod2.q_demo}, set(), {"demo": 6}, {}, corr_add, str(repo)
+        {"demo": mod2.q_demo}, set(), {"demo": 6}, {}, corr_add, str(repo),
+        allow_pre_stamp=True,
     ) == ["demo"]
 
 
@@ -582,7 +603,8 @@ def test_blame_guard_flags_untracked_helper_file(tmp_path):
             del sys.modules[m]
     corr_add = correctness_added_commits(str(repo))
     assert blame_guard_violations(
-        {"un": mod.q_un}, set(), {"un": 3}, {}, corr_add, str(repo)
+        {"un": mod.q_un}, set(), {"un": 3}, {}, corr_add, str(repo),
+        allow_pre_stamp=True,
     ) == ["un"]
 
 
@@ -647,7 +669,8 @@ def test_blame_parser_immune_to_header_shaped_source_lines(tmp_path):
     spec.loader.exec_module(mod)
     corr_add = correctness_added_commits(str(repo))
     assert blame_guard_violations(
-        {"decoy": mod.q_decoy}, set(), {"decoy": 4}, {}, corr_add, str(repo)
+        {"decoy": mod.q_decoy}, set(), {"decoy": 4}, {}, corr_add, str(repo),
+        allow_pre_stamp=True,
     ) == []
 
 
@@ -686,6 +709,7 @@ def test_blame_guard_would_have_caught_the_r11_ivf_gap():
     flagged = blame_guard_violations(
         {n: qs[n] for n in ("ann_ivf_lossless_audit", "ann_recall_audit")},
         set(), last_green_r11, stamps_r11, corr_add, str(REPO),
+        allow_pre_stamp=True,  # frozen pre-r11 evidence: replay mode
     )
     assert flagged == ["ann_ivf_lossless_audit", "ann_recall_audit"]
 
@@ -813,3 +837,72 @@ def test_driver_and_local_parity_agree_on_hash_status():
         "driver and local parity disagree on hash status -- one harness "
         f"has a blind spot: {disagreements}"
     )
+
+
+def test_blame_spans_include_class_valued_attributes(tmp_path):
+    """r13 advice: the class-body walk visited methods (isfunction)
+    but not CLASS-valued attributes, so a cross-module class bound as
+    e.g. ``policy = Policy`` on another class contributed no span --
+    the last isfunction-only gate in the walk.  Package classes
+    reachable as class attributes now contribute their own body
+    span (and their methods' closures)."""
+    import importlib
+
+    from parity_check import fn_blame_spans
+
+    repo = tmp_path / "attrrepo"
+    pkg = repo / "attrpkg"
+    pkg.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "policy.py").write_text(
+        "def pick(v):\n"
+        "    return v\n"
+        "class Policy:\n"
+        "    def choose(self, v):\n"
+        "        return pick(v)\n"
+    )
+    (pkg / "gadget.py").write_text(
+        "from attrpkg.policy import Policy\n"
+        "class Gadget:\n"
+        "    policy = Policy\n"
+        "    def run(self, v):\n"
+        "        return self.policy().choose(v)\n"
+    )
+    (pkg / "caller.py").write_text(
+        "from attrpkg.gadget import Gadget\n"
+        "def q_attr(spark, sf_dir):\n"
+        "    return Gadget().run(1)\n"
+    )
+    sys.path.insert(0, str(repo))
+    try:
+        caller = importlib.import_module("attrpkg.caller")
+        files = {path for path, _, _ in fn_blame_spans(caller.q_attr)}
+        assert any(p.endswith("gadget.py") for p in files), files
+        # the class-valued attribute's own module must be spanned too
+        assert any(p.endswith("policy.py") for p in files), files
+    finally:
+        sys.path.remove(str(repo))
+        for m in [m for m in sys.modules if m.split(".")[0] == "attrpkg"]:
+            del sys.modules[m]
+
+
+def test_blame_exemption_matches_exact_repo_relative_path():
+    """r13 advice: the exemption matched by path SUFFIX, so ANY file
+    named session.py (or sources/tables.py) anywhere -- including a
+    future queries/session.py -- silently inherited the inventory-wide
+    shared-infrastructure exemption.  Now only the two exact
+    repo-relative paths are exempt."""
+    from parity_check import _is_blame_exempt
+
+    assert _is_blame_exempt(
+        str(REPO / "spark_streaming_postgres_lab2_spark" / "session.py")
+    )
+    assert _is_blame_exempt(
+        str(REPO / "spark_streaming_postgres_lab2_spark" / "sources" / "tables.py")
+    )
+    # same basename, different directory: NOT exempt
+    assert not _is_blame_exempt(
+        str(REPO / "spark_streaming_postgres_lab2_spark" / "queries" / "session.py")
+    )
+    assert not _is_blame_exempt(str(REPO / "session.py"))
+    assert not _is_blame_exempt("/somewhere/else/session.py")

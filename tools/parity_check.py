@@ -219,6 +219,7 @@ def stamp_guard_violations(
     driver_window: set,
     last_green_round: dict,
     stamps_by_round: dict,
+    allow_pre_stamp: bool = False,
 ) -> list:
     """The structural "changed code => next driver window" rule
     (VERDICT r10 item 2): names whose content stamp differs from the
@@ -226,8 +227,19 @@ def stamp_guard_violations(
     current driver window (the first 50 ``queries()`` entries).  Such
     a query's green CORRECTNESS row certifies superseded code -- the
     exact r10 state this rule exists to make a red suite instead of a
-    judge finding.  Rows from pre-stamp rounds (no ``src_stamp``) are
-    exempt; they age out as the rotation re-greens them."""
+    judge finding.
+
+    Pre-stamp evidence (a green round with no recorded ``src_stamp``)
+    is HARD-REJECTED unless the query sits in the current driver
+    window awaiting re-certification: the r13 rotation retired the
+    pre-stamp era, and the r14 window carries the final unstamped
+    cohort (the 46 r10-green oracles -- PARITY stamps begin at r11),
+    so from r14 on an unstamped non-window green row can only mean
+    guard bookkeeping regressed.  The old silent ``continue`` would
+    re-open the exact hole this rule closes (VERDICT r13 item 2).
+    ``allow_pre_stamp=True`` restores the historical exemption SOLELY
+    for frozen-history regression tests that replay pre-r11 evidence;
+    no live caller may pass it."""
     out = []
     for name, cur in current_stamps.items():
         rnd = last_green_round.get(name)
@@ -235,24 +247,42 @@ def stamp_guard_violations(
             continue  # never driver-green: covered by rotation policy
         old = (stamps_by_round.get(rnd) or {}).get(name)
         if old is None:
-            continue  # pre-stamp-era evidence
+            if not allow_pre_stamp:
+                assert name in driver_window, (
+                    f"{name}: last driver-green round r{rnd} has no "
+                    "recorded src_stamp and the query is not in the "
+                    "current driver window -- the retired pre-stamp "
+                    "exemption would have silently passed changed code"
+                )
+            continue  # stamp lands when the window re-certifies it
         if old != cur and name not in driver_window:
             out.append(name)
     return sorted(out)
 
 
-_BLAME_EXEMPT_SUFFIXES = (
-    os.sep + os.path.join("sources", "tables.py"),
-    os.sep + "session.py",
-)
+_PKG = "spark_streaming_postgres_lab2_spark"
+_BLAME_EXEMPT_REL_PATHS = frozenset((
+    os.path.join(_PKG, "sources", "tables.py"),
+    os.path.join(_PKG, "session.py"),
+))
 # Shared-infrastructure modules every query touches (load_tables, the
 # session builder): an edit there invalidates MOST of the inventory at
 # once, which a 50-slot driver window can never absorb -- the same
 # rationale that scopes query_stamp to same-module helpers.  Those
 # edits are covered by the full local parity sweep each round instead.
-# Each suffix starts with a path SEPARATOR so only the exact basename
-# matches (r12 advice: a future queries/user_session.py must not
-# silently inherit session.py's inventory-wide exemption).
+# Matched by EXACT repo-relative path, not endswith (r13 advice: a
+# suffix match exempted ANY file named session.py anywhere in the
+# tree, e.g. a future queries/session.py would silently inherit the
+# inventory-wide exemption).
+
+
+def _is_blame_exempt(path: str) -> bool:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        rel = os.path.relpath(os.path.abspath(path), repo)
+    except ValueError:  # different drive (windows) -- never exempt
+        return False
+    return rel in _BLAME_EXEMPT_REL_PATHS
 
 
 def fn_blame_spans(fn) -> list:
@@ -265,7 +295,7 @@ def fn_blame_spans(fn) -> list:
     functions/similarity.py while the affected IVF-audit query fns live
     in queries/ext.py -- a same-module-only span list would never see
     it.  Third-party modules (pyspark etc.) are out of scope, as are
-    the ``_BLAME_EXEMPT_SUFFIXES`` shared-infrastructure files.
+    the ``_BLAME_EXEMPT_REL_PATHS`` shared-infrastructure files.
 
     Helpers are resolved three ways, because module globals alone miss
     the repo's two other prevalent call styles (r12 review finding --
@@ -312,7 +342,7 @@ def fn_blame_spans(fn) -> list:
             path = inspect.getsourcefile(f)
         except (OSError, TypeError):
             return
-        if path and not path.endswith(_BLAME_EXEMPT_SUFFIXES):
+        if path and not _is_blame_exempt(path):
             spans.append((path, start, start + len(lines) - 1))
         if inspect.isclass(f):
             # class body IS the span; walk the methods for their own
@@ -338,7 +368,15 @@ def fn_blame_spans(fn) -> list:
                 elif isinstance(v, functools.cached_property):
                     v = v.func
                 v = inspect.unwrap(v) if callable(v) else v
-                if inspect.isfunction(v):
+                if inspect.isfunction(v) or (
+                    # a class-valued attribute (nested class, or a
+                    # cross-module class bound as e.g. ``policy =
+                    # Policy``) contributes its own body span too --
+                    # the last isfunction-only gate in the class walk
+                    # (r13 advice); root-gated like base classes
+                    inspect.isclass(v)
+                    and (getattr(v, "__module__", "") or "").split(".")[0] == root
+                ):
                     visit(v)
             return
         code = getattr(f, "__code__", None)
@@ -443,17 +481,22 @@ def blame_guard_violations(
     corr_added_commit: dict,
     repo: str,
     skipped: list | None = None,
+    allow_pre_stamp: bool = False,
 ) -> list:
-    """Second guard tier (VERDICT r11 item 2): closes the stamp
-    guard's pre-stamp-era exemption.  A query whose last driver-green
-    round has NO recorded content stamp escapes
-    ``stamp_guard_violations`` entirely; here git blame over its
-    function-closure line spans (``fn_blame_spans``) decides instead:
-    if any blamed line's commit is NOT an ancestor of the commit that
-    added that round's CORRECTNESS artifact -- i.e. the code was edited
-    after certification -- the query must sit in the current driver
-    window.  Uncommitted working-tree lines blame to the zero sha and
-    always count as post-certification.
+    """Second guard tier (VERDICT r11 item 2): git blame over a
+    query's function-closure line spans (``fn_blame_spans``) catches
+    what the content stamp is structurally blind to.  If any blamed
+    line's commit is NOT an ancestor of the commit that added the
+    query's green round's CORRECTNESS artifact -- i.e. the code was
+    edited after certification -- the query must sit in the current
+    driver window.  Uncommitted working-tree lines blame to the zero
+    sha and always count as post-certification.
+
+    A green round with NO recorded content stamp is HARD-REJECTED
+    (the pre-stamp era is retired -- see ``stamp_guard_violations``);
+    ``allow_pre_stamp=True`` restores the historical full-span-blame
+    handling SOLELY for frozen-history regression tests that replay
+    pre-r11 evidence.
 
     Queries whose green round HAS a stamp are still checked, but only
     on their CROSS-MODULE spans (files other than the fn's own source
@@ -464,7 +507,7 @@ def blame_guard_violations(
     Fanout is window-absorbable by measurement: the widest-shared
     non-exempt cross-module helper (queries.core.money_sum) reaches 12
     queries; shared infrastructure every query touches is exempt via
-    ``_BLAME_EXEMPT_SUFFIXES``."""
+    ``_BLAME_EXEMPT_REL_PATHS``."""
     import inspect
     import subprocess
 
@@ -537,8 +580,17 @@ def blame_guard_violations(
             if skipped is not None:
                 skipped.append((name, rnd))
             continue
+        stamped = (stamps_by_round.get(rnd) or {}).get(name) is not None
+        if not stamped and not allow_pre_stamp:
+            raise AssertionError(
+                f"{name}: last driver-green round r{rnd} has no recorded "
+                "src_stamp and the query is not in the current driver "
+                "window -- pre-stamp evidence is retired; a regression "
+                "in guard bookkeeping would otherwise silently re-open "
+                "the full-span exemption path"
+            )
         spans = fn_blame_spans(fn)
-        if (stamps_by_round.get(rnd) or {}).get(name) is not None:
+        if stamped:
             # stamped evidence: the stamp tier governs same-module
             # content; blame only the cross-module remainder
             try:
