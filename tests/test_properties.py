@@ -5039,3 +5039,390 @@ def test_quality_percentile_filter_matches_python_mirror(spark, docs_spec):
     finally:
         corpus.load_tables = orig
     assert got == {k: tuple(vv) for k, vv in expected.items()}
+
+
+# --- round-14 mirror batch: oracled-but-unmirrored discrete arithmetic ------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),     # custkey
+                  st.integers(min_value=0, max_value=5),     # day offset
+                  st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_scd2_priority_dim_matches_python_mirror(spark, orders_spec):
+    """Property: the SCD Type-2 build equals a gaps-and-islands Python
+    replay -- per-customer (orderdate, orderkey) ordering with DENSE
+    same-day ties (the orderkey tiebreak must bind), same-priority
+    islands collapsing into one version, valid_to = next island's
+    valid_from (NULL + is_current on the last).  A shared Spark/DuckDB
+    misreading of the change-flag or island accounting would pass the
+    oracle hash but fail this replay."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tpm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_scd2_priority_dim,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC midnight
+    by_cust: dict = {}
+    for ok, (ck, day, pri) in enumerate(orders_spec):
+        by_cust.setdefault(ck, []).append((base_us + day * 86_400_000_000, ok, pri))
+    expected = set()
+    for ck, evs in by_cust.items():
+        evs.sort()
+        islands: list = []  # [priority, valid_from, n_orders]
+        for us, _ok, pri in evs:
+            if not islands or islands[-1][0] != pri:
+                islands.append([pri, us, 1])
+            else:
+                islands[-1][2] += 1
+        for i, (pri, vf, n) in enumerate(islands):
+            vt = islands[i + 1][1] if i + 1 < len(islands) else None
+            expected.add((ck, i + 1, pri, vf, vt, n, 1 if vt is None else 0))
+
+    rows = [
+        Row(o_custkey=ck, o_orderkey=ok, o_orderpriority=pri,
+            o_orderdate=date(2024, 1, 1) + timedelta(days=day))
+        for ok, (ck, day, pri) in enumerate(orders_spec)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey int, o_orderkey int, o_orderpriority string, "
+              "o_orderdate date"
+    )
+    orig = tpm.load_tables
+    try:
+        tpm.load_tables = lambda _s, _d, _t: {"orders": df}
+        got = {tuple(r) for r in q_scd2_priority_dim(spark, "u").collect()}
+    finally:
+        tpm.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5),     # user
+                  st.integers(min_value=0, max_value=40)),   # 300s slot
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_session_overlap_pairs_matches_python_mirror(spark, occupancy):
+    """Property: the grain-bucketed interval range join equals an
+    all-pairs Python sweep -- 30-min-gap sessions on a 300 s grid (so
+    EXACT-gap steps are dense: 1800 s = 6 slots must MERGE, only a
+    strictly greater step splits), closed-interval overlap s1<=e2 AND
+    s2<=e1 including point-touch (overlap_us 0), one count per session
+    pair no matter how many grains it spans.  The grain itself is
+    auto-tuned from the data; output must be grain-invariant."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_session_overlap_pairs,
+    )
+
+    base_us = 1_704_067_200_000_000
+    gap_us = 1_800_000_000
+    by_user: dict = {}
+    for uid, k in occupancy:
+        by_user.setdefault(uid, []).append(base_us + k * 300_000_000)
+    iv: dict = {}
+    for uid, times in by_user.items():
+        times.sort()
+        sess: list = []
+        for us in times:
+            if not sess or us - sess[-1][1] > gap_us:
+                sess.append([us, us])
+            else:
+                sess[-1][1] = us
+        iv[uid] = sess
+    agg: dict = {}
+    users = sorted(iv)
+    for i, u1 in enumerate(users):
+        for u2 in users[i + 1:]:
+            for s1, e1 in iv[u1]:
+                for s2, e2 in iv[u2]:
+                    if s1 <= e2 and s2 <= e1:
+                        n, tot = agg.get((u1, u2), (0, 0))
+                        agg[(u1, u2)] = (n + 1, tot + min(e1, e2) - max(s1, s2))
+    expected = {(u1, u2, n, tot) for (u1, u2), (n, tot) in agg.items()}
+
+    rows = []
+    for i, (uid, k) in enumerate(occupancy):
+        us = base_us + k * 300_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(user_id=uid, ts=ts, event_id=i))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_id int")
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_session_overlap_pairs(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    # <= 10 user pairs possible: the LIMIT 100 never binds, so the
+    # full result set must equal the sweep exactly
+    assert got == expected
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (third implementation vs Spark and DuckDB)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=120),
+                  st.booleans(),                             # scale to a x20 key
+                  st.integers(min_value=0, max_value=2)),    # nationkey
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fuzzy_record_linkage_matches_python_mirror(spark, cust_spec):
+    """Property: the edit-distance linkage equals a Python replay --
+    deterministic one-char drop at position custkey%8+10, blocking on
+    (nationkey, custkey div 1000), levenshtein <= 2 candidates, best
+    match by (distance, custkey) struct-min, n_candidates and
+    match_correct accounting.  Keys straddle the 1000-block boundary
+    and share nations so cross-record candidates are dense."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _LINK_BLOCK,
+        _LINK_DROP_BASE,
+        _LINK_MAX_DIST,
+        _LINK_SAMPLE_MOD,
+        q_fuzzy_record_linkage,
+    )
+
+    clean: dict = {}
+    for v, scaled, nk in cust_spec:
+        key = v * _LINK_SAMPLE_MOD if scaled else v
+        clean.setdefault(key, (f"Customer#{key:09d}", nk))
+    expected = set()
+    for key, (name, nk) in clean.items():
+        if key % _LINK_SAMPLE_MOD != 0:
+            continue
+        pos = key % 8 + _LINK_DROP_BASE
+        dirty = name[: pos - 1] + name[pos:]
+        cands = [
+            (_lev(dirty, cname), ck)
+            for ck, (cname, cnk) in clean.items()
+            if cnk == nk and ck // _LINK_BLOCK == key // _LINK_BLOCK
+            and _lev(dirty, cname) <= _LINK_MAX_DIST
+        ]
+        best = min(cands)
+        expected.add((key, best[1], best[0], len(cands),
+                      1 if best[1] == key else 0))
+
+    rows = [Row(c_custkey=k, c_name=nm, c_nationkey=nk)
+            for k, (nm, nk) in clean.items()]
+    df = spark.createDataFrame(
+        rows, "c_custkey int, c_name string, c_nationkey int"
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"customer": df}
+        got = {tuple(r) for r in q_fuzzy_record_linkage(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=40),    # doc_id
+                  st.lists(st.sampled_from(["aa", "ab", "ba", "b"]),
+                           min_size=0, max_size=6)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_sorted_neighborhood_dedup_matches_python_mirror(spark, docs_spec):
+    """Property: two-pass sorted-neighborhood dedup equals a Python
+    replay -- per-pass window PARTITIONED by the key's first character
+    (boundary-missed neighbors are part of the spec, not a bug),
+    lead-1 and lead-2 successors on (key, doc_id) order, pair-set
+    union over the forward and reversed-text keys, exact 4/5 Jaccard
+    cross-multiply including the 0/0 empty-token pair (kept, jac
+    NULL).  The tiny vocabulary makes key ties and the Jaccard
+    boundary dense."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _SNM_DEN,
+        _SNM_KEY_LEN,
+        _SNM_NUM,
+        _SNM_WINDOW,
+        q_sorted_neighborhood_dedup,
+    )
+
+    docs = {doc_id: " ".join(toks) for doc_id, toks in docs_spec}
+    tok_sets = {d: set(t.split(" ")) - {""} for d, t in docs.items()}
+
+    def pass_pairs(keyed):
+        by_part: dict = {}
+        for doc_id, key in keyed:
+            by_part.setdefault(key[:1], []).append((key, doc_id))
+        out = set()
+        for part in by_part.values():
+            part.sort()
+            for i in range(len(part)):
+                for k in range(1, _SNM_WINDOW):
+                    if i + k < len(part):
+                        out.add((part[i][1], part[i + k][1]))
+        return out
+
+    fwd = pass_pairs([(d, t[:_SNM_KEY_LEN]) for d, t in docs.items()])
+    rev = pass_pairs([(d, t[::-1][:_SNM_KEY_LEN]) for d, t in docs.items()])
+    expected = set()
+    for a, b in {(min(p), max(p)) for p in fwd | rev}:
+        i = len(tok_sets[a] & tok_sets[b])
+        u = len(tok_sets[a] | tok_sets[b])
+        if _SNM_DEN * i >= _SNM_NUM * u:
+            jac = None if u == 0 else round_half_up(i / u, 4)
+            expected.add((a, b, jac))
+
+    rows = [Row(doc_id=d, text=t) for d, t in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {tuple(r) for r in q_sorted_neighborhood_dedup(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.booleans(),                              # is error
+                  st.integers(min_value=0, max_value=72),     # hour slot
+                  st.integers(min_value=0, max_value=3),      # 15-min quarter
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_hourly_gapfill_matches_python_mirror(spark, events_spec):
+    """Property: the gap-filled hourly error series equals a Python
+    replay -- spine from the first to the last ERROR hour inclusive,
+    empty hours as (0, 0.0), non-error events invisible, and the
+    no-errors degenerate producing ZERO rows (a NULL-bounds sequence
+    must not explode).  Values on a 0.25 grid keep double sums
+    exact."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_hourly_gapfill,
+    )
+
+    base_us = 1_704_067_200_000_000
+    errors: dict = {}
+    for is_err, h, q, v in events_spec:
+        if is_err:
+            n, tot = errors.get(h, (0, 0.0))
+            errors[h] = (n + 1, tot + v * 0.25)
+    expected = set()
+    if errors:
+        for h in range(min(errors), max(errors) + 1):
+            n, tot = errors.get(h, (0, 0.0))
+            expected.add((base_us + h * 3_600_000_000, n,
+                          round_half_up(tot, 2) if n else 0.0))
+
+    rows = []
+    for i, (is_err, h, q, v) in enumerate(events_spec):
+        us = base_us + h * 3_600_000_000 + q * 900_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(ts=ts, event_type="error" if is_err else "view",
+                        value=v * 0.25))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_hourly_gapfill(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=4),      # user
+                  st.integers(min_value=0, max_value=10),     # hour slot
+                  st.sampled_from(["view", "click"]),
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_latest_event_per_user_matches_python_mirror(spark, events_spec):
+    """Property: the struct-max arg-max equals a Python replay of the
+    window-rank spec -- the coarse hour grid makes same-timestamp ties
+    dense, so the event_id tiebreak inside the struct ordering must
+    bind exactly (max event_id wins at equal ts)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_latest_event_per_user,
+    )
+
+    base_us = 1_704_067_200_000_000
+    best: dict = {}
+    for eid, (uid, h, etype, v) in enumerate(events_spec):
+        us = base_us + h * 3_600_000_000
+        cand = (us, eid, etype, v * 0.25)
+        if uid not in best or cand[:2] > best[uid][:2]:
+            best[uid] = cand
+    expected = {
+        (uid, us, eid, etype, round_half_up(v, 2))
+        for uid, (us, eid, etype, v) in best.items()
+    }
+
+    rows = []
+    for eid, (uid, h, etype, v) in enumerate(events_spec):
+        us = base_us + h * 3_600_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(user_id=uid, ts=ts, event_id=eid, event_type=etype,
+                        value=v * 0.25))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string, "
+              "value double"
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_latest_event_per_user(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
