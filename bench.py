@@ -452,10 +452,30 @@ def main() -> None:
     # with tools/ab_bench.py, not by eye).
     ev = stream.get("streaming_events_per_sec")
     if ev:
+        cold_ev = stream_cold.get("streaming_events_per_sec")
         out["summary"]["baseline_comparison"] = {
             "metric": "streaming_events_per_sec_warm",
             "reference_max_sustainable": 166.7,
             "speedup_vs_reference": round(ev / 166.7, 1),
+            # the conservative same-run floor: min(cold, warm) of this
+            # suite run, so a reader of the summary block alone sees
+            # the worst same-run reading next to the headline one
+            "speedup_vs_reference_floor": round(
+                min(ev, cold_ev or ev) / 166.7, 1
+            ),
+            # r13 measurement (NOTES round-13): byte-identical code
+            # measured 4,972 / 1,052.8 / 1,123.8 ev/s within hours on
+            # this shared host -- a 4x spread invisible to loadavg
+            # (CPU steal).  Warm ev/s is therefore NOT comparable
+            # round-over-round by eye; adjudicate any drift with the
+            # control-cohort protocol (tools/ab_bench.py), which
+            # normalizes by a cohort of byte-identical queries.
+            "caveat": (
+                "warm ev/s swings up to 4x run-to-run on identical "
+                "code (shared-host CPU steal, invisible to loadavg); "
+                "compare rounds only via tools/ab_bench.py "
+                "control-cohort residuals, never by eye"
+            ),
         }
     print(json.dumps(out))
 
