@@ -5426,3 +5426,403 @@ def test_latest_event_per_user_matches_python_mirror(spark, events_spec):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+# --- round-14 mirror batch 2: grouping sets, pivots, JSON, date math --------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),          # event_type
+                  st.integers(min_value=0, max_value=2),      # year offset
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_cube_events_matches_python_mirror(spark, events_spec):
+    """Property: CUBE(event_type, year) equals an explicit Python
+    enumeration of its four grouping sets -- including the ambiguity
+    CUBE is famous for: a genuine NULL event_type in the DATA produces
+    rows display-identical to subtotal rows, so the result is a
+    MULTISET (two (NULL, yr, ...) rows with different counts must both
+    survive).  Counter compare, not set compare."""
+    from collections import Counter
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_cube_events
+
+    def agg(rows):
+        n = len(rows)
+        return n, round_half_up(sum(v for v in rows), 2)
+
+    vals: dict = {}
+    for et, y, v in events_spec:
+        vals.setdefault((et, 2024 + y), []).append(v * 0.25)
+    expected: Counter = Counter()
+    # grouping set (event_type, year)
+    for (et, yr), vs in vals.items():
+        expected[(et, yr) + agg(vs)] += 1
+    # (event_type)
+    by_et: dict = {}
+    for (et, yr), vs in vals.items():
+        by_et.setdefault(et, []).extend(vs)
+    for et, vs in by_et.items():
+        expected[(et, None) + agg(vs)] += 1
+    # (year)
+    by_yr: dict = {}
+    for (et, yr), vs in vals.items():
+        by_yr.setdefault(yr, []).extend(vs)
+    for yr, vs in by_yr.items():
+        expected[(None, yr) + agg(vs)] += 1
+    # ()
+    allv = [v for vs in vals.values() for v in vs]
+    expected[(None, None) + agg(allv)] += 1
+
+    rows = [
+        Row(event_type=et, ts=datetime(2024 + y, 3, 1), value=v * 0.25)
+        for et, y, v in events_spec
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = Counter(tuple(r) for r in q_cube_events(spark, "u").collect())
+    finally:
+        core.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=0, max_value=40)),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_grouping_sets_events_matches_python_mirror(spark, events_spec):
+    """Property: explicit GROUPING SETS with grouping_id equals the
+    Python enumeration -- gid encodes WHICH set a row came from (first
+    argument is the high bit: (e,y)=0, (e)=1, (y)=2, ()=3), so unlike
+    the CUBE twin a genuine NULL group value is unambiguous and plain
+    set compare suffices."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_grouping_sets_events,
+    )
+
+    def agg(vs):
+        return len(vs), round_half_up(sum(vs), 2)
+
+    vals: dict = {}
+    for et, y, v in events_spec:
+        vals.setdefault((et, 2024 + y), []).append(v * 0.25)
+    expected = set()
+    for (et, yr), vs in vals.items():
+        expected.add((et, yr, 0) + agg(vs))
+    by_et: dict = {}
+    by_yr: dict = {}
+    for (et, yr), vs in vals.items():
+        by_et.setdefault(et, []).extend(vs)
+        by_yr.setdefault(yr, []).extend(vs)
+    for et, vs in by_et.items():
+        expected.add((et, None, 1) + agg(vs))
+    for yr, vs in by_yr.items():
+        expected.add((None, yr, 2) + agg(vs))
+    allv = [v for vs in vals.values() for v in vs]
+    expected.add((None, None, 3) + agg(allv))
+
+    rows = [
+        Row(event_type=et, ts=datetime(2024 + y, 3, 1), value=v * 0.25)
+        for et, y, v in events_spec
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    orig = adv.register_views
+    try:
+        adv.register_views = (
+            lambda s, _d, _t: df.createOrReplaceTempView("events")
+        )
+        got = {tuple(r) for r in q_grouping_sets_events(spark, "u").collect()}
+    finally:
+        adv.register_views = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),      # hour of day
+                  st.sampled_from(["view", "click", "purchase", "signup",
+                                   "error", "bogus"]),
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_event_pivot_matches_python_mirror(spark, events_spec):
+    """Property: the hour x type pivot equals a Python replay -- a
+    type OUTSIDE the pinned pivot column list ('bogus') contributes NO
+    cell but still creates its hour's row (groupBy sees every row),
+    and absent cells are NULL, matching SQL conditional-aggregation
+    semantics."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_event_pivot
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    sums: dict = {}
+    hours = set()
+    for h, et, v in events_spec:
+        hours.add(h)
+        if et in types:
+            sums[(h, et)] = sums.get((h, et), 0.0) + v * 0.25
+    expected = set()
+    for h in hours:
+        cells = tuple(
+            round_half_up(sums[(h, et)], 2) if (h, et) in sums else None
+            for et in types
+        )
+        expected.add((h,) + cells)
+
+    rows = [
+        Row(ts=datetime(2024, 1, 1, h), event_type=et, value=v * 0.25)
+        for h, et, v in events_spec
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_event_pivot(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),      # order month
+                  st.integers(min_value=0, max_value=27)),    # order day
+        min_size=1, max_size=3,
+    ),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),      # order index
+                  st.integers(min_value=0, max_value=40)),    # ship offset days
+        min_size=1, max_size=12,
+    ),
+)
+def test_order_date_math_matches_python_mirror(spark, orders_spec, lines_spec):
+    """Property: the date-arithmetic rollup equals a Python replay --
+    month truncation, last_day month-end as a midnight timestamp, the
+    datediff day count (ship offsets cross month boundaries), and the
+    HALF_UP 2-dp average over an integer day sum."""
+    from datetime import date, datetime, timedelta, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_order_date_math
+
+    def us(d: date) -> int:
+        return int(
+            datetime(d.year, d.month, d.day, tzinfo=timezone.utc).timestamp() * 1e6
+        )
+
+    orders = [
+        (ok, date(2024, 1 + m, 1 + d)) for ok, (m, d) in enumerate(orders_spec)
+    ]
+    by_month: dict = {}
+    lines = []
+    for oi, off in lines_spec:
+        ok, odate = orders[oi % len(orders)]
+        lines.append((ok, odate + timedelta(days=off)))
+        by_month.setdefault(date(odate.year, odate.month, 1), []).append(off)
+    expected = set()
+    for mstart, offs in by_month.items():
+        nxt = date(mstart.year + (mstart.month == 12),
+                   mstart.month % 12 + 1, 1)
+        mend = nxt - timedelta(days=1)
+        expected.add((
+            us(mstart), us(mend), len(offs),
+            round_half_up(sum(offs) / len(offs), 2), max(offs),
+        ))
+
+    odf = spark.createDataFrame(
+        [Row(o_orderkey=ok, o_orderdate=d) for ok, d in orders],
+        "o_orderkey int, o_orderdate date",
+    )
+    ldf = spark.createDataFrame(
+        [Row(l_orderkey=ok, l_shipdate=s) for ok, s in lines],
+        "l_orderkey int, l_shipdate date",
+    )
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"orders": odf, "lineitem": ldf}
+        got = {tuple(r) for r in q_order_date_math(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.sampled_from([7, 50, 51, 100, None, "missing",
+                                   "malformed", "nullprops"]),
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_props_json_matches_python_mirror(spark, events_spec):
+    """Property: typed from_json extraction equals a Python replay --
+    a missing key, an explicit JSON null, malformed JSON, and a NULL
+    props column all yield k NULL (skipped by sum/weighted/count; an
+    all-NULL group sums to NULL), and the k > 50 strict boundary binds
+    at exactly 50 vs 51."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_props_json
+
+    def props_of(k):
+        if k == "missing":
+            return "{}"
+        if k == "malformed":
+            return "oops not json"
+        if k == "nullprops":
+            return None
+        if k is None:
+            return '{"k": null}'
+        return '{"k": %d}' % k
+
+    def k_of(k):
+        return k if isinstance(k, int) else None
+
+    groups: dict = {}
+    for et, k, v in events_spec:
+        groups.setdefault(et, []).append((k_of(k), v * 0.25))
+    expected = set()
+    for et, rows_ in groups.items():
+        ks = [k for k, _v in rows_ if k is not None]
+        wsum = sum(k * v for k, v in rows_ if k is not None)
+        expected.add((
+            et,
+            sum(ks) if ks else None,
+            round_half_up(wsum, 2) if ks else None,
+            sum(1 for k in ks if k > 50),
+        ))
+
+    rows = [Row(event_type=et, props=props_of(k), value=v * 0.25)
+            for et, k, v in events_spec]
+    df = spark.createDataFrame(rows, "event_type string, props string, value double")
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_props_json(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.booleans(),                              # event_id present
+                  st.sampled_from(["view", "purchase", "bogus", None]),
+                  st.booleans(),                              # user present
+                  st.integers(min_value=0, max_value=48),     # hour slot
+                  st.sampled_from([-4, 0, 20, 40_000, 40_001, 80_000])),  # value*0.25
+        # 40_000*0.25 = 10000.0 exactly: NOT extreme (strict >);
+        # 40_001*0.25 = 10000.25: extreme -- both boundary sides sampled
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quality_hourly_matches_python_mirror(spark, events_spec):
+    """Property: the trailing-24h validity rollup equals a Python
+    replay of the first-match-wins rule chain (null_event_id >
+    null_event_type > invalid_event_type > missing_user_for_purchase >
+    negative_value > extreme_value) plus the anchor filter
+    ts >= max(ts) - 24h INCLUSIVE -- the hour grid makes the
+    exactly-24h boundary dense, and the value grid sits on both rule
+    boundaries (< 0 strict, > 10000 strict)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_quality_hourly
+
+    base_us = 1_704_067_200_000_000
+    valid_types = {"view", "click", "purchase", "signup", "error"}
+
+    def tag(eid, et, uid, val):
+        if eid is None:
+            return "null_event_id"
+        if et is None:
+            return "null_event_type"
+        if et not in valid_types:
+            return "invalid_event_type"
+        if et == "purchase" and uid is None:
+            return "missing_user_for_purchase"
+        if val < 0.0:
+            return "negative_value"
+        if val > 10_000.0:
+            return "extreme_value"
+        return None
+
+    evs = []
+    for i, (has_id, et, has_user, h, vq) in enumerate(events_spec):
+        evs.append((
+            str(i) if has_id else None, et, i if has_user else None,
+            base_us + h * 3_600_000_000, vq * 0.25,
+        ))
+    max_us = max(e[3] for e in evs)
+    cutoff = max_us - 24 * 3_600_000_000
+    by_hour: dict = {}
+    for eid, et, uid, us, val in evs:
+        if us >= cutoff:
+            by_hour.setdefault(us, []).append(tag(eid, et, uid, val) is None)
+    vals_by_hour: dict = {}
+    for eid, et, uid, us, val in evs:
+        if us >= cutoff:
+            vals_by_hour.setdefault(us, []).append(val)
+    expected = set()
+    for us, flags in by_hour.items():
+        vs = vals_by_hour[us]
+        expected.add((
+            us, len(flags), sum(flags), len(flags) - sum(flags),
+            round_half_up(sum(vs) / len(vs), 2),
+        ))
+
+    rows = []
+    for eid, et, uid, us, val in evs:
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(event_id=eid, ts=ts, user_id=uid, event_type=et, value=val))
+    df = spark.createDataFrame(
+        rows, "event_id string, ts timestamp, user_id int, event_type string, "
+              "value double"
+    )
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_quality_hourly(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
