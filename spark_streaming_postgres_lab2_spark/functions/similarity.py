@@ -1435,6 +1435,65 @@ def minhash_decontaminate(
     )
 
 
+def embedding_decontaminate_portable(
+    train: DataFrame,
+    eval_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space decontamination probe -- the asymmetric
+    (train x eval) sibling of ``embedding_near_dupes_lsh_portable``,
+    with the same scale shape as ``minhash_decontaminate``: the EVAL
+    side (a benchmark suite -- tiny vs a 100 TB train corpus) is
+    bucketed and BROADCAST, both as bucket keys and as verify vectors;
+    the train corpus streams through ONE bucket equi-join plus a
+    candidate-only verify -- no train-train self-join exists anywhere
+    in the plan, and no train vector is ever exchanged.
+
+    Bucketing is the integer-quantized hyperplane family (exact int64
+    arithmetic, recomputable bit-for-bit by a DuckDB oracle --
+    queries/ext.sql_emb_lsh_pair_ctes); the verify is the
+    oracle-proven round-4 float64 cosine with the zero-norm NULL-drop
+    semantics of the expr flavor.  Returns (train_vec_id, eval_vec_id,
+    cosine_sim) pairs at/above ``threshold``."""
+    tb = _int_hyperplane_buckets_arrow(
+        train, id_col, vec_col, n_planes, n_tables, dim
+    )
+    eb = _int_hyperplane_buckets_arrow(
+        eval_emb, id_col, vec_col, n_planes, n_tables, dim
+    )
+    cand = (
+        tb.join(
+            F.broadcast(eb.select("bucket", F.col("vid").alias("__evid"))),
+            "bucket",
+        )
+        .select(
+            F.col("vid").alias("train_vec_id"),
+            F.col("__evid").alias("eval_vec_id"),
+        )
+        .dropDuplicates(["train_vec_id", "eval_vec_id"])
+    )
+    tv = train.select(
+        F.col(id_col).alias("train_vec_id"), F.col(vec_col).alias("__v1")
+    )
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_vec_id"), F.col(vec_col).alias("__v2")
+    )
+    return (
+        cand.join(tv, "train_vec_id")
+        .join(F.broadcast(ev), "eval_vec_id")
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("train_vec_id", "eval_vec_id", "cosine_sim")
+    )
+
+
 def minhash_near_dupes_portable(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -265,6 +265,10 @@ def specs() -> list[QuerySpec]:
                   "512-token greedy packing accounting per source"),
         QuerySpec("decontaminate", q_decontaminate, _decon_oracle(),
                   "train/eval cross-corpus near-dup, broadcast eval side"),
+        QuerySpec("semantic_decontaminate", q_semantic_decontaminate,
+                  _sem_decon_oracle(),
+                  "embedding-cosine train/eval contamination: the "
+                  "paraphrase tier the lexical decontaminators miss"),
         QuerySpec("semantic_dedup", q_semantic_dedup, _semantic_dedup_oracle(),
                   "SemDeDup-style embedding dedup: LSH pairs -> CC -> "
                   "keep-one, kept id-set hash pinned"),
@@ -613,6 +617,97 @@ SELECT train_doc_id, eval_doc_id, jaccard
 FROM __verified
 WHERE jaccard >= 0.4
 ORDER BY train_doc_id, eval_doc_id
+"""
+    )
+
+
+# --- semantic (embedding-space) decontamination -------------------------------
+
+_SEM_DECON_EVAL_LABELS = (8, 9)  # embeddings analog of _EVAL_SOURCES
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination -- the SEMANTIC member
+    of the decontamination family: ``exact_ngram_decontaminate``
+    catches verbatim n-gram overlap, ``decontaminate`` catches
+    MinHash-Jaccard near-duplicates, and this tier catches PARAPHRASED
+    contamination that shares no surface form with the benchmark --
+    the gap the lexical tiers cannot see (the contamination class
+    studied by Yang et al. 2023, "Rethinking Benchmark and
+    Contamination for Language Models with Rephrased Samples").
+
+    TRAIN vectors (labels outside {8,9}) are flagged when cosine
+    similarity to ANY EVAL vector (labels 8-9) reaches 0.4.  Per
+    flagged train vector: how many eval vectors it hits, the strongest
+    hit, and the smallest hitting eval id (deterministic).
+
+    Scale shape mirrors ``minhash_decontaminate`` exactly
+    (functions/similarity.embedding_decontaminate_portable): the eval
+    side's buckets AND vectors broadcast -- a benchmark suite is tiny
+    vs a 100 TB corpus -- while train streams through one bucket probe
+    plus a candidate-only verify; no train-train pair is ever formed
+    and no train vector is exchanged.  Candidate pruning is the
+    integer-quantized hyperplane LSH already oracle-proven by
+    embedding_lsh_near_dup_portable, so DuckDB recomputes candidate
+    generation bit-for-bit."""
+    from ..functions.similarity import embedding_decontaminate_portable
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    is_eval = F.col("label").isin(*_SEM_DECON_EVAL_LABELS)
+    pairs = embedding_decontaminate_portable(
+        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.4
+    )
+    return (
+        pairs.groupBy("train_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.max("cosine_sim").alias("max_cosine"),
+            F.min("eval_vec_id").cast("bigint").alias("first_eval_id"),
+        )
+        .orderBy("train_vec_id")
+    )
+
+
+def _sem_decon_oracle() -> str:
+    from .ext import sql_emb_lsh_pair_ctes
+
+    ev = ", ".join(str(v) for v in _SEM_DECON_EVAL_LABELS)
+    dot = (
+        "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({e}.embedding, "
+        "x -> CAST(x AS DOUBLE) * x), 'sum'))"
+    )
+    return (
+        "WITH "
+        + sql_emb_lsh_pair_ctes()
+        + f""",
+__ev AS (SELECT vec_id FROM embeddings WHERE label IN ({ev})),
+__dcand AS (
+  SELECT DISTINCT t.vec_id AS train_vec_id, e.vec_id AS eval_vec_id
+  FROM __b t
+  JOIN __b e ON t.bucket = e.bucket
+  WHERE e.vec_id IN (SELECT vec_id FROM __ev)
+    AND t.vec_id NOT IN (SELECT vec_id FROM __ev)
+),
+__dscore AS (
+  SELECT d.train_vec_id, d.eval_vec_id,
+         round({dot} / ({nrm.format(e="e1")} * {nrm.format(e="e2")}), 4) AS cosine_sim
+  FROM __dcand d
+  JOIN embeddings e1 ON e1.vec_id = d.train_vec_id
+  JOIN embeddings e2 ON e2.vec_id = d.eval_vec_id
+)
+SELECT train_vec_id,
+       CAST(count(*) AS BIGINT) AS n_eval_hits,
+       max(cosine_sim) AS max_cosine,
+       CAST(min(eval_vec_id) AS BIGINT) AS first_eval_id
+FROM __dscore
+WHERE cosine_sim >= 0.4
+GROUP BY train_vec_id
+ORDER BY train_vec_id
 """
     )
 

@@ -5826,3 +5826,86 @@ def test_quality_hourly_matches_python_mirror(spark, events_spec):
     finally:
         core.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(
+    st.tuples(
+        st.lists(st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=64, max_size=64),
+        st.integers(min_value=0, max_value=9),               # label
+    ),
+    min_size=2, max_size=8))
+def test_semantic_decontaminate_matches_python_mirror(spark, vec_spec):
+    """Property: the asymmetric embedding decontamination probe equals
+    a Python replay -- the SAME int64 plane-dot bucketing as the
+    near-dup mirror but joined train x eval instead of self-joined
+    (labels 8-9 are eval), cosine verify with the round-4 threshold
+    and zero-norm drop, then per-train (n_eval_hits, max_cosine,
+    min eval id).  Degenerate splits (no eval vectors, or all eval)
+    must yield zero rows."""
+    import math
+
+    import numpy as np
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _QUANT_SCALE,
+        _int_plane,
+    )
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _SEM_DECON_EVAL_LABELS,
+        q_semantic_decontaminate,
+    )
+
+    vectors = [v for v, _l in vec_spec]
+    labels = [l for _v, l in vec_spec]
+    widened = [[float(np.float32(x)) for x in vec] for vec in vectors]
+    qv = [[math.floor(x * _QUANT_SCALE) for x in vec] for vec in widened]
+    buckets_of: list = []
+    for v in qv:
+        keys = set()
+        for t in range(16):
+            key = t * 16
+            for j in range(4):
+                plane = _int_plane(t * 4 + j, 64)
+                if sum(a * b for a, b in zip(v, plane)) >= 0:
+                    key += 1 << j
+            keys.add(key)
+        buckets_of.append(keys)
+    is_eval = [l in _SEM_DECON_EVAL_LABELS for l in labels]
+    hits: dict = {}
+    for i in range(len(vectors)):
+        if is_eval[i]:
+            continue
+        for j in range(len(vectors)):
+            if not is_eval[j] or not (buckets_of[i] & buckets_of[j]):
+                continue
+            accd = acc1 = acc2 = 0.0
+            for x, y in zip(widened[i], widened[j]):
+                accd += x * y
+                acc1 += x * x
+                acc2 += y * y
+            den = math.sqrt(acc1) * math.sqrt(acc2)
+            if den == 0.0:
+                continue
+            cos = round_half_up(accd / den, 4)
+            if cos >= 0.4:
+                hits.setdefault(i, []).append((j, cos))
+    expected = {
+        (i, len(hs), max(c for _j, c in hs), min(j for j, _c in hs))
+        for i, hs in hits.items()
+    }
+
+    emb = spark.createDataFrame(
+        [(i, vec, l) for i, (vec, l) in enumerate(vec_spec)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"embeddings": emb}
+        got = {tuple(r) for r in q_semantic_decontaminate(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
