@@ -5909,3 +5909,303 @@ def test_semantic_decontaminate_matches_python_mirror(spark, vec_spec):
     finally:
         corpus.load_tables = orig
     assert got == expected
+
+
+# --- round-14 mirror batch 3: scalar surfaces (strings, arrays, maps, HOFs) --
+
+
+_hof_tok = st.sampled_from(["x", "abcd", "a" * 8, "a" * 9, "a" * 12, "a" * 13, ""])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]),
+                  st.lists(_hof_tok, min_size=0, max_size=6)),
+        min_size=1, max_size=12,
+    )
+)
+def test_doc_hof_stats_matches_python_mirror(spark, docs_spec):
+    """Property: the array-HOF token-shape rollup equals a Python
+    replay -- the single-space tokenizer KEEPS empty tokens (double
+    spaces and empty texts shape the mean's denominator), the >12 /
+    >8 length boundaries are sampled on both sides, and the per-doc
+    mean feeds a HALF_UP 4-dp average."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import q_doc_hof_stats
+
+    per_source: dict = {}
+    for src, toks in docs_spec:
+        text = " ".join(toks)
+        tk = text.split(" ")  # keeps empties, [''] for empty text
+        mean = sum(len(t) for t in tk) / len(tk)
+        has_long = any(len(t) > 12 for t in tk)
+        n8 = sum(1 for t in tk if len(t) > 8)
+        per_source.setdefault(src, []).append((mean, has_long, n8))
+    expected = set()
+    for src, feats in per_source.items():
+        n = len(feats)
+        expected.add((
+            src, n,
+            round_half_up(sum(m for m, _h, _k in feats) / n, 4),
+            sum(1 for _m, h, _k in feats if h),
+            round_half_up(sum(k for _m, _h, k in feats) / n, 4),
+        ))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=src, text=" ".join(toks))
+         for i, (src, toks) in enumerate(docs_spec)],
+        "doc_id int, source string, text string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_doc_hof_stats(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["B#1", "B#2"]),                  # brand
+                  st.sampled_from(["STANDARD ANODIZED", "STANDARD BURNISHED",
+                                   "SMALL PLATED", "tiny"]),        # type
+                  st.sampled_from(["red apple", "bored horse",
+                                   "blue shred", "plain name"]),    # name
+                  st.integers(min_value=1, max_value=1500)),        # size
+        min_size=1, max_size=16,
+    )
+)
+def test_part_string_funcs_matches_python_mirror(spark, parts_spec):
+    """Property: the string-function rollup equals a Python replay --
+    upper(substr) prefix dedup at the exact 8-char boundary (the two
+    STANDARD types share it), Spark's lpad TRUNCATING a 4-digit size
+    to its 3-char prefix, %red% matching inside words (shred, bored is
+    a non-match... 'bored' does not contain 'red'? it does: bo-RED --
+    the mirror decides, not intuition), and codepoint max over the
+    rebuilt brand key."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_part_string_funcs,
+    )
+
+    def lpad3(n: int) -> str:
+        s = str(n)
+        return s[:3] if len(s) >= 3 else "0" * (3 - len(s)) + s
+
+    groups: dict = {}
+    for brand, ptype, name, size in parts_spec:
+        groups.setdefault(brand, []).append((ptype, name, size))
+    expected = set()
+    for brand, rows_ in groups.items():
+        expected.add((
+            brand,
+            len(rows_),
+            len({t[:8].upper() for t, _n, _s in rows_}),
+            max(len(n) for _t, n, _s in rows_),
+            min(lpad3(s) for _t, _n, s in rows_),
+            sum(1 for _t, n, _s in rows_ if "red" in n),
+            max(f"{brand}#{n.replace(' ', '_')}" for _t, n, _s in rows_),
+        ))
+
+    df = spark.createDataFrame(
+        [Row(p_brand=b, p_type=t, p_name=n, p_size=s)
+         for b, t, n, s in parts_spec],
+        "p_brand string, p_type string, p_name string, p_size int",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"part": df}
+        got = {tuple(r) for r in q_part_string_funcs(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=3),
+                  st.sampled_from(["view", "click", "purchase", "signup",
+                                   "error", "bogus"])),
+        min_size=1, max_size=20,
+    )
+)
+def test_user_map_funcs_matches_python_mirror(spark, events_spec):
+    """Property: the map-function surface equals a Python replay --
+    map_filter keeps only positive counts, the joined key list is
+    sorted, aggregate folds from 0, and the documented edge: a user
+    whose events are ALL outside the map vocabulary ('bogus') has an
+    EMPTY active map, so array_max yields NULL (the oracle-facing
+    greatest() would say 0 -- the fixture never samples this; the
+    mirror pins the Spark semantics)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _MAP_EVENT_TYPES,
+        q_user_map_funcs,
+    )
+
+    counts: dict = {}
+    for uid, et in events_spec:
+        counts.setdefault(uid, {}).setdefault(et, 0)
+        counts[uid][et] += 1
+    expected = set()
+    for uid, c in counts.items():
+        active = {et: n for et, n in c.items()
+                  if et in _MAP_EVENT_TYPES and n > 0}
+        expected.add((
+            uid,
+            ",".join(sorted(active)),
+            len(active),
+            sum(active.values()),
+            max((n * n for n in active.values()), default=None),
+        ))
+
+    df = spark.createDataFrame(
+        [Row(user_id=uid, event_type=et) for uid, et in events_spec],
+        "user_id int, event_type string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_user_map_funcs(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=200),   # hour slots
+             min_size=1, max_size=16)
+)
+def test_late_arrivals_matches_python_mirror(spark, slots):
+    """Property: the late-arrival flag equals a Python replay of the
+    STRICT ts < max(ts) - 7d rule -- the hour grid makes the
+    exactly-168h boundary dense (an event exactly 7 days before the
+    anchor is NOT late)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_late_arrivals
+
+    base_us = 1_704_067_200_000_000
+    times = [base_us + h * 3_600_000_000 for h in slots]
+    cutoff = max(times) - 7 * 24 * 3_600_000_000
+    n_late = sum(1 for t in times if t < cutoff)
+    expected = {(False, len(times) - n_late)}
+    if n_late:
+        expected.add((True, n_late))
+
+    rows = []
+    for i, t in enumerate(times):
+        ts = datetime.fromtimestamp(t / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(ts=ts))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_late_arrivals(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=2),
+                  st.integers(min_value=0, max_value=4),    # coarse ts grid
+                  st.sampled_from(["v", "c", "p"])),
+        min_size=1, max_size=24,
+    )
+)
+def test_user_event_paths_matches_python_mirror(spark, events_spec):
+    """Property: the collect->sort->slice->join path builder equals a
+    Python replay -- the coarse grid makes same-timestamp ties dense
+    so the struct sort's event_id tiebreak binds, and >10 events per
+    user bind the first-10 slice."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_user_event_paths
+
+    base_us = 1_704_067_200_000_000
+    by_user: dict = {}
+    for eid, (uid, k, et) in enumerate(events_spec):
+        by_user.setdefault(uid, []).append((base_us + k * 60_000_000, eid, et))
+    expected = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        path = "->".join(et for _t, _e, et in evs[:10])
+        expected.add((uid, path, len(evs)))
+
+    rows = []
+    for eid, (uid, k, et) in enumerate(events_spec):
+        us = base_us + k * 60_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(user_id=uid, ts=ts, event_id=eid, event_type=et))
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_user_event_paths(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["the", "a", "of", "zebra", "qux", ""]),
+                 min_size=0, max_size=6),
+        min_size=1, max_size=10,
+    )
+)
+def test_doc_array_ops_matches_python_mirror(spark, docs_toks):
+    """Property: the array set-operation surface equals a Python
+    set replay -- distinct tokens vs the 8-word stopword vocabulary,
+    with empty tokens (double spaces / empty text -> ['']) counted as
+    content, never as stopwords."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _STOPWORDS,
+        q_doc_array_ops,
+    )
+
+    stop = set(_STOPWORDS)
+    expected = set()
+    for i, toks in enumerate(docs_toks):
+        tk = set(" ".join(toks).split(" "))
+        expected.add((
+            i, len(tk & stop), len(tk - stop), len(tk | stop),
+        ))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(toks)) for i, toks in enumerate(docs_toks)],
+        "doc_id int, text string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_doc_array_ops(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
