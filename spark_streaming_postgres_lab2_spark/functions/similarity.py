@@ -1441,7 +1441,7 @@ def embedding_decontaminate_portable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     dim: int = 64,
 ) -> DataFrame:
@@ -1454,12 +1454,31 @@ def embedding_decontaminate_portable(
     candidate-only verify -- no train-train self-join exists anywhere
     in the plan, and no train vector is ever exchanged.
 
-    Bucketing is the integer-quantized hyperplane family (exact int64
-    arithmetic, recomputable bit-for-bit by a DuckDB oracle --
-    queries/ext.sql_emb_lsh_pair_ctes); the verify is the
-    oracle-proven round-4 float64 cosine with the zero-norm NULL-drop
-    semantics of the expr flavor.  Returns (train_vec_id, eval_vec_id,
-    cosine_sim) pairs at/above ``threshold``."""
+    Operating point and verify follow the family's measured sf1
+    lessons: ``n_planes=None`` (default) picks k from the SAME integer
+    rule as the adaptive near-dup path (``adaptive_portable_kl`` over
+    the combined corpus size -- the fixed k=4 point measured
+    super-linear at sf1 exactly as it did for semantic_dedup before
+    r6), and the verify is the Arrow vectorized cosine with BIT-exact
+    parity to the expr fold / DuckDB ``list_aggregate`` (sequential
+    per-dimension accumulation; the per-candidate interpreted HOF fold
+    was the portable family's dominant cost -- see the verify note in
+    ``embedding_near_dupes_lsh_portable``, duplicated here because
+    editing that certified function mid-round would trip the blame
+    guard outside a driver window).  No bucket cap: the dedup family's
+    spanning-chain cap preserves CONNECTIVITY, but a decontamination
+    probe must not silently drop train-eval hits -- larger k is the
+    only recall-free pressure valve.  Bucketing stays exact int64, so
+    a DuckDB oracle recomputes candidates bit-for-bit.  Returns
+    (train_vec_id, eval_vec_id, cosine_sim) pairs at/above
+    ``threshold``."""
+    import numpy as np
+    import pandas as pd
+
+    if n_planes is None:
+        n_planes, n_tables = adaptive_portable_kl(
+            train.count() + eval_emb.count()
+        )
     tb = _int_hyperplane_buckets_arrow(
         train, id_col, vec_col, n_planes, n_tables, dim
     )
@@ -1483,12 +1502,42 @@ def embedding_decontaminate_portable(
     ev = eval_emb.select(
         F.col(id_col).alias("eval_vec_id"), F.col(vec_col).alias("__v2")
     )
+    joined = cand.join(tv, "train_vec_id").join(F.broadcast(ev), "eval_vec_id")
+
+    def _verify(batches):
+        # sequential per-dimension accumulation: bit-identical to the
+        # F.aggregate fold and DuckDB list_aggregate (numpy ufunc adds
+        # don't fuse or reorder); zero-norm pairs dropped, matching the
+        # expr flavor's 0.0/0.0 -> NULL -> filtered semantics
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v1 = np.stack(pdf["__v1"].to_numpy()).astype(np.float64)
+            v2 = np.stack(pdf["__v2"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            accd = np.zeros(n)
+            acc1 = np.zeros(n)
+            acc2 = np.zeros(n)
+            for d in range(v1.shape[1]):
+                x, y = v1[:, d], v2[:, d]
+                accd = accd + x * y
+                acc1 = acc1 + x * x
+                acc2 = acc2 + y * y
+            den = np.sqrt(acc1) * np.sqrt(acc2)
+            keep = den != 0.0
+            yield pd.DataFrame(
+                {
+                    "train_vec_id": pdf["train_vec_id"].to_numpy()[keep],
+                    "eval_vec_id": pdf["eval_vec_id"].to_numpy()[keep],
+                    "__raw_cos": accd[keep] / den[keep],
+                }
+            )
+
     return (
-        cand.join(tv, "train_vec_id")
-        .join(F.broadcast(ev), "eval_vec_id")
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4)
+        joined.mapInPandas(
+            _verify, "train_vec_id long, eval_vec_id long, __raw_cos double"
         )
+        .withColumn("cosine_sim", F.round(F.col("__raw_cos"), 4))
         .filter(F.col("cosine_sim") >= threshold)
         .select("train_vec_id", "eval_vec_id", "cosine_sim")
     )

@@ -670,9 +670,19 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sem_decon_oracle() -> str:
-    from .ext import sql_emb_lsh_pair_ctes
+    from ..functions.similarity import PORTABLE_K_THRESHOLDS, _int_plane
 
     ev = ", ".join(str(v) for v in _SEM_DECON_EVAL_LABELS)
+    planes = ", ".join(
+        f"({i}, ["
+        + ",".join(str(p) for p in _int_plane(i, 64))
+        + "])"
+        for i in range(96)
+    )
+    k_rule = " ".join(
+        f"+ CASE WHEN count(*) >= {t} THEN 1 ELSE 0 END"
+        for t in PORTABLE_K_THRESHOLDS
+    )
     dot = (
         "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
@@ -681,10 +691,31 @@ def _sem_decon_oracle() -> str:
         "sqrt(list_aggregate(list_transform({e}.embedding, "
         "x -> CAST(x AS DOUBLE) * x), 'sum'))"
     )
-    return (
-        "WITH "
-        + sql_emb_lsh_pair_ctes()
-        + f""",
+    # adaptive-k relational bucketing, the sibling of
+    # ext.sql_emb_lsh_adaptive_pair_ctes WITHOUT the bucket cap (a cap
+    # would silently drop train-eval hits; see
+    # similarity.embedding_decontaminate_portable) -- k replays the
+    # integer rule from count(*) so one static SQL string matches the
+    # Spark side's driver count() at any corpus size
+    return f"""WITH
+__planes AS (SELECT * FROM (VALUES {planes}) pl(pid, pvec)),
+__kl AS (SELECT (4 {k_rule}) AS k, 16 AS L FROM embeddings),
+__q AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 16384) AS BIGINT)) AS qv
+  FROM embeddings
+),
+__bits AS (
+  SELECT q.vec_id, p.pid // kl.k AS tbl, p.pid % kl.k AS j, kl.k AS k,
+         CASE WHEN list_aggregate(list_transform(list_zip(q.qv, p.pvec), x -> x[1] * x[2]), 'sum') >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM __q q, __planes p, __kl kl
+  WHERE p.pid < kl.k * kl.L
+),
+__b AS (
+  SELECT vec_id, CAST(tbl * (1 << k) + sum(bit * (1 << j)) AS BIGINT) AS bucket
+  FROM __bits GROUP BY vec_id, tbl, k
+),
 __ev AS (SELECT vec_id FROM embeddings WHERE label IN ({ev})),
 __dcand AS (
   SELECT DISTINCT t.vec_id AS train_vec_id, e.vec_id AS eval_vec_id
@@ -709,7 +740,6 @@ WHERE cosine_sim >= 0.4
 GROUP BY train_vec_id
 ORDER BY train_vec_id
 """
-    )
 
 
 # --- semantic (embedding-space) dedup -----------------------------------------
