@@ -1459,7 +1459,10 @@ def embedding_decontaminate_portable(
     rule as the adaptive near-dup path (``adaptive_portable_kl`` over
     the combined corpus size -- the fixed k=4 point measured
     super-linear at sf1 exactly as it did for semantic_dedup before
-    r6), and the verify is the Arrow vectorized cosine with BIT-exact
+    r6; a caller that already holds the combined table should count it
+    ONCE and pass n_planes/n_tables explicitly, as
+    q_semantic_decontaminate does -- the default here costs one count
+    job per split), and the verify is the Arrow vectorized cosine with BIT-exact
     parity to the expr fold / DuckDB ``list_aggregate`` (sequential
     per-dimension accumulation; the per-candidate interpreted HOF fold
     was the portable family's dominant cost -- see the verify note in
@@ -1502,7 +1505,14 @@ def embedding_decontaminate_portable(
     ev = eval_emb.select(
         F.col(id_col).alias("eval_vec_id"), F.col(vec_col).alias("__v2")
     )
-    joined = cand.join(tv, "train_vec_id").join(F.broadcast(ev), "eval_vec_id")
+    # the CANDIDATE set broadcasts back against train (the
+    # minhash_decontaminate pattern): without the hint, a stats-less
+    # candidate lineage can plan a shuffle join that exchanges every
+    # train vector -- exactly the corpus-wide exchange this function's
+    # contract rules out (r14 review finding)
+    joined = tv.join(F.broadcast(cand), "train_vec_id").join(
+        F.broadcast(ev), "eval_vec_id"
+    )
 
     def _verify(batches):
         # sequential per-dimension accumulation: bit-identical to the

@@ -118,14 +118,18 @@ def q_hourly_event_summary_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["events"])
     events = t["events"]
-    # per-process scratch path: deterministic within a run, never
-    # shared across concurrent processes (two Spark jobs overwriting
-    # one directory would corrupt each other)
+    # scratch path keyed by sf_dir ONLY: mode("overwrite") keeps it
+    # fresh per run and bounds the residue to one events-CSV per
+    # fixture dir (a per-pid key accumulated one full copy per
+    # process with nothing ever reclaiming them -- r14 review
+    # finding).  Single-writer assumption: the driver, parity sweep,
+    # and bench each run queries sequentially; concurrent
+    # same-fixture invocations of THIS query from separate processes
+    # are outside the supported harness flows.
     dest = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_formats",
-        f"{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}"
-        f"_{os.getpid()}",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
         "events_csv",
     )
     write_table(events, dest, "csv")

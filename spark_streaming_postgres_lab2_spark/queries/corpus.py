@@ -650,13 +650,27 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-quantized hyperplane LSH already oracle-proven by
     embedding_lsh_near_dup_portable, so DuckDB recomputes candidate
     generation bit-for-bit."""
-    from ..functions.similarity import embedding_decontaminate_portable
+    from ..functions.similarity import (
+        adaptive_portable_kl,
+        embedding_decontaminate_portable,
+    )
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    is_eval = F.col("label").isin(*_SEM_DECON_EVAL_LABELS)
+    # NULL labels are TRAIN: a bare isin is NULL for them, so ~isin
+    # would drop the row from BOTH splits while the oracle's
+    # NULL-rejecting `label IN (...)` counts it as train (r14 review
+    # finding -- fixtures have no NULL labels, user corpora may)
+    is_eval = F.coalesce(
+        F.col("label").isin(*_SEM_DECON_EVAL_LABELS), F.lit(False)
+    )
+    # ONE metadata count picks k for both splits, exactly matching the
+    # oracle's single count(*) FROM embeddings (two per-split count()
+    # jobs would rescan the corpus twice at scale)
+    k, tables = adaptive_portable_kl(emb.count())
     pairs = embedding_decontaminate_portable(
-        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.4
+        emb.filter(~is_eval), emb.filter(is_eval),
+        threshold=0.4, n_planes=k, n_tables=tables,
     )
     return (
         pairs.groupBy("train_vec_id")
@@ -670,19 +684,9 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sem_decon_oracle() -> str:
-    from ..functions.similarity import PORTABLE_K_THRESHOLDS, _int_plane
+    from .ext import sql_emb_adaptive_bucket_ctes
 
     ev = ", ".join(str(v) for v in _SEM_DECON_EVAL_LABELS)
-    planes = ", ".join(
-        f"({i}, ["
-        + ",".join(str(p) for p in _int_plane(i, 64))
-        + "])"
-        for i in range(96)
-    )
-    k_rule = " ".join(
-        f"+ CASE WHEN count(*) >= {t} THEN 1 ELSE 0 END"
-        for t in PORTABLE_K_THRESHOLDS
-    )
     dot = (
         "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
@@ -691,31 +695,15 @@ def _sem_decon_oracle() -> str:
         "sqrt(list_aggregate(list_transform({e}.embedding, "
         "x -> CAST(x AS DOUBLE) * x), 'sum'))"
     )
-    # adaptive-k relational bucketing, the sibling of
-    # ext.sql_emb_lsh_adaptive_pair_ctes WITHOUT the bucket cap (a cap
-    # would silently drop train-eval hits; see
-    # similarity.embedding_decontaminate_portable) -- k replays the
-    # integer rule from count(*) so one static SQL string matches the
-    # Spark side's driver count() at any corpus size
-    return f"""WITH
-__planes AS (SELECT * FROM (VALUES {planes}) pl(pid, pvec)),
-__kl AS (SELECT (4 {k_rule}) AS k, 16 AS L FROM embeddings),
-__q AS (
-  SELECT vec_id,
-         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 16384) AS BIGINT)) AS qv
-  FROM embeddings
-),
-__bits AS (
-  SELECT q.vec_id, p.pid // kl.k AS tbl, p.pid % kl.k AS j, kl.k AS k,
-         CASE WHEN list_aggregate(list_transform(list_zip(q.qv, p.pvec), x -> x[1] * x[2]), 'sum') >= 0
-              THEN 1 ELSE 0 END AS bit
-  FROM __q q, __planes p, __kl kl
-  WHERE p.pid < kl.k * kl.L
-),
-__b AS (
-  SELECT vec_id, CAST(tbl * (1 << k) + sum(bit * (1 << j)) AS BIGINT) AS bucket
-  FROM __bits GROUP BY vec_id, tbl, k
-),
+    # shared adaptive-k relational bucketing prefix (one builder with
+    # the near-dup oracle, so a bucket-math retune cannot fork the two
+    # embedding oracles), then the asymmetric train x eval suffix
+    # WITHOUT the bucket cap (a cap would silently drop train-eval
+    # hits; see similarity.embedding_decontaminate_portable).  NULL
+    # labels count as TRAIN on both sides (`label IN (...)` is
+    # NULL-rejecting in the eval CTE, and the Spark side coalesces the
+    # isin to false).
+    return f"""WITH {sql_emb_adaptive_bucket_ctes()},
 __ev AS (SELECT vec_id FROM embeddings WHERE label IN ({ev})),
 __dcand AS (
   SELECT DISTINCT t.vec_id AS train_vec_id, e.vec_id AS eval_vec_id

@@ -1649,41 +1649,20 @@ ORACLE_EMB_LSH_PORTABLE = (
 )
 
 
-def sql_emb_lsh_adaptive_pair_ctes(
-    threshold: float = 0.4, dim: int = 64, cap: int = PORTABLE_ADAPTIVE_CAP
-) -> str:
-    """DuckDB recomputation of ``adaptive_lsh_pairs_portable`` as a CTE
-    chain ending in ``__vpairs`` -- the ADAPTIVE sibling of
-    ``sql_emb_lsh_pair_ctes`` (VERDICT r5 item 2).  Two things the fixed
-    builder could not express are relational here:
-
-    - **k from count(*)**: the integer-threshold rule of
-      ``similarity.adaptive_portable_kl`` (4 + [n>=2897] + [n>=5793])
-      runs as a scalar CTE, and the bucket construction is a
-      *relational* join against a 96-row integer-plane table filtered
-      to ``pid < k*L`` -- so one static SQL string adapts to any corpus
-      size exactly like the Spark side's driver-side ``count()``.
-    - **the deterministic bucket cap**: ``_cap_buckets``' vid-ordered
-      spanning chains are a window (count + lead per bucket), replayed
-      verbatim, so oversized buckets degrade identically on both
-      engines.
-
-    All bucket arithmetic stays exact int64 (quantized vectors x
-    integer planes); the cosine verify is the same double pattern as
-    the fixed flavor."""
+def sql_emb_adaptive_bucket_ctes(dim: int = 64) -> str:
+    """The cap-free adaptive bucketing PREFIX (``__planes`` .. ``__b``)
+    shared by ``sql_emb_lsh_adaptive_pair_ctes`` (which appends the
+    cap + self-join-pair suffix) and ``corpus._sem_decon_oracle``
+    (which appends the asymmetric train x eval suffix -- a cap there
+    would silently drop contamination hits).  One builder means a
+    bucket-math retune cannot silently fork the two embedding oracles
+    (r14 review finding -- the same drift class the
+    ``PORTABLE_K_THRESHOLDS`` comment guards against)."""
     planes = ", ".join(
         f"({i}, ["
         + ",".join(str(p) for p in _int_plane(i, dim))
         + "])"
         for i in range(96)
-    )
-    dot = (
-        "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
-        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
-    )
-    nrm = (
-        "sqrt(list_aggregate(list_transform({e}.embedding, "
-        "x -> CAST(x AS DOUBLE) * x), 'sum'))"
     )
     return f"""
 __planes AS (SELECT * FROM (VALUES {planes}) pl(pid, pvec)),
@@ -1707,7 +1686,40 @@ __bits AS (
 __b AS (
   SELECT vec_id, CAST(tbl * (1 << k) + sum(bit * (1 << j)) AS BIGINT) AS bucket
   FROM __bits GROUP BY vec_id, tbl, k
-),
+)"""
+
+
+def sql_emb_lsh_adaptive_pair_ctes(
+    threshold: float = 0.4, dim: int = 64, cap: int = PORTABLE_ADAPTIVE_CAP
+) -> str:
+    """DuckDB recomputation of ``adaptive_lsh_pairs_portable`` as a CTE
+    chain ending in ``__vpairs`` -- the ADAPTIVE sibling of
+    ``sql_emb_lsh_pair_ctes`` (VERDICT r5 item 2).  Two things the fixed
+    builder could not express are relational here:
+
+    - **k from count(*)**: the integer-threshold rule of
+      ``similarity.adaptive_portable_kl`` (4 + [n>=2897] + [n>=5793])
+      runs as a scalar CTE, and the bucket construction is a
+      *relational* join against a 96-row integer-plane table filtered
+      to ``pid < k*L`` -- so one static SQL string adapts to any corpus
+      size exactly like the Spark side's driver-side ``count()``.
+    - **the deterministic bucket cap**: ``_cap_buckets``' vid-ordered
+      spanning chains are a window (count + lead per bucket), replayed
+      verbatim, so oversized buckets degrade identically on both
+      engines.
+
+    All bucket arithmetic stays exact int64 (quantized vectors x
+    integer planes); the cosine verify is the same double pattern as
+    the fixed flavor."""
+    dot = (
+        "list_aggregate(list_transform(list_zip(e1.embedding, e2.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        "sqrt(list_aggregate(list_transform({e}.embedding, "
+        "x -> CAST(x AS DOUBLE) * x), 'sum'))"
+    )
+    return f"""{sql_emb_adaptive_bucket_ctes(dim)},
 __bann AS (
   SELECT vec_id, bucket,
          count(*) OVER (PARTITION BY bucket) AS n_in_bucket,

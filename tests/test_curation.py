@@ -610,8 +610,13 @@ def test_md5_bucket_matches_quality_classifier_inline_copy(spark):
     recipe, but ``q_quality_classifier_filter`` still inlines an
     identical expression (folding it would flip that query's content
     stamp outside a driver window -- deferred to its next rotation).
-    Until the fold, this pins the two expressions to each other on
-    hostile inputs so they cannot silently drift."""
+    Scope (r14 review): this compares ``_md5_bucket`` to a TEST-LOCAL
+    copy of the recipe, so it pins the helper's arithmetic, not the
+    query's inline expression -- drift INSIDE
+    q_quality_classifier_filter is caught by its own randomized
+    hashlib-replay mirror (test_properties.py,
+    test_quality_classifier_matches_python_mirror), which recomputes
+    the weights from the query's actual output."""
     from pyspark.sql import functions as F
 
     from spark_streaming_postgres_lab2_spark.queries.curation import (

@@ -247,8 +247,12 @@ def stamp_guard_violations(
             continue  # never driver-green: covered by rotation policy
         old = (stamps_by_round.get(rnd) or {}).get(name)
         if old is None:
-            if not allow_pre_stamp:
-                assert name in driver_window, (
+            # explicit raise, not a bare assert: python -O strips
+            # asserts, which would silently restore the retired
+            # exemption this branch exists to close (r14 review
+            # finding; the blame tier raises the same way)
+            if not allow_pre_stamp and name not in driver_window:
+                raise AssertionError(
                     f"{name}: last driver-green round r{rnd} has no "
                     "recorded src_stamp and the query is not in the "
                     "current driver window -- the retired pre-stamp "
