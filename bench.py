@@ -40,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     # reference analytics surface
     "hourly_event_summary",
+    "hourly_event_summary_csv",
     "user_activity",
     "category_performance",
     "quality_hourly",
@@ -123,6 +124,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "multimodal_resize_real",
     "decontaminate",
+    "semantic_decontaminate",
     # round-4: bucketed-layout pair (same query, same oracle; the delta
     # IS the fact-fact shuffle) + new portable/oracle flavors
     "fact_join_unbucketed",
