@@ -6209,3 +6209,352 @@ def test_doc_array_ops_matches_python_mirror(spark, docs_toks):
     finally:
         adv.load_tables = orig
     assert got == expected
+
+
+# --- round-14 mirror batch 4: rank fences, spines, correlated mins ----------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.one_of(st.none(),
+                            st.integers(min_value=-20, max_value=400))),
+        min_size=1, max_size=24,
+    )
+)
+def test_iqr_outlier_summary_matches_python_mirror(spark, events_spec):
+    """Property: the Tukey-fence outlier rollup equals a Python replay
+    -- DISCRETE rank quartiles (k = ceil(p*n), never interpolated),
+    NULL values dropped before ranking, strict > / < fence compares on
+    exact quarter-grid doubles, and the 4-dp display rounding."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_iqr_outlier_summary,
+    )
+
+    vals: dict = {}
+    for et, v in events_spec:
+        if v is not None:
+            vals.setdefault(et, []).append(v * 0.25)
+    expected = set()
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[-(-n // 4) - 1]          # ceil(n/4)
+        q3 = vs[-(-(3 * n) // 4) - 1]    # ceil(3n/4)
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        n_hi = sum(1 for v in vs if v > hi)
+        n_lo = sum(1 for v in vs if v < lo)
+        expected.add((
+            et, n, round_half_up(q1, 4), round_half_up(q3, 4),
+            n_hi, n_lo, round_half_up(n_hi / n, 4),
+        ))
+
+    rows = [Row(event_type=et, value=None if v is None else v * 0.25)
+            for et, v in events_spec]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_iqr_outlier_summary(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]),
+                  st.integers(min_value=0, max_value=24)),   # day slot
+        min_size=1, max_size=24,
+    )
+)
+def test_forecast_baseline_matches_python_mirror(spark, events_spec):
+    """Property: the seasonal-naive / persistence baseline scorer
+    equals a Python replay -- dense per-type day spine over the GLOBAL
+    day range (types observed anywhere get zero-filled rows
+    everywhere), lag-7 / lag-1 over the spine, the trailing-14-day
+    cut, and the integer absolute-error sums."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _FC_EVAL,
+        _FC_SEASON,
+        q_forecast_baseline,
+    )
+
+    base_day = 1_704_067_200_000_000 // 86_400_000_000
+    cnts: dict = {}
+    for et, d in events_spec:
+        cnts[(et, d)] = cnts.get((et, d), 0) + 1
+    days = [d for _et, d in cnts]
+    mn, mx = min(days), max(days)
+    types = sorted({et for et, _d in cnts})
+    expected = set()
+    for et in types:
+        series = {d: cnts.get((et, d), 0) for d in range(mn, mx + 1)}
+        scored = []
+        for d in range(mn, mx + 1):
+            if d - _FC_SEASON < mn or d <= mx - _FC_EVAL:
+                continue
+            scored.append((
+                abs(series[d] - series[d - _FC_SEASON]),
+                abs(series[d] - series[d - 1]),
+            ))
+        if scored:
+            n = len(scored)
+            ss = sum(s for s, _p in scored)
+            sp = sum(p for _s, p in scored)
+            expected.add((
+                et, n, ss, sp,
+                round_half_up(ss / n, 4), round_half_up(sp / n, 4),
+            ))
+
+    rows = []
+    for i, (et, d) in enumerate(events_spec):
+        us = (base_day + d) * 86_400_000_000
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(event_type=et, ts=ts))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_forecast_baseline(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # order index
+                  st.integers(min_value=0, max_value=1),     # supplier key
+                  st.integers(min_value=1, max_value=400)),  # cents grid
+        min_size=1, max_size=16,
+    ),
+    st.lists(st.integers(min_value=0, max_value=2),          # order years
+             min_size=1, max_size=4),
+)
+def test_market_share_matches_python_mirror(spark, lines_spec, order_years):
+    """Property: the TPC-H Q8-shaped conditional share equals a Python
+    replay -- floor(x*10000+0.5) fixed-point cents (identical IEEE
+    double expression order), the NATION_7 conditional numerator, and
+    the 6-dp HALF_UP share of two exact BIGINTs."""
+    import math
+    from datetime import date
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        _SHARE_NATION,
+        q_market_share,
+    )
+
+    nations = {0: _SHARE_NATION, 1: "NATION_3"}
+    per_year: dict = {}
+    for oi, sk, cents_grid in lines_spec:
+        year = 2020 + order_years[oi % len(order_years)]
+        price, disc = cents_grid * 0.25, 0.05
+        c = math.floor(price * (1 - disc) * 10000 + 0.5)
+        nat, tot = per_year.get(year, (0, 0))
+        if nations[sk] == _SHARE_NATION:
+            nat += c
+        per_year[year] = (nat, tot + c)
+    expected = {
+        (y, nat / 10000.0, tot / 10000.0, round_half_up(nat / tot, 6))
+        for y, (nat, tot) in per_year.items()
+    }
+
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=oi, o_orderdate=date(2020 + order_years[oi % len(order_years)] , 3, 1))
+         for oi in range(4)],
+        "o_orderkey int, o_orderdate date",
+    )
+    lines = spark.createDataFrame(
+        [Row(l_orderkey=oi, l_suppkey=sk,
+             l_extendedprice=g * 0.25, l_discount=0.05)
+         for oi, sk, g in lines_spec],
+        "l_orderkey int, l_suppkey int, l_extendedprice double, l_discount double",
+    )
+    suppliers = spark.createDataFrame(
+        [Row(s_suppkey=k, s_nationkey=k) for k in (0, 1)],
+        "s_suppkey int, s_nationkey int",
+    )
+    nation_df = spark.createDataFrame(
+        [Row(n_nationkey=k, n_name=v) for k, v in nations.items()],
+        "n_nationkey int, n_name string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {
+            "nation": nation_df, "supplier": suppliers,
+            "orders": orders, "lineitem": lines,
+        }
+        got = {tuple(r) for r in q_market_share(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),     # part key
+                  st.integers(min_value=0, max_value=2),     # supplier key
+                  st.integers(min_value=1, max_value=16),    # price grid
+                  st.sampled_from([1, 2, 4])),               # quantity (pow2)
+        min_size=1, max_size=16,
+    )
+)
+def test_min_cost_supplier_matches_python_mirror(spark, lines_spec):
+    """Property: the TPC-H Q2-shaped correlated-min equals a Python
+    replay -- unit price as exact double division (power-of-two
+    quantities over a quarter grid), EVERY line tied at the per-part
+    minimum counted (not one winner), and the distinct-supplier count
+    over exactly those tied lines."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_min_cost_supplier,
+    )
+
+    brands = {0: "B#1", 1: "B#1", 2: "B#2"}
+    up = [(pk, sk, (g * 0.25) / q) for pk, sk, g, q in lines_spec]
+    mins: dict = {}
+    for pk, _sk, u in up:
+        mins[pk] = min(mins.get(pk, u), u)
+    per_brand: dict = {}
+    for pk, sk, u in up:
+        if u == mins[pk]:
+            cnt, sups = per_brand.get(brands[pk], (0, set()))
+            per_brand[brands[pk]] = (cnt + 1, sups | {sk})
+    expected = {(b, c, len(s)) for b, (c, s) in per_brand.items()}
+
+    part = spark.createDataFrame(
+        [Row(p_partkey=k, p_brand=v) for k, v in brands.items()],
+        "p_partkey int, p_brand string",
+    )
+    lines = spark.createDataFrame(
+        [Row(l_partkey=pk, l_suppkey=sk,
+             l_extendedprice=g * 0.25, l_quantity=float(q))
+         for pk, sk, g, q in lines_spec],
+        "l_partkey int, l_suppkey int, l_extendedprice double, l_quantity double",
+    )
+    orig = adv.register_views
+    try:
+        def fake_views(s, _d, _t):
+            part.createOrReplaceTempView("part")
+            lines.createOrReplaceTempView("lineitem")
+        adv.register_views = fake_views
+        got = {tuple(r) for r in q_min_cost_supplier(spark, "u").collect()}
+    finally:
+        adv.register_views = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]),
+                  st.sampled_from(["hello  world", " hello world ",
+                                   "HELLO\tworld", "hello world", "other",
+                                   ""])),
+        min_size=1, max_size=12,
+    )
+)
+def test_doc_fingerprints_matches_python_mirror(spark, docs_spec):
+    """Property: the normalized-md5 exact-dup fingerprint equals a
+    Python replay -- whitespace runs (spaces AND tabs) collapse to one
+    space, trim, lowercase, md5 -- so the whitespace/case variants of
+    one text share a fingerprint and distinct counts collapse."""
+    import hashlib
+    import re
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_doc_fingerprints
+
+    def fp(text: str) -> str:
+        return hashlib.md5(
+            re.sub(r"\s+", " ", text).strip().lower().encode()
+        ).hexdigest()
+
+    per_source: dict = {}
+    for src, text in docs_spec:
+        per_source.setdefault(src, []).append(fp(text))
+    expected = {
+        (src, len(fps), len(set(fps))) for src, fps in per_source.items()
+    }
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=src, text=t)
+         for i, (src, t) in enumerate(docs_spec)],
+        "doc_id int, source string, text string",
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_doc_fingerprints(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),      # hour of day
+                  st.sampled_from(["view", "click", "purchase", "error"]),
+                  st.integers(min_value=0, max_value=40)),    # value grid
+        min_size=1, max_size=16,
+    )
+)
+def test_event_unpivot_matches_python_mirror(spark, events_spec):
+    """Property: the pivot -> stack round trip equals a Python replay
+    -- every hour with ANY event (including types outside the pivot
+    list, e.g. 'error') yields exactly three stacked rows, absent
+    cells as NULL."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    from spark_streaming_postgres_lab2_spark.queries.core import q_event_unpivot
+
+    types = ["view", "click", "purchase"]
+    sums: dict = {}
+    hours = set()
+    for h, et, v in events_spec:
+        hours.add(h)
+        if et in types:
+            sums[(h, et)] = sums.get((h, et), 0.0) + v * 0.25
+    expected = set()
+    for h in hours:
+        for et in types:
+            cell = round_half_up(sums[(h, et)], 2) if (h, et) in sums else None
+            expected.add((h, et, cell))
+
+    rows = [
+        Row(ts=datetime(2024, 1, 1, h), event_type=et, value=v * 0.25)
+        for h, et, v in events_spec
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    orig = core.load_tables
+    try:
+        core.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_event_unpivot(spark, "u").collect()}
+    finally:
+        core.load_tables = orig
+    assert got == expected
