@@ -116,6 +116,12 @@ DRIVER_PRIORITY = [
     # (VERDICT r6 item 8 / r12 item 3: keep it pinned).
     "user_session_window",
 ]
+# r15 window tier-0 candidates (no slot left this round): (1)
+# semantic_decontaminate -- born r14, locally oracle-green at three
+# scales + randomized mirror, the only oracle without a driver row
+# after this window greens; (2) quality_classifier_filter -- fold its
+# inline _md5_bucket copy (r13/r14 advice) inside that rotation, since
+# the fold flips its content stamp.
 
 
 def all_specs() -> list[QuerySpec]:
