@@ -6558,3 +6558,372 @@ def test_event_unpivot_matches_python_mirror(spark, events_spec):
     finally:
         core.load_tables = orig
     assert got == expected
+
+
+# --- round-14 mirror batch 5: windows, laterals, rollups, profiling ---------
+
+
+def _ntile(i: int, n: int, k: int = 4) -> int:
+    """Standard SQL ntile: first n%k buckets get ceil(n/k) rows."""
+    base, rem = n // k, n % k
+    if i < rem * (base + 1):
+        return i // (base + 1) + 1
+    return rem + (i - rem * (base + 1)) // base + 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=2),     # custkey
+                  st.integers(min_value=0, max_value=3),     # orderdate day
+                  st.integers(min_value=0, max_value=4000)), # cents grid
+        min_size=1, max_size=16,
+    )
+)
+def test_order_window_suite_matches_python_mirror(spark, orders_spec):
+    """Property: the full window suite equals a Python replay --
+    row_number/ntile(4)/lag/lead/running-sum/percent_rank over ONE
+    (o_orderdate, o_orderkey) ordering with dense date ties, ntile's
+    uneven-bucket rule (first n%4 buckets take the extra row),
+    BIGINT-cents running totals, and percent_rank = (rank-1)/(n-1)
+    with the single-row 0.0 convention."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_order_window_suite,
+    )
+
+    import math
+
+    by_cust: dict = {}
+    for ok, (ck, d, cg) in enumerate(orders_spec):
+        price = cg * 0.25
+        cents = math.floor(price * 100 + 0.5)
+        by_cust.setdefault(ck, []).append((d, ok, cents))
+    expected = set()
+    for ck, evs in by_cust.items():
+        evs.sort()
+        n = len(evs)
+        run = 0
+        for i, (d, ok, cents) in enumerate(evs):
+            run += cents
+            expected.add((
+                ok, ck, i + 1, _ntile(i, n),
+                evs[i - 1][2] if i > 0 else None,
+                evs[i + 1][2] if i + 1 < n else None,
+                run,
+                round_half_up(i / (n - 1), 6) if n > 1 else 0.0,
+            ))
+
+    rows = [
+        Row(o_orderkey=ok, o_custkey=ck,
+            o_orderdate=date(2024, 1, 1) + timedelta(days=d),
+            o_totalprice=cg * 0.25)
+        for ok, (ck, d, cg) in enumerate(orders_spec)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey int, o_custkey int, o_orderdate date, "
+              "o_totalprice double"
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {"orders": df}
+        got = {tuple(r) for r in q_order_window_suite(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),      # order index
+                  st.sampled_from([50.0, 75.25, 100.0, 150.5])),  # quantity
+        min_size=1, max_size=12,
+    )
+)
+def test_big_orders_matches_python_mirror(spark, lines_spec):
+    """Property: the TPC-H Q18-shaped HAVING filter equals a Python
+    replay -- per-order quantity sums on an exact quarter grid
+    straddling the STRICT > 300 threshold (sums of 2-4 lines land on
+    both sides and exactly at 300.0 = two 150.5s minus... the grid
+    guarantees exact equality cases like 100+100+100)."""
+    from datetime import date
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import q_big_orders
+
+    base_us = 1_704_067_200_000_000
+    totals: dict = {}
+    for oi, q in lines_spec:
+        totals[oi] = totals.get(oi, 0.0) + q
+    expected = set()
+    for oi, tq in totals.items():
+        if tq > 300.0:
+            expected.add((
+                f"Customer#{oi % 2}", oi, base_us + oi * 86_400_000_000,
+                round_half_up((oi + 1) * 10.25, 2), round_half_up(tq, 2),
+            ))
+
+    lines = spark.createDataFrame(
+        [Row(l_orderkey=oi, l_quantity=q) for oi, q in lines_spec],
+        "l_orderkey int, l_quantity double",
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=oi, o_custkey=oi % 2,
+             o_orderdate=date(2024, 1, 1 + oi),
+             o_totalprice=(oi + 1) * 10.25)
+         for oi in range(4)],
+        "o_orderkey int, o_custkey int, o_orderdate date, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [Row(c_custkey=k, c_name=f"Customer#{k}") for k in (0, 1)],
+        "c_custkey int, c_name string",
+    )
+    orig = adv.load_tables
+    try:
+        adv.load_tables = lambda _s, _d, _t: {
+            "customer": customer, "orders": orders, "lineitem": lines,
+        }
+        got = {tuple(r) for r in q_big_orders(spark, "u").collect()}
+    finally:
+        adv.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # custkey
+                  st.integers(min_value=1, max_value=4000)), # cents grid
+        min_size=1, max_size=16,
+    )
+)
+def test_top_spenders_lateral_matches_python_mirror(spark, orders_spec):
+    """Property: the LATERAL top-2-per-nation equals a Python replay --
+    per-customer fixed-point spend, (spend DESC, custkey ASC) ordering
+    with dense ties, LIMIT 2 inside the lateral, and nations whose
+    lateral result is EMPTY (no customers with orders) emit no row."""
+    import math
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.advanced as adv
+    from spark_streaming_postgres_lab2_spark.queries.advanced import (
+        q_top_spenders_lateral,
+    )
+
+    nations = {0: "N_A", 1: "N_B"}
+    cust_nation = {0: 0, 1: 0, 2: 1, 3: 1}
+    spend: dict = {}
+    for ck, cg in orders_spec:
+        spend[ck] = spend.get(ck, 0) + math.floor(cg * 0.25 * 100 + 0.5)
+    expected = set()
+    for nk, nname in nations.items():
+        per = sorted(
+            ((cents, ck) for ck, cents in spend.items()
+             if cust_nation[ck] == nk),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        for cents, ck in per:
+            expected.add((nname, ck, cents / 100.0))
+
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=k, n_name=v) for k, v in nations.items()],
+        "n_nationkey int, n_name string",
+    )
+    customer = spark.createDataFrame(
+        [Row(c_custkey=k, c_nationkey=v) for k, v in cust_nation.items()],
+        "c_custkey int, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [Row(o_custkey=ck, o_totalprice=cg * 0.25)
+         for ck, cg in orders_spec],
+        "o_custkey int, o_totalprice double",
+    )
+    orig = adv.register_views
+    try:
+        def fake_views(s, _d, _t):
+            nation.createOrReplaceTempView("nation")
+            customer.createOrReplaceTempView("customer")
+            orders.createOrReplaceTempView("orders")
+        adv.register_views = fake_views
+        got = {tuple(r) for r in q_top_spenders_lateral(spark, "u").collect()}
+    finally:
+        adv.register_views = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # customer
+                  st.integers(min_value=1, max_value=4000)), # cents grid
+        min_size=1, max_size=16,
+    )
+)
+def test_rollup_revenue_matches_python_mirror(spark, lines_spec):
+    """Property: ROLLUP(r_name, n_name) equals the explicit three-set
+    Python enumeration -- (region, nation), (region), () -- with
+    fixed-point money sums; subtotal rows carry NULLs in the rolled-up
+    positions."""
+    import math
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.core as core
+    import spark_streaming_postgres_lab2_spark.sources.tables as tbl
+    from spark_streaming_postgres_lab2_spark.queries.core import q_rollup_revenue
+
+    cust_nation = {0: 0, 1: 1, 2: 2, 3: 2}
+    nation_region = {0: 0, 1: 0, 2: 1}
+    nnames = {0: "N_A", 1: "N_B", 2: "N_C"}
+    rnames = {0: "R_X", 1: "R_Y"}
+
+    cells: dict = {}
+    for i, (ck, cg) in enumerate(lines_spec):
+        price, disc = cg * 0.25, 0.05
+        u = math.floor((price * (1 - disc)) * 10000 + 0.5)
+        nk = cust_nation[ck]
+        key = (rnames[nation_region[nk]], nnames[nk])
+        rev, cnt = cells.get(key, (0, 0))
+        cells[key] = (rev + u, cnt + 1)
+    expected = set()
+    by_region: dict = {}
+    tot = (0, 0)
+    for (r, nm), (rev, cnt) in cells.items():
+        expected.add((r, nm, rev / 10000.0, cnt))
+        br = by_region.get(r, (0, 0))
+        by_region[r] = (br[0] + rev, br[1] + cnt)
+        tot = (tot[0] + rev, tot[1] + cnt)
+    for r, (rev, cnt) in by_region.items():
+        expected.add((r, None, rev / 10000.0, cnt))
+    expected.add((None, None, tot[0] / 10000.0, tot[1]))
+
+    region = spark.createDataFrame(
+        [Row(r_regionkey=k, r_name=v) for k, v in rnames.items()],
+        "r_regionkey int, r_name string",
+    )
+    nation = spark.createDataFrame(
+        [Row(n_nationkey=k, n_name=nnames[k], n_regionkey=nation_region[k])
+         for k in nnames],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    customer = spark.createDataFrame(
+        [Row(c_custkey=k, c_nationkey=v) for k, v in cust_nation.items()],
+        "c_custkey int, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=k, o_custkey=k) for k in cust_nation],
+        "o_orderkey int, o_custkey int",
+    )
+    lines = spark.createDataFrame(
+        [Row(l_orderkey=ck, l_extendedprice=cg * 0.25, l_discount=0.05)
+         for ck, cg in lines_spec],
+        "l_orderkey int, l_extendedprice double, l_discount double",
+    )
+    frames = {"region": region, "nation": nation, "customer": customer,
+              "orders": orders, "lineitem": lines}
+    orig = tbl.register_views
+    try:
+        def fake_views(s, _d, names=None):
+            for nm, df in frames.items():
+                df.createOrReplaceTempView(nm)
+        tbl.register_views = fake_views
+        got = {tuple(r) for r in q_rollup_revenue(spark, "u").collect()}
+    finally:
+        tbl.register_views = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+                  st.integers(min_value=0, max_value=3),      # hour slot
+                  st.one_of(st.none(), st.integers(min_value=1, max_value=3)),
+                  st.one_of(st.none(), st.sampled_from(["view", "click"])),
+                  st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                  st.one_of(st.none(), st.sampled_from(['{"a":1}', "{}"]))),
+        min_size=1, max_size=16,
+    )
+)
+def test_table_profile_events_matches_python_mirror(spark, events_spec):
+    """Property: the per-column profiling operator equals a Python
+    replay -- null/distinct counts per column, integer min/max (ts as
+    epoch micros), lexicographic string min/max, the most-frequent
+    mode with smallest-value tiebreak, ALL-NULL string columns
+    profiling to NULL mode, and doubles deliberately carrying no
+    min/max/mode."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_table_profile_events,
+    )
+
+    base_us = 1_704_067_200_000_000
+    evs = [(eid, base_us + h * 3_600_000_000, uid, et,
+            None if v is None else v * 0.25, props)
+           for eid, h, uid, et, v, props in events_spec]
+    n = len(evs)
+
+    def prof_int(vals):
+        nn = [v for v in vals if v is not None]
+        return (n - len(nn), len(set(nn)),
+                min(nn) if nn else None, max(nn) if nn else None)
+
+    def prof_str(vals):
+        nn = [v for v in vals if v is not None]
+        from collections import Counter
+        if nn:
+            c = Counter(nn)
+            mc = max(c.values())
+            mode = min(v for v, k in c.items() if k == mc)
+        else:
+            mode = mc = None
+        return (n - len(nn), len(set(nn)),
+                min(nn) if nn else None, max(nn) if nn else None, mode, mc)
+
+    ids = prof_int([e[0] for e in evs])
+    tss = prof_int([e[1] for e in evs])
+    uids = prof_int([e[2] for e in evs])
+    ets = prof_str([e[3] for e in evs])
+    vals = prof_int([e[4] for e in evs])  # counts only used below
+    props = prof_str([e[5] for e in evs])
+    expected = {
+        ("event_id", n, ids[0], ids[1], ids[2], ids[3],
+         None, None, None, None),
+        ("user_id", n, uids[0], uids[1], uids[2], uids[3],
+         None, None, None, None),
+        ("ts", n, tss[0], tss[1], tss[2], tss[3], None, None, None, None),
+        ("event_type", n, ets[0], ets[1], None, None,
+         ets[2], ets[3], ets[4], ets[5]),
+        ("value", n, vals[0], vals[1], None, None, None, None, None, None),
+        ("props", n, props[0], props[1], None, None,
+         props[2], props[3], props[4], props[5]),
+    }
+
+    rows = []
+    for eid, us, uid, et, v, p in evs:
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc).replace(tzinfo=None)
+        rows.append(Row(event_id=eid, ts=ts, user_id=uid, event_type=et,
+                        value=v, props=p))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"events": df}
+        got = {tuple(r) for r in q_table_profile_events(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
