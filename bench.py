@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     # round-3 corpus-preparation operators
     "canonical_docs",
     "training_mix_sample",
+    "unimax_mix_allocation",
     "embedding_quantize",
     "quality_percentile_filter",
     "doc_chunks",

@@ -246,12 +246,120 @@ ORDER BY lang
 """
 
 
+# --- UniMax budget allocation --------------------------------------------------
+
+_UNIMAX_EPOCH_CAP = 4       # no language repeats more than 4 epochs
+_UNIMAX_BUDGET_DEN = 2      # token budget = total corpus tokens DIV 2
+
+
+def q_unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining") -- the budget-driven third member of
+    the training-mix family: training_mix_sample downsamples at FIXED
+    per-language rates, training_mix_upsample replicates at fixed
+    rates, and UniMax derives the rates FROM THE DATA by
+    water-filling a token budget under an epoch cap.  Languages are
+    processed smallest-first; each gets an equal share of the
+    remaining budget unless its whole corpus times the cap is smaller
+    (it saturates, and the surplus flows to the larger languages) --
+    temperature sampling's opaque exponent replaced by one
+    interpretable knob (max epochs).
+
+    Integer-exact so the whole allocation sits under the driver hash:
+    whitespace token counts, budget = total DIV 2, ascending
+    (n_tokens, lang) order, alloc = min(cap*n, R DIV k) with R the
+    remaining budget and k the remaining language count, and the
+    realized epoch rate reported in integer basis points
+    (alloc*10000 DIV n).
+
+    Scale shape: the corpus collapses to ONE map-side-combinable
+    per-language token-count aggregate -- the only corpus-sized work;
+    the water-filling fold then runs on the LANGUAGE table, which is
+    tens of rows at ANY corpus scale (the vocabulary-sized-collect
+    precedent of quality_classifier's freqItems), and the result
+    returns as a literal frame.  The oracle replays the fold as a
+    DuckDB recursive CTE over the same ascending order."""
+    from ..functions import text as TX
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    counts = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.sum(TX.token_count("text")).cast("long").alias("n_tokens"))
+        .collect()  # language-cardinality rows only (~tens at 100 TB)
+    )
+    ordered = sorted((r["n_tokens"], r["lang"]) for r in counts)
+    total = sum(n for n, _l in ordered)
+    remaining = total // _UNIMAX_BUDGET_DEN
+    k = len(ordered)
+    out = []
+    for n, lang in ordered:
+        fair = remaining // k
+        alloc = min(_UNIMAX_EPOCH_CAP * n, fair)
+        remaining -= alloc
+        k -= 1
+        out.append((
+            lang, n, alloc,
+            1 if alloc == _UNIMAX_EPOCH_CAP * n else 0,
+            alloc * 10_000 // n,
+        ))
+    return spark.createDataFrame(
+        out,
+        "lang string, n_tokens bigint, budget_alloc bigint, "
+        "saturated int, epochs_bp bigint",
+    ).orderBy("lang")
+
+
+ORACLE_UNIMAX = f"""
+WITH RECURSIVE counts AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+ordered AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, lang) AS rn,
+         count(*) OVER () AS n_langs,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+  FROM counts
+),
+fold AS (
+  SELECT CAST(0 AS BIGINT) AS rn,
+         CAST(total // {_UNIMAX_BUDGET_DEN} AS BIGINT) AS remaining,
+         n_langs AS k,
+         CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS BIGINT) AS n_tokens,
+         CAST(NULL AS BIGINT) AS alloc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn,
+         f.remaining - least({_UNIMAX_EPOCH_CAP} * o.n_tokens, f.remaining // f.k),
+         f.k - 1,
+         o.lang, o.n_tokens,
+         least({_UNIMAX_EPOCH_CAP} * o.n_tokens, f.remaining // f.k)
+  FROM fold f JOIN ordered o ON o.rn = f.rn + 1
+)
+SELECT lang, n_tokens,
+       alloc AS budget_alloc,
+       CAST(CASE WHEN alloc = {_UNIMAX_EPOCH_CAP} * n_tokens THEN 1 ELSE 0 END
+            AS INTEGER) AS saturated,
+       CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp
+FROM fold
+WHERE rn > 0
+ORDER BY lang
+"""
+
+
 def specs() -> list[QuerySpec]:
     return [
         QuerySpec("canonical_docs", q_canonical_docs, ORACLE_CANONICAL_DOCS,
                   "cluster dedup with canonical keep + kept/dropped accounting"),
         QuerySpec("training_mix_sample", q_training_mix_sample, ORACLE_TRAINING_MIX,
                   "deterministic md5-prefix language-weighted sampling"),
+        QuerySpec("unimax_mix_allocation", q_unimax_mix_allocation,
+                  ORACLE_UNIMAX,
+                  "UniMax water-filling token-budget allocation across "
+                  "languages under an epoch cap"),
         QuerySpec("embedding_quantize", q_embedding_quantize,
                   ORACLE_EMBEDDING_QUANTIZE,
                   "int8 symmetric quantization + reconstruction error"),

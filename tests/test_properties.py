@@ -6927,3 +6927,70 @@ def test_table_profile_events_matches_python_mirror(spark, events_spec):
     finally:
         extmod.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr", "zh", "xx"]),
+                  st.integers(min_value=0, max_value=12)),   # tokens per doc
+        min_size=1, max_size=20,
+    )
+)
+def test_unimax_mix_allocation_matches_python_mirror(spark, docs_spec):
+    """Property: the UniMax water-filling allocation equals a
+    pure-Python replay over randomized language skews -- ascending
+    (n_tokens, lang) processing order with tie-dense tiny corpora,
+    integer fair shares (R DIV k), the epoch-cap saturation flag, and
+    basis-point epoch rates -- plus the algorithm's defining
+    invariants: no language exceeds cap*n, total allocation never
+    exceeds the budget, and when the LARGEST language is unsaturated
+    the budget is spent exactly."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        _UNIMAX_BUDGET_DEN,
+        _UNIMAX_EPOCH_CAP,
+        q_unimax_mix_allocation,
+    )
+
+    # token_count = size(split(text, ' ')): an empty text is ONE token
+    per_lang: dict = {}
+    for lang, ntok in docs_spec:
+        per_lang[lang] = per_lang.get(lang, 0) + max(ntok, 1)
+    ordered = sorted((n, lang) for lang, n in per_lang.items())
+    total = sum(n for n, _l in ordered)
+    budget = total // _UNIMAX_BUDGET_DEN
+    remaining, k = budget, len(ordered)
+    expected = set()
+    allocs = []
+    for n, lang in ordered:
+        alloc = min(_UNIMAX_EPOCH_CAP * n, remaining // k)
+        remaining -= alloc
+        k -= 1
+        allocs.append((n, alloc))
+        expected.add((
+            lang, n, alloc,
+            1 if alloc == _UNIMAX_EPOCH_CAP * n else 0,
+            alloc * 10_000 // n,
+        ))
+    assert all(a <= _UNIMAX_EPOCH_CAP * n for n, a in allocs)
+    assert sum(a for _n, a in allocs) <= budget
+    last_n, last_a = allocs[-1]
+    if last_a < _UNIMAX_EPOCH_CAP * last_n:
+        assert sum(a for _n, a in allocs) == budget
+
+    rows = [
+        Row(doc_id=i, lang=lang,
+            text=" ".join("t" for _ in range(ntok)))  # 0 tokens -> ""
+        for i, (lang, ntok) in enumerate(docs_spec)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {tuple(r) for r in q_unimax_mix_allocation(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
