@@ -117,11 +117,12 @@ DRIVER_PRIORITY = [
     "user_session_window",
 ]
 # r15 window tier-0 candidates (no slot left this round): (1)
-# semantic_decontaminate -- born r14, locally oracle-green at three
-# scales + randomized mirror, the only oracle without a driver row
-# after this window greens; (2) quality_classifier_filter -- fold its
-# inline _md5_bucket copy (r13/r14 advice) inside that rotation, since
-# the fold flips its content stamp.
+# semantic_decontaminate and (2) unimax_mix_allocation -- both born
+# r14, locally oracle-green + randomized mirrors, the only oracles
+# without a driver row after this window greens; (3)
+# quality_classifier_filter -- fold its inline _md5_bucket copy
+# (r13/r14 advice) inside that rotation, since the fold flips its
+# content stamp.
 
 
 def all_specs() -> list[QuerySpec]:
