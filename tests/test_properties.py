@@ -6994,3 +6994,167 @@ def test_unimax_mix_allocation_matches_python_mirror(spark, docs_spec):
     finally:
         corpus.load_tables = orig
     assert got == expected
+
+
+# --- round-14 mirror batch 6: HAVING subqueries, Q21 rewrite, regex clean ----
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),     # partkey
+                  st.integers(min_value=1, max_value=400)),  # price grid
+        min_size=1, max_size=16,
+    )
+)
+def test_important_parts_matches_python_mirror(spark, lines_spec):
+    """Property: the TPC-H Q11-shaped HAVING > scalar-subquery filter
+    equals a Python replay -- fixed-point revenue cents, the
+    cross-multiplied INTEGER threshold (2*rev*n_parts > 3*total, no
+    float boundary), and exact-boundary cases where a part's share is
+    exactly 1.5x the average (excluded by the strict compare)."""
+    import math
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tpm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_important_parts,
+    )
+
+    disc = 0.25
+    per_part: dict = {}
+    for pk, g in lines_spec:
+        rev = (g * 0.25) * (1 - disc)
+        per_part[pk] = per_part.get(pk, 0) + math.floor(rev * 10000 + 0.5)
+    total = sum(per_part.values())
+    n = len(per_part)
+    expected = {
+        (pk, cents / 10000.0)
+        for pk, cents in per_part.items()
+        if 2 * cents * n > 3 * total
+    }
+
+    lines = spark.createDataFrame(
+        [Row(l_partkey=pk, l_extendedprice=g * 0.25, l_discount=disc)
+         for pk, g in lines_spec],
+        "l_partkey int, l_extendedprice double, l_discount double",
+    )
+    orig = tpm.load_tables
+    try:
+        tpm.load_tables = lambda _s, _d, _t: {"lineitem": lines}
+        got = {(r.l_partkey, r.revenue)
+               for r in q_important_parts(spark, "u").collect()}
+    finally:
+        tpm.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # orderkey
+                  st.integers(min_value=0, max_value=3),     # suppkey
+                  st.booleans()),                            # returned line
+        min_size=1, max_size=16,
+    )
+)
+def test_sole_failed_supplier_matches_python_mirror(spark, lines_spec):
+    """Property: the TPC-H Q21-shaped sole-culprit rewrite equals a
+    Python replay -- per-(order, supplier) failure flags, the
+    multi-supplier (>=2) AND exactly-one-failed order filter, and the
+    final grouping on s_name with COLLIDING names (two suppliers share
+    'SUP_X': their waits must merge, which grouping by suppkey would
+    get wrong)."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.tpch_more as tpm
+    from spark_streaming_postgres_lab2_spark.queries.tpch_more import (
+        q_sole_failed_supplier,
+    )
+
+    names = {0: "SUP_X", 1: "SUP_X", 2: "SUP_Y", 3: "SUP_Z"}
+    flags: dict = {}
+    for ok, sk, ret in lines_spec:
+        flags[(ok, sk)] = max(flags.get((ok, sk), 0), 1 if ret else 0)
+    per_order: dict = {}
+    for (ok, sk), f in flags.items():
+        n, nf = per_order.get(ok, (0, 0))
+        per_order[ok] = (n + 1, nf + f)
+    waits: dict = {}
+    for (ok, sk), f in flags.items():
+        n, nf = per_order[ok]
+        if f == 1 and n >= 2 and nf == 1:
+            waits[names[sk]] = waits.get(names[sk], 0) + 1
+    expected = {(nm, c) for nm, c in waits.items()}
+
+    lines = spark.createDataFrame(
+        [Row(l_orderkey=ok, l_suppkey=sk,
+             l_returnflag="R" if ret else "N")
+         for ok, sk, ret in lines_spec],
+        "l_orderkey int, l_suppkey int, l_returnflag string",
+    )
+    supplier = spark.createDataFrame(
+        [Row(s_suppkey=k, s_name=v) for k, v in names.items()],
+        "s_suppkey int, s_name string",
+    )
+    orig = tpm.load_tables
+    try:
+        tpm.load_tables = lambda _s, _d, _t: {
+            "lineitem": lines, "supplier": supplier,
+        }
+        got = {tuple(r) for r in q_sole_failed_supplier(spark, "u").collect()}
+    finally:
+        tpm.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),    # doc_id (mod 3!)
+                  st.sampled_from(["plain text", "a  b", "x https://keep.net y",
+                                   "mail me@host.org now", ""])),
+        min_size=1, max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_doc_clean_matches_python_mirror(spark, docs_spec):
+    """Property: the URL/email scrub + whitespace collapse equals a
+    Python re replay (third regex engine, the html_text_extract
+    precedent) -- including texts that THEMSELVES carry URLs/emails
+    beyond the doc_id-keyed injected noise, and the doc_id % 3 noise
+    arms."""
+    import re
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import q_doc_clean
+
+    expected = set()
+    for doc_id, text in docs_spec:
+        if doc_id % 3 == 0:
+            noisy = f"{text} visit https://example.com/p{doc_id} now"
+        elif doc_id % 3 == 1:
+            noisy = f"{text}  contact bob{doc_id}@mail.example.org  "
+        else:
+            noisy = text
+        cleaned = re.sub(
+            r"(https?://\S+)|([A-Za-z0-9.]+@[A-Za-z0-9.]+)", "", noisy
+        )
+        cleaned = re.sub(r"\s+", " ", cleaned).strip()
+        expected.add((doc_id, len(noisy), len(cleaned),
+                      len(noisy) - len(cleaned)))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs_spec],
+        "doc_id int, text string",
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_doc_clean(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
