@@ -462,9 +462,11 @@ def main() -> None:
             "speedup_vs_reference": round(ev / 166.7, 1),
             # the conservative same-run floor: min(cold, warm) of this
             # suite run, so a reader of the summary block alone sees
-            # the worst same-run reading next to the headline one
+            # the worst same-run reading next to the headline one.
+            # cold_ev=0.0 is a REAL (alarming) reading, not a missing
+            # one -- only None means "cold pass absent" (r14 review)
             "speedup_vs_reference_floor": round(
-                min(ev, cold_ev or ev) / 166.7, 1
+                (min(ev, cold_ev) if cold_ev is not None else ev) / 166.7, 1
             ),
             # r13 measurement (NOTES round-13): byte-identical code
             # measured 4,972 / 1,052.8 / 1,123.8 ev/s within hours on

@@ -1444,6 +1444,7 @@ def embedding_decontaminate_portable(
     n_planes: int | None = None,
     n_tables: int = 16,
     dim: int = 64,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Embedding-space decontamination probe -- the asymmetric
     (train x eval) sibling of ``embedding_near_dupes_lsh_portable``,
@@ -1509,10 +1510,27 @@ def embedding_decontaminate_portable(
     # minhash_decontaminate pattern): without the hint, a stats-less
     # candidate lineage can plan a shuffle join that exchanges every
     # train vector -- exactly the corpus-wide exchange this function's
-    # contract rules out (r14 review finding)
-    joined = tv.join(F.broadcast(cand), "train_vec_id").join(
-        F.broadcast(ev), "eval_vec_id"
-    )
+    # contract rules out (r14 review finding).  CARDINALITY BOUND
+    # (r15 review): broadcasting cand collects it to the driver, and
+    # |cand| <= sum over hot buckets of |train in bucket| x |eval in
+    # bucket| -- when a single LSH bucket is shared by a large slice
+    # of the train corpus, cand scales with TRAIN, so driver memory
+    # becomes the real bound.  The adaptive-k rule keeps expected
+    # bucket occupancy flat as the corpus grows, but a caller running
+    # a probe whose candidate set outgrows the broadcast threshold
+    # should pass ``broadcast_candidates=False``: the verify join then
+    # SHUFFLES both sides on train_vec_id -- one corpus-wide exchange,
+    # but executor-streaming-bounded (spillable, scales with cluster
+    # size) instead of driver-memory-bounded, which is the correct
+    # trade once cand itself is corpus-scaled.
+    if broadcast_candidates:
+        joined = tv.join(F.broadcast(cand), "train_vec_id").join(
+            F.broadcast(ev), "eval_vec_id"
+        )
+    else:
+        joined = tv.join(cand, "train_vec_id").join(
+            F.broadcast(ev), "eval_vec_id"
+        )
 
     def _verify(batches):
         # sequential per-dimension accumulation: bit-identical to the

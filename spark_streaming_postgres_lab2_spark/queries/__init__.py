@@ -41,88 +41,93 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
-    # round 14, tier 0 (slots 1-3): the only oracles with NO driver
-    # CORRECTNESS row ever.  Slots 1-2 are the two r13-born operators
-    # (VERDICT r13 item 1: lm_surprisal_filter, dsir_importance_select
-    # -- locally oracle-green at three scales, never windowed because
-    # the r13 window was pinned by the r12 order); slot 3 is the new
-    # CSV-round-trip twin of the flagship hourly rollup (VERDICT r13
-    # item 6: the non-parquet formats path gets driver-grade evidence).
-    "lm_surprisal_filter",
-    "dsir_importance_select",
-    "hourly_event_summary_csv",
-    # round 14, tier 1 (46, slots 4-49): the COMPLETE r10-last-green
-    # cohort -- the stalest driver evidence in the inventory (4 rounds
-    # old) and, because PARITY src_stamps begin at r11, the last
-    # oracles whose certified round carries no content stamp.  Greening
-    # all 46 here advances the minimum last-green round to r11 and
-    # makes "every certified round is stamped" an invariant the guards
-    # hard-assert (VERDICT r13 items 2+4).  Ranked by MEASURED
-    # cross-module blame-span width (sum of span lines in files other
-    # than the fn's own module, via tools/parity_check.fn_blame_spans
-    # at the r14 head): dlq_breakdown 60, embedding_quantize 54,
-    # enriched_events/validation_summary 37, purchase_attribution 29,
-    # dedup_exact 5, doc_array_ops/top_supplier/winsorized_value_stats
-    # 4, remainder 0 (alphabetical).
-    "dlq_breakdown",
-    "embedding_quantize",
-    "enriched_events",
-    "validation_summary",
-    "purchase_attribution",
-    "dedup_exact",
-    "doc_array_ops",
-    "top_supplier",
-    "winsorized_value_stats",
-    "ab_test_conversion",
-    "benford_digit_audit",
-    "big_orders",
-    "category_performance",
-    "cohort_retention",
-    "compaction_plan",
-    "cube_events",
-    "doc_chunks",
-    "doc_clean",
-    "event_distribution",
-    "event_pivot",
-    "event_transitions",
-    "event_unpivot",
-    "forecast_baseline",
-    "funnel_conversion",
-    "fuzzy_record_linkage",
-    "gdpr_erasure_audit",
-    "grouping_sets_events",
-    "hourly_event_summary",
-    "important_parts",
-    "iqr_outlier_summary",
-    "late_arrivals",
-    "market_basket",
-    "market_share",
-    "min_cost_supplier",
-    "ols_trend",
-    "order_date_math",
-    "rollup_revenue",
-    "scd2_priority_dim",
-    "sequence_packing",
-    "skew_key_report",
-    "sole_failed_supplier",
-    "table_profile_events",
-    "training_mix_sample",
-    "trending_scores",
-    "user_map_funcs",
-    "user_set_ops_all",
+    # round 15, tier 0 (slots 1-3), exactly the r14 order sheet:
+    # slots 1-2 are the two r14-born operators -- the ONLY 2 of 173
+    # oracles with no driver CORRECTNESS row (VERDICT r14 item 1);
+    # both also re-stamp after their r15 NULL-hardening (ADVICE r14:
+    # unimax NULL-lang/zero-token fold divergence; the similarity
+    # helper's broadcast-candidate bound).  Slot 3 is
+    # quality_classifier_filter, whose inline _md5_bucket copy was
+    # folded into the shared helper THIS round (VERDICT r14 item 2,
+    # third listing) and therefore must re-certify under its new
+    # content stamp.
+    "semantic_decontaminate",
+    "unimax_mix_allocation",
+    "quality_classifier_filter",
+    # round 15, tier 1 (34, slots 4-37): the COMPLETE r11-last-green
+    # cohort -- after the r14 window retired the r10 cohort, these 34
+    # are the stalest driver evidence (last green 4 rounds ago).
+    # Greening all of them advances the minimum last-green round to
+    # r12 (VERDICT r14 item 4).  Ranked by MEASURED cross-module
+    # blame-span width at the r15 head (tools/parity_check.
+    # fn_blame_spans, sum of span lines outside the fn's own module):
+    # multimodal_frames 53, bfs_reachability 44,
+    # doc_rolling_fingerprint 42, doc_quality 35, doc_language 21,
+    # bpe_apply_compression 19, five revenue queries 4, remainder 0
+    # (alphabetical).
+    "multimodal_frames",
+    "bfs_reachability",
+    "doc_rolling_fingerprint",
+    "doc_quality",
+    "doc_language",
+    "bpe_apply_compression",
+    "disjunctive_revenue",
+    "nation_volume",
+    "promo_revenue",
+    "returned_revenue",
+    "small_quantity_revenue",
+    "above_avg_orders",
+    "boilerplate_dedup",
+    "bpe_merge_candidates",
+    "corpus_filter_chain",
+    "customers_without_orders",
+    "kmeans_cluster_profile",
+    "nation_pairs",
+    "order_count_distribution",
+    "order_priority",
+    "pii_redaction",
+    "quality_percentile_filter",
+    "regional_revenue",
+    "snapshot_diff",
+    "source_quota_sample",
+    "tfidf_top_terms",
+    "top_customers",
+    "top_parts_per_brand",
+    "tpch_q1",
+    "tpch_q6",
+    "user_activity",
+    "value_percentiles",
+    "value_stats",
+    "zipf_top_terms",
+    # round 15, tier 2 (12, slots 38-49): the widest-blame-span 12 of
+    # the 37 remaining r12-last-green oracles (quality_classifier_
+    # filter already holds slot 3), same ranking protocol:
+    # doc_repetition 55, salted_nation_revenue 47, similarity_topk 41,
+    # session_path_mining/overlap_pairs/concurrency 19,
+    # multimodal_meta 18, embedding_near_dup/doc_token_stats 10,
+    # doc_fingerprints 7, then the 4-tier alphabetically
+    # (doc_hof_stats, fact_join_unbucketed).  The other 25 r12 rows
+    # rotate in r16.
+    "doc_repetition",
+    "salted_nation_revenue",
+    "similarity_topk",
+    "session_concurrency",
+    "session_overlap_pairs",
+    "session_path_mining",
+    "multimodal_meta",
+    "doc_token_stats",
+    "embedding_near_dup",
+    "doc_fingerprints",
+    "doc_hof_stats",
+    "fact_join_unbucketed",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
-    # the cheapest canary for another fixture timestamp drift, and the
-    # first re-certification of the r13 exact-gap-boundary oracle fix
-    # (VERDICT r6 item 8 / r12 item 3: keep it pinned).
+    # the cheapest canary for another fixture timestamp drift (VERDICT
+    # r6 item 8 / r12 item 3: keep it pinned).
     "user_session_window",
 ]
-# r15 window tier-0 candidates (no slot left this round): (1)
-# semantic_decontaminate and (2) unimax_mix_allocation -- both born
-# r14, locally oracle-green + randomized mirrors, the only oracles
-# without a driver row after this window greens; (3)
-# quality_classifier_filter -- fold its inline _md5_bucket copy
-# (r13/r14 advice) inside that rotation, since the fold flips its
-# content stamp.
+# r16 window tier-1 candidates: the 25 r12-last-green oracles not
+# rotated this round (CORRECTNESS union stays 173/173 regardless --
+# rotation freshness only).
 
 
 def all_specs() -> list[QuerySpec]:

@@ -112,6 +112,7 @@ def q_hourly_event_summary_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned, no inference pass over the data."""
     import hashlib
     import os
+    import stat
     import tempfile
 
     from ..sources.formats import read_table, write_table
@@ -126,9 +127,23 @@ def q_hourly_event_summary_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and bench each run queries sequentially; concurrent
     # same-fixture invocations of THIS query from separate processes
     # are outside the supported harness flows.
+    # The scratch ROOT is keyed per-uid and verified 0700-owned-by-us
+    # before Spark touches it, so another local user cannot squat the
+    # fixed /tmp name with a symlink or a dir we would then write
+    # into (r15 review finding).
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_formats_{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"scratch root {root} is not a directory owned by uid "
+            f"{os.getuid()} -- refusing to write through it"
+        )
+    os.chmod(root, 0o700)
     dest = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_formats",
+        root,
         hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
         "events_csv",
     )

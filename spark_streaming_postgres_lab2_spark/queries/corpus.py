@@ -283,10 +283,24 @@ def q_unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import text as TX
 
     t = load_tables(spark, sf_dir, ["documents"])
+    # NULL normalization, pinned IDENTICALLY in the oracle (r14 review
+    # finding -- the driver fold raised TypeError on NULL lang /
+    # all-NULL text instead of matching DuckDB): lang NULL -> 'und'
+    # (BCP-47 undetermined), per-doc token count NULL -> 0, and a
+    # zero-token language reports epochs_bp = 0 instead of dividing.
     counts = (
         t["documents"]
+        .select(
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            # NOT coalesce(token_count(...), 0): size(NULL) is -1
+            # under Spark's legacy sizeOfNull default, so the NULL
+            # guard must fire on the TEXT column itself
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(TX.token_count("text"))
+            .alias("__n"),
+        )
         .groupBy("lang")
-        .agg(F.sum(TX.token_count("text")).cast("long").alias("n_tokens"))
+        .agg(F.sum("__n").cast("long").alias("n_tokens"))
         .collect()  # language-cardinality rows only (~tens at 100 TB)
     )
     ordered = sorted((r["n_tokens"], r["lang"]) for r in counts)
@@ -302,7 +316,7 @@ def q_unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((
             lang, n, alloc,
             1 if alloc == _UNIMAX_EPOCH_CAP * n else 0,
-            alloc * 10_000 // n,
+            alloc * 10_000 // n if n else 0,
         ))
     return spark.createDataFrame(
         out,
@@ -313,8 +327,9 @@ def q_unimax_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_UNIMAX = f"""
 WITH RECURSIVE counts AS (
-  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang
+  SELECT coalesce(lang, 'und') AS lang,
+         CAST(sum(coalesce(len(string_split(text, ' ')), 0)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
 ),
 ordered AS (
   SELECT lang, n_tokens,
@@ -343,7 +358,8 @@ SELECT lang, n_tokens,
        alloc AS budget_alloc,
        CAST(CASE WHEN alloc = {_UNIMAX_EPOCH_CAP} * n_tokens THEN 1 ELSE 0 END
             AS INTEGER) AS saturated,
-       CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE alloc * 10000 // n_tokens END AS BIGINT) AS epochs_bp
 FROM fold
 WHERE rn > 0
 ORDER BY lang

@@ -48,10 +48,10 @@ def _clean_tokens(col):
 
 def _md5_bucket(col, mod: int):
     """The package's portable hash recipe (md5-prefix-15-hex int mod
-    m) as a Column.  quality_classifier_filter still inlines an
-    identical copy: fold it in here at that query's next
-    driver-window rotation -- refactoring it now would flip its
-    content stamp outside the window (r13 review, deferred)."""
+    m) as a Column -- the single definition used by both the DSIR
+    bucketing and the quality-classifier weight hash (the former
+    inline copy in ``q_quality_classifier_filter`` was folded here in
+    the r15 driver-window rotation, per the r13/r14 review)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
 
 
@@ -962,10 +962,7 @@ def q_quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(_clean_tokens(F.col("text")))).alias("__tok"),
     )
-    w = (
-        F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long") % _QC_MOD
-        - (_QC_MOD - 1) // 2
-    )
+    w = _md5_bucket(F.col("__tok"), _QC_MOD) - (_QC_MOD - 1) // 2
     scored = (
         toks.withColumn("__w", w)
         .groupBy("doc_id", "source")

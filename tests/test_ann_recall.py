@@ -246,3 +246,38 @@ def test_ann_ivfpq_adc_recall_and_lossless_members(spark, sf_dir):
         exact = {int(ids[j]) for j in np.lexsort((ids, d))[:10]}
         recalls.append(len(exact & set(got[qi])) / 10)
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_ann_ivf_topk_query_recall_floor_on_fixture(spark, sf_dir):
+    """VERDICT r14 item 6: ``ann_ivf_topk`` is rows-only in the driver
+    gate, so its OWN probe parameters (k-means k=8, nprobe=2, top-10)
+    had no recall pin -- a probe-count regression inside the query
+    would drift silently.  This runs the query VERBATIM (monkeypatched
+    onto a planted-structure version of the fixture corpus, the same
+    _planted_embeddings transform the driver-checked ann_recall_audit
+    uses) and asserts mean recall@10 vs exact brute force >= 0.9
+    (measured 1.0 at fixture scale)."""
+    import spark_streaming_postgres_lab2_spark.queries.ext as ext
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _planted_embeddings,
+        q_ann_ivf_topk,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    planted = _planted_embeddings(emb).localCheckpoint(eager=True)
+
+    orig = ext.load_tables
+    try:
+        ext.load_tables = lambda _s, _d, _t: {"embeddings": planted}
+        got = _topk_sets(q_ann_ivf_topk(spark, "unused"))
+    finally:
+        ext.load_tables = orig
+
+    truth = _topk_sets(
+        cosine_topk(planted, planted.filter(F.col("vec_id") < 5), k=K)
+    )
+    assert set(truth) == set(got)
+    recalls = [len(truth[q] & got[q]) / K for q in truth]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.9, f"ann_ivf_topk query recall@{K} = {recall:.3f}"

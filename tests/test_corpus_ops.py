@@ -763,3 +763,82 @@ def test_substring_dedup_cut_fast_plan_is_join_free(spark):
     ) <= 1  # only the rollup join survives
     assert checks.shuffle_count(fast) == checks.shuffle_count(exact)
     assert set(checks.read_schema_columns(fast)) == {"doc_id", "source", "text"}
+
+
+def test_unimax_null_lang_and_null_text_cross_engine(spark):
+    """ADVICE r14: NULL lang / all-NULL text previously made the
+    driver-side water-filling fold raise TypeError (sorted()/sum()
+    over None) while the DuckDB oracle happily produced rows.  Both
+    sides now normalize IDENTICALLY: lang NULL -> 'und' (merging with
+    any literal 'und' mass), a NULL-text doc counts 0 tokens, and a
+    zero-token language reports epochs_bp = 0 instead of dividing."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        ORACLE_UNIMAX,
+        q_unimax_mix_allocation,
+    )
+
+    rows = [
+        # NULL lang, 3 tokens -> merges into 'und'
+        Row(doc_id=1, source="s", lang=None, text="a b c", n_chars=5),
+        # literal 'und', 2 tokens -> und totals 5
+        Row(doc_id=2, source="s", lang="und", text="d e", n_chars=3),
+        # 'en' is ALL NULL text -> n_tokens 0, epochs_bp must be 0
+        Row(doc_id=3, source="s", lang="en", text=None, n_chars=0),
+        Row(doc_id=4, source="s", lang="de", text="a b c d e f g h", n_chars=15),
+        Row(doc_id=5, source="s", lang="de", text="i j", n_chars=3),
+    ]
+    schema = "doc_id int, source string, lang string, text string, n_chars int"
+    docs = spark.createDataFrame(rows, schema)
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_unimax_mix_allocation(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+
+    pdf = pd.DataFrame([r.asDict() for r in rows])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = {tuple(r) for r in con.sql(ORACLE_UNIMAX).fetchall()}
+    assert got == want
+    by_lang = {t[0]: t for t in got}
+    assert set(by_lang) == {"und", "en", "de"}
+    assert by_lang["und"][1] == 5  # NULL-lang mass merged
+    assert by_lang["en"][1:] == (0, 0, 1, 0)  # zero-token: no division
+
+
+def test_embedding_decontaminate_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """ADVICE r14: broadcasting the candidate pair set collects it to
+    the driver, so a hot LSH bucket makes driver memory the real
+    bound; ``broadcast_candidates=False`` is the documented escape
+    hatch (shuffle keyed on train_vec_id).  The two paths must emit
+    the SAME pair set -- the flag changes the exchange strategy, never
+    the result."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        adaptive_portable_kl,
+        embedding_decontaminate_portable,
+    )
+    from spark_streaming_postgres_lab2_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    is_eval = F.coalesce(F.col("label").isin(8, 9), F.lit(False))
+    k, tables = adaptive_portable_kl(emb.count())
+    kw = dict(threshold=0.2, n_planes=k, n_tables=tables)
+    bcast = embedding_decontaminate_portable(
+        emb.filter(~is_eval), emb.filter(is_eval), **kw
+    )
+    shuf = embedding_decontaminate_portable(
+        emb.filter(~is_eval), emb.filter(is_eval),
+        broadcast_candidates=False, **kw
+    )
+    got_b = {tuple(r) for r in bcast.collect()}
+    got_s = {tuple(r) for r in shuf.collect()}
+    assert got_b, "fixture yielded no pairs -- threshold too high to test"
+    assert got_b == got_s

@@ -605,18 +605,16 @@ def test_bpe_apply_reserved_codepoint_words_are_excluded(spark):
     assert drow == ("s", 3, 12, 6, 0.5)
 
 
-def test_md5_bucket_matches_quality_classifier_inline_copy(spark):
-    """r13 advice: ``_md5_bucket`` is the package's portable-hash
-    recipe, but ``q_quality_classifier_filter`` still inlines an
-    identical expression (folding it would flip that query's content
-    stamp outside a driver window -- deferred to its next rotation).
-    Scope (r14 review): this compares ``_md5_bucket`` to a TEST-LOCAL
-    copy of the recipe, so it pins the helper's arithmetic, not the
-    query's inline expression -- drift INSIDE
-    q_quality_classifier_filter is caught by its own randomized
-    hashlib-replay mirror (test_properties.py,
-    test_quality_classifier_matches_python_mirror), which recomputes
-    the weights from the query's actual output."""
+def test_md5_bucket_matches_hashlib_recipe(spark):
+    """The inline copy inside ``q_quality_classifier_filter`` was
+    folded into ``_md5_bucket`` (r15 rotation), so the old
+    expression-equality pin is retired; this pins the single helper
+    against an independent hashlib recompute instead.  Drift inside
+    q_quality_classifier_filter itself is still caught by its
+    randomized hashlib-replay mirror (test_properties.py,
+    test_quality_classifier_matches_python_mirror)."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
     from spark_streaming_postgres_lab2_spark.queries.curation import (
@@ -624,13 +622,10 @@ def test_md5_bucket_matches_quality_classifier_inline_copy(spark):
         _md5_bucket,
     )
 
-    vals = ["", "a", "tok", "\\N", "ümlaut", "x" * 64, "0", "deadbeef",
+    vals = ["", "a", "tok", "\\N", "\u00fcmlaut", "x" * 64, "0", "deadbeef",
             '{"j": 1}', "-1"]
     df = spark.createDataFrame([(v,) for v in vals], "s string")
-    inline = (
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long") % _QC_MOD
-    )
-    rows = df.select(
-        _md5_bucket(F.col("s"), _QC_MOD).alias("a"), inline.alias("b")
-    ).collect()
-    assert all(r.a == r.b for r in rows), rows
+    rows = df.select("s", _md5_bucket(F.col("s"), _QC_MOD).alias("b")).collect()
+    for r in rows:
+        expect = int(hashlib.md5(r.s.encode()).hexdigest()[:15], 16) % _QC_MOD
+        assert r.b == expect, (r.s, r.b, expect)

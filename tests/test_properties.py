@@ -7158,3 +7158,205 @@ def test_doc_clean_matches_python_mirror(spark, docs_spec):
     finally:
         extmod.load_tables = orig
     assert got == expected
+
+
+# --- round-15 mirror batch (VERDICT r14 item 5): canonical selection, ------
+# --- PMI vocabulary/pair cuts, PQ assignment arithmetic --------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # template (text)
+                  st.integers(min_value=0, max_value=2),     # source
+                  st.integers(min_value=0, max_value=9)),    # n_chars (ties!)
+        min_size=1, max_size=12,
+    )
+)
+def test_canonical_docs_matches_python_mirror(spark, docs_spec):
+    """Property: the canonical-selection + accounting stage of
+    ``canonical_docs`` equals a pure-Python replay on corpora with a
+    KNOWN ground-truth pair set: docs sharing a template are verbatim
+    duplicates (Jaccard 1.0 -- every LSH band collides, verify always
+    keeps), templates share no tokens (zero shingle overlap -- no
+    cross pairs possible), so clusters == template groups and the
+    mirror replays the struct-MAX (n_chars, lowest doc_id) keep rule
+    -- tie-dense n_chars by construction -- plus the per-source
+    kept/dropped rollup."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import q_canonical_docs
+
+    texts = {
+        t: " ".join(f"t{t}w{i}" for i in range(5)) for t in range(4)
+    }
+    docs = [
+        (i, f"s{src}", texts[tpl], nch, tpl)
+        for i, (tpl, src, nch) in enumerate(docs_spec)
+    ]
+    by_tpl: dict = {}
+    for doc_id, src, _text, nch, tpl in docs:
+        by_tpl.setdefault(tpl, []).append((doc_id, src, nch))
+    kept_ids = set()
+    for members in by_tpl.values():
+        # struct MAX on (n_chars, -doc_id): longest doc, lowest id tie-break
+        best = max(members, key=lambda m: (m[2], -m[0]))
+        kept_ids.add(best[0])
+    expected = {}
+    for doc_id, src, _text, nch, _tpl in docs:
+        n, k = expected.get(src, (0, 0))
+        expected[src] = (n + 1, k + (1 if doc_id in kept_ids else 0))
+    expected_rows = {
+        (src, n, k, n - k) for src, (n, k) in expected.items()
+    }
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s, lang="en", text=t, n_chars=n)
+         for i, s, t, n, _tpl in docs],
+        "doc_id bigint, source string, lang string, text string, n_chars int",
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {tuple(r) for r in q_canonical_docs(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected_rows
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=10**6))
+def test_term_pmi_matches_python_mirror(spark, seed):
+    """Property: ``term_pmi_cooccurrence`` equals a pure-Python replay
+    over a 34-term Zipf-skewed random corpus -- WIDER than _PMI_VOCAB
+    (30), so the deterministic (df DESC, term) vocabulary cut binds,
+    and with enough co-occurring pairs that the top-50
+    (n_both DESC, term_a, term_b) emission cut binds too; doc-level
+    presence counting (explode+distinct), exact BIGINT counts, and
+    the display-only ln rounded half-up to 4."""
+    import math
+    import random as rnd
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _PMI_TOPK,
+        _PMI_VOCAB,
+        q_term_pmi_cooccurrence,
+    )
+
+    r = rnd.Random(seed)
+    vocab = [f"w{i:02d}" for i in range(34)]
+    n_docs = r.randint(8, 20)
+    corpus_docs = []
+    for i in range(n_docs):
+        k = r.randint(1, 10)
+        # Zipf-ish skew: low-index terms appear in many docs
+        toks = [vocab[min(int(r.expovariate(0.12)), 33)] for _ in range(k)]
+        corpus_docs.append((i, " ".join(toks)))
+
+    present: dict = {}
+    for doc_id, text in corpus_docs:
+        for term in {t for t in text.split(" ") if t}:
+            present.setdefault(term, set()).add(doc_id)
+    df_by_term = {t: len(ds) for t, ds in present.items()}
+    cut = sorted(df_by_term.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_VOCAB]
+    vocab_df = dict(cut)
+    pair_counts: dict = {}
+    for doc_id, text in corpus_docs:
+        terms = sorted(
+            {t for t in text.split(" ") if t and t in vocab_df}
+        )
+        for ai in range(len(terms)):
+            for bi in range(ai + 1, len(terms)):
+                key = (terms[ai], terms[bi])
+                pair_counts[key] = pair_counts.get(key, 0) + 1
+    rows = []
+    for (a, b), n_both in pair_counts.items():
+        pmi = round_half_up(
+            math.log(n_both * n_docs / (df_by_term[a] * df_by_term[b])), 4
+        )
+        rows.append((a, b, n_both, df_by_term[a], df_by_term[b], pmi))
+    rows.sort(key=lambda t: (-t[2], t[0], t[1]))
+    expected = set(rows[:_PMI_TOPK])
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus_docs],
+        "doc_id bigint, text string",
+    )
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_term_pmi_cooccurrence(spark, "u").collect()}
+    finally:
+        cur.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=10**6))
+def test_embedding_pq_audit_matches_python_mirror(spark, seed):
+    """Property: the PQ assignment/reconstruction arithmetic of
+    ``embedding_pq_audit`` equals a pure-Python integer replay on a
+    random float32 corpus: floor(double(x) * 2^14) BIGINT quantization
+    (float32->double is exact, so both sides quantize identically),
+    per-(vector, subspace) BIGINT squared distances to all 16 seeded
+    codes, argmin tie-broken on (d2, code), per-subspace rollup of
+    count / distinct codes / total squared error."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        _KM_DIM,
+        _KM_QSCALE,
+        _PQ_K,
+        _PQ_SUB,
+        q_embedding_pq_audit,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(17, 40))
+    vecs = rng.normal(scale=0.6, size=(n, _KM_DIM)).astype(np.float32)
+    qv = [
+        [int(math.floor(float(x) * _KM_QSCALE)) for x in row] for row in vecs
+    ]
+    n_sub = _KM_DIM // _PQ_SUB
+    # codebook: subvectors of the _PQ_K lowest vec_ids (ids are 0..n-1)
+    book = {
+        m: [qv[code][m * _PQ_SUB:(m + 1) * _PQ_SUB] for code in range(_PQ_K)]
+        for m in range(n_sub)
+    }
+    agg = {m: [0, set(), 0] for m in range(n_sub)}
+    for vid in range(n):
+        for m in range(n_sub):
+            sub = qv[vid][m * _PQ_SUB:(m + 1) * _PQ_SUB]
+            best = min(
+                (
+                    (sum((a - c) ** 2 for a, c in zip(sub, book[m][code])), code)
+                    for code in range(_PQ_K)
+                )
+            )
+            agg[m][0] += 1
+            agg[m][1].add(best[1])
+            agg[m][2] += best[0]
+    expected = {
+        (m, agg[m][0], len(agg[m][1]), agg[m][2]) for m in range(n_sub)
+    }
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, label=int(i % 3),
+             embedding=[float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, label int, embedding array<float>",
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"embeddings": emb}
+        got = {tuple(r) for r in q_embedding_pq_audit(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected

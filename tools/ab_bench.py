@@ -97,12 +97,27 @@ def main() -> None:
         if name != "streaming_pipeline_20k_events"
     }
     ranked = [n for n, _ in sorted(prev_warm.items(), key=lambda kv: -kv[1])]
-    top = ranked[:k]
-    # control cohort: the next-most-expensive queries, measured in the
-    # same interleaved passes -- they widen the normalizer base so the
-    # host shift is not estimated from the same handful of queries
-    # being adjudicated
-    controls = ranked[k : k + n_controls]
+    # SPARK_GRAFT_AB_QUERIES: explicit comma-separated adjudication
+    # targets (r15 -- the VERDICT r14 cold-regressed set is not the
+    # warm top-K, so the judge's order needs named targets); controls
+    # still come from the most-expensive remainder so the normalizer
+    # base stays load-sensitive
+    explicit = os.environ.get("SPARK_GRAFT_AB_QUERIES", "").strip()
+    if explicit:
+        top = [n for n in explicit.split(",") if n]
+        absent = [n for n in top if n not in prev_warm]
+        if absent:
+            raise SystemExit(
+                f"SPARK_GRAFT_AB_QUERIES not in previous artifact: {absent}"
+            )
+        controls = [n for n in ranked if n not in top][:n_controls]
+    else:
+        top = ranked[:k]
+        # control cohort: the next-most-expensive queries, measured in
+        # the same interleaved passes -- they widen the normalizer base
+        # so the host shift is not estimated from the same handful of
+        # queries being adjudicated
+        controls = ranked[k : k + n_controls]
 
     os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
