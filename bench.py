@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     # round-13: CCNet-style LM quality gate + DSIR selection
     "lm_surprisal_filter",
     "dsir_importance_select",
+    # round-15: loss-driven domain mix + tokenizer efficiency
+    "doremi_domain_weights",
+    "tokenizer_fertility_audit",
 ]
 
 

@@ -1427,38 +1427,16 @@ ORDER BY term_count DESC, term
 # --- CCNet-style LM quality gate -----------------------------------------------
 
 
-def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM-based quality gate, the CCNet recipe (Wenzek et al., LREC
-    2020: score every document with a language model and keep the
-    low-perplexity side) with the LM trained on the corpus itself: an
-    add-one-smoothed BIGRAM model, P(w2|w1) = (c12+1)/(c1+V).  The
-    heuristic tier (``quality_classifier_filter``) scores surface
-    features; this is the missing model-based tier of the quality
-    family.
-
-    Exactness: real log-probabilities can never hash-match across
-    engines (libm), so the score is an integer SURPRISAL surrogate:
-    per bigram, bits = floor(log2((c1+V) div (c12+1))) computed as
-    length(bin(q))-1 -- pure integer division + binary length, bit-
-    identical on Spark and DuckDB (verified: both engines' ``bin``
-    agree).  A document's mean bits-per-bigram is a double obtained by
-    ONE IEEE division of two BIGINTs, and the keep rule compares it to
-    the corpus mean (same construction), so every comparison is
-    deterministic.  Docs with < 2 tokens have no bigrams: counted
-    (n_docs) but never scored or kept.
-
-    Scale shape (100 TB): token and bigram counts are map-side-
-    combinable groupBys; scoring joins the bigram stream against the
-    count tables with plain hash equi-joins on the bigram/context key
-    (both sides corpus-derived -- nothing corpus-sized is ever
-    broadcast); V and the corpus-mean gate are 1-row broadcast
-    scalars.  No window, no self-join, no driver loop."""
-    t = load_tables(spark, sf_dir, ["documents"])
-    docs = t["documents"].select(
-        "doc_id",
-        "source",
-        _clean_tokens(F.col("text")).alias("__tk"),
-    )
+def _bigram_bits_scored(docs) -> DataFrame:
+    """Per-document (doc_id, n_bigrams, total_bits) under THE add-one
+    bigram integer-surprisal surrogate -- the single definition shared
+    by ``lm_surprisal_filter`` (doc-level quality gate) and
+    ``doremi_domain_weights`` (domain reweighting), extracted r15 so
+    the two LM consumers cannot drift (the _md5_bucket lesson, applied
+    at birth this time).  ``docs`` must carry ``doc_id`` and a
+    tokenized ``__tk`` array column; docs with < 2 tokens produce no
+    output row.  Exactness + 100 TB scale rationale: see
+    q_lm_surprisal_filter, whose docstring owns the recipe."""
     bg = (
         docs.filter(F.size("__tk") >= 2)
         .select(
@@ -1492,7 +1470,7 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__bits"),
         )
     )
-    scored = (
+    return (
         bg.join(bits, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -1500,6 +1478,73 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__bits").cast("long").alias("total_bits"),
         )
     )
+
+
+# shared DuckDB CTE prefix mirroring _bigram_bits_scored -- ONE SQL
+# builder for both LM-surrogate oracles, same reasoning as the shared
+# Spark helper (names: ftk / bg / c12 / c1 / vocab / scored)
+_SQL_BIGRAM_SCORED = """
+ftk AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+),
+bgpos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+  FROM ftk WHERE len(tk) >= 2
+),
+bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM bgpos),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+c1  AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+vocab AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+  FROM (SELECT unnest(tk) AS t FROM ftk)
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(length(bin((c1.c1 + vocab.v) // (c12.c12 + 1))) - 1)
+              AS BIGINT) AS total_bits
+  FROM bg b
+  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  JOIN c1 ON c1.w1 = b.w1, vocab
+  GROUP BY b.doc_id
+)"""
+
+
+def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality gate, the CCNet recipe (Wenzek et al., LREC
+    2020: score every document with a language model and keep the
+    low-perplexity side) with the LM trained on the corpus itself: an
+    add-one-smoothed BIGRAM model, P(w2|w1) = (c12+1)/(c1+V).  The
+    heuristic tier (``quality_classifier_filter``) scores surface
+    features; this is the missing model-based tier of the quality
+    family.
+
+    Exactness: real log-probabilities can never hash-match across
+    engines (libm), so the score is an integer SURPRISAL surrogate:
+    per bigram, bits = floor(log2((c1+V) div (c12+1))) computed as
+    length(bin(q))-1 -- pure integer division + binary length, bit-
+    identical on Spark and DuckDB (verified: both engines' ``bin``
+    agree).  A document's mean bits-per-bigram is a double obtained by
+    ONE IEEE division of two BIGINTs, and the keep rule compares it to
+    the corpus mean (same construction), so every comparison is
+    deterministic.  Docs with < 2 tokens have no bigrams: counted
+    (n_docs) but never scored or kept.
+
+    Scale shape (100 TB): token and bigram counts are map-side-
+    combinable groupBys; scoring joins the bigram stream against the
+    count tables with plain hash equi-joins on the bigram/context key
+    (both sides corpus-derived -- nothing corpus-sized is ever
+    broadcast); V and the corpus-mean gate are 1-row broadcast
+    scalars.  No window, no self-join, no driver loop."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        _clean_tokens(F.col("text")).alias("__tk"),
+    )
+    scored = _bigram_bits_scored(docs)
     gate = scored.agg(
         (F.sum("total_bits") / F.sum("n_bigrams")).alias("__mean")
     )
@@ -1542,33 +1587,8 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LM_SURPRISAL = """
-WITH ftk AS (
-  SELECT doc_id, source,
-         list_filter(string_split(text, ' '), t -> t <> '') AS tk
-  FROM documents
-),
-bgpos AS (
-  SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
-  FROM ftk WHERE len(tk) >= 2
-),
-bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM bgpos),
-c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
-c1  AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
-vocab AS (
-  SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
-  FROM (SELECT unnest(tk) AS t FROM ftk)
-),
-scored AS (
-  SELECT b.doc_id,
-         CAST(count(*) AS BIGINT) AS n_bigrams,
-         CAST(sum(length(bin((c1.c1 + vocab.v) // (c12.c12 + 1))) - 1)
-              AS BIGINT) AS total_bits
-  FROM bg b
-  JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
-  JOIN c1 ON c1.w1 = b.w1, vocab
-  GROUP BY b.doc_id
-),
+ORACLE_LM_SURPRISAL = f"""
+WITH {_SQL_BIGRAM_SCORED},
 gate AS (
   SELECT CAST(sum(total_bits) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE)
            AS mean_bits
@@ -1596,6 +1616,138 @@ SELECT source,
                     FILTER (WHERE kept), '')) AS kept_ids_hash
 FROM flagged
 GROUP BY source
+ORDER BY source
+"""
+
+
+# --- DoReMi-style domain reweighting -----------------------------------------
+
+
+def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    per-domain excess loss under a reference model drives the next
+    mix's domain weights.  Fourth member of the training-mix family --
+    training_mix_sample (fixed rates), training_mix_upsample (fixed
+    epochs), unimax_mix_allocation (token-budget water-filling), and
+    now LOSS-driven allocation, with domain = source.
+
+    The reference model is the corpus-trained add-one-bigram integer
+    surprisal surrogate shared with lm_surprisal_filter
+    (_bigram_bits_scored -- one definition, so the gate and the
+    reweighter can never score the same corpus differently).  Domain
+    loss is integer millibits-per-bigram (sum_bits*1000 DIV
+    sum_bigrams), excess is loss minus the minimum domain loss, and
+    one LINEARIZED multiplicative-weights step emits integer basis
+    points proportional to excess (DoReMi's exp(eta*excess) update
+    linearized so the whole allocation is integer-exact and sits
+    under the driver hash; exp/softmax display math is exactly what
+    the repo's cross-engine contract avoids).  Degenerate cases are
+    total: all domains tied -> uniform 10000 DIV k; a domain with no
+    scorable bigram -> NULL loss, weight 0.
+
+    Scale shape: the corpus-sized work is exactly
+    lm_surprisal_filter's (map-side-combinable counts, hash
+    equi-joins on bigram keys, nothing corpus-sized broadcast); all
+    reweighting arithmetic runs on the DOMAIN table (tens of rows at
+    any corpus scale) against a ONE-ROW broadcast stats frame -- no
+    window over data, no driver loop, no second corpus pass."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(
+        "doc_id",
+        "source",
+        _clean_tokens(F.col("text")).alias("__tk"),
+    )
+    scored = _bigram_bits_scored(docs)
+    dom = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("n_bigrams").isNotNull(), 1))
+            .cast("long")
+            .alias("n_scored"),
+            F.coalesce(F.sum("total_bits"), F.lit(0)).cast("long").alias("sum_bits"),
+            F.coalesce(F.sum("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("sum_bigrams"),
+        )
+        .withColumn(
+            "loss_mbits",
+            F.when(
+                F.col("sum_bigrams") > 0,
+                F.expr("(sum_bits * 1000) div sum_bigrams"),
+            ).cast("long"),
+        )
+    )
+    # min/sum/count over the scored domains collapse to ONE row
+    # (sum of excess == sum_loss - k*min_loss, so no second pass)
+    stats = dom.agg(
+        F.min("loss_mbits").alias("__min_loss"),
+        F.sum("loss_mbits").cast("long").alias("__sum_loss"),
+        F.count("loss_mbits").cast("long").alias("__k"),
+    )
+    return (
+        dom.crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            "n_docs",
+            "n_scored",
+            "sum_bits",
+            "sum_bigrams",
+            "loss_mbits",
+            (F.col("loss_mbits") - F.col("__min_loss"))
+            .cast("long")
+            .alias("excess_mbits"),
+            F.when(F.col("loss_mbits").isNull(), F.lit(0))
+            .when(
+                F.col("__sum_loss") - F.col("__k") * F.col("__min_loss") > 0,
+                F.expr(
+                    "((loss_mbits - __min_loss) * 10000)"
+                    " div (__sum_loss - __k * __min_loss)"
+                ),
+            )
+            .otherwise(F.expr("10000 div __k"))
+            .cast("long")
+            .alias("weight_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOREMI = f"""
+WITH {_SQL_BIGRAM_SCORED},
+dom AS (
+  SELECT f.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(s.doc_id) AS BIGINT) AS n_scored,
+         CAST(coalesce(sum(s.total_bits), 0) AS BIGINT) AS sum_bits,
+         CAST(coalesce(sum(s.n_bigrams), 0) AS BIGINT) AS sum_bigrams
+  FROM ftk f LEFT JOIN scored s ON s.doc_id = f.doc_id
+  GROUP BY f.source
+),
+dom2 AS (
+  SELECT *,
+         CASE WHEN sum_bigrams > 0
+              THEN CAST((sum_bits * 1000) // sum_bigrams AS BIGINT)
+         END AS loss_mbits
+  FROM dom
+),
+stats AS (
+  SELECT min(loss_mbits) AS min_loss,
+         CAST(sum(loss_mbits) AS BIGINT) AS sum_loss,
+         CAST(count(loss_mbits) AS BIGINT) AS k
+  FROM dom2
+)
+SELECT source, n_docs, n_scored, sum_bits, sum_bigrams, loss_mbits,
+       CAST(loss_mbits - min_loss AS BIGINT) AS excess_mbits,
+       CAST(CASE WHEN loss_mbits IS NULL THEN 0
+                 WHEN sum_loss - k * min_loss > 0
+                 THEN ((loss_mbits - min_loss) * 10000)
+                      // (sum_loss - k * min_loss)
+                 ELSE 10000 // k END AS BIGINT) AS weight_bp
+FROM dom2, stats
 ORDER BY source
 """
 
@@ -1745,6 +1897,13 @@ def specs() -> list[QuerySpec]:
             ORACLE_LM_SURPRISAL,
             "CCNet-style LM quality gate: corpus-trained add-one bigram "
             "model, integer bit-surprisal score, keep-below-corpus-mean",
+        ),
+        QuerySpec(
+            "doremi_domain_weights",
+            q_doremi_domain_weights,
+            ORACLE_DOREMI,
+            "DoReMi-style loss-driven domain reweighting: excess "
+            "millibits-per-bigram per source, integer basis-point mix",
         ),
         QuerySpec(
             "exact_ngram_decontaminate",

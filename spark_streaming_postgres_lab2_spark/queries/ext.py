@@ -100,6 +100,87 @@ FROM documents
 """
 
 
+def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression audit per language -- the
+    multilingual tokenizer-efficiency measurement (subword tokens per
+    whitespace word, bytes per subword token) that decides how far a
+    fixed token budget stretches in each language: high-fertility
+    languages pay a token premium per word, high bytes-per-token
+    languages compress worse at rest (the metric family behind
+    XLM-R/NLLB-style tokenizer analyses and 'byte premium' studies).
+    The subword proxy is the repo's BPE-ish regex tokenizer
+    (functions/text.regex_tokens -- already oracle-proven cross-engine
+    in doc_token_stats).
+
+    Per language (NULL normalized to 'und', NULL text counting zero
+    everywhere -- same convention as unimax_mix_allocation): exact
+    BIGINT sums of whitespace words, regex subword tokens, and UTF-8
+    bytes; fertility = subwords/words and bytes_per_token =
+    bytes/subwords each as ONE IEEE division of two BIGINTs rounded 4,
+    NULL-guarded for empty denominators.
+
+    Scale shape: one projection + one map-side-combinable groupBy on
+    lang (tens of groups at any corpus size) -- the 100 TB text
+    crosses the wire once, as three longs per row."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].select(
+        F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(TX.token_count("text"))
+        .cast("long")
+        .alias("__w"),
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(TX.regex_tokens("text")))
+        .cast("long")
+        .alias("__r"),
+        F.coalesce(F.octet_length("text"), F.lit(0)).cast("long").alias("__b"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__w").cast("long").alias("ws_tokens"),
+            F.sum("__r").cast("long").alias("subword_tokens"),
+            F.sum("__b").cast("long").alias("utf8_bytes"),
+            F.when(
+                F.sum("__w") > 0, F.round(F.sum("__r") / F.sum("__w"), 4)
+            ).alias("fertility"),
+            F.when(
+                F.sum("__r") > 0, F.round(F.sum("__b") / F.sum("__r"), 4)
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = r"""
+WITH d AS (
+  SELECT coalesce(lang, 'und') AS lang,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(text, ' ')) END AS w,
+         CASE WHEN text IS NULL THEN 0
+              ELSE len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+         END AS r,
+         coalesce(strlen(text), 0) AS b
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS ws_tokens,
+       CAST(sum(r) AS BIGINT) AS subword_tokens,
+       CAST(sum(b) AS BIGINT) AS utf8_bytes,
+       CASE WHEN sum(w) > 0
+            THEN round(CAST(sum(r) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4)
+       END AS fertility,
+       CASE WHEN sum(r) > 0
+            THEN round(CAST(sum(b) AS DOUBLE) / CAST(sum(r) AS DOUBLE), 4)
+       END AS bytes_per_token
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio + punctuation + length features,
     rolled up by source."""
@@ -2940,6 +3021,10 @@ def specs() -> list[QuerySpec]:
                   "JSON-in-string extraction + weighted agg"),
         QuerySpec("doc_token_stats", q_doc_token_stats, ORACLE_TOKEN_STATS,
                   "token counting per document"),
+        QuerySpec("tokenizer_fertility_audit", q_tokenizer_fertility_audit,
+                  ORACLE_TOKENIZER_FERTILITY,
+                  "per-language tokenizer fertility + bytes-per-token "
+                  "compression audit"),
         QuerySpec("doc_quality", q_doc_quality, ORACLE_DOC_QUALITY,
                   "quality scoring: stopword/punct/length features"),
         QuerySpec("doc_language", q_doc_language, _oracle_language(),

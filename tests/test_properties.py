@@ -7360,3 +7360,148 @@ def test_embedding_pq_audit_matches_python_mirror(spark, seed):
     finally:
         extmod.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=10).map(" ".join),
+                          st.sampled_from(["A", "B", "C"])),
+                min_size=1, max_size=12))
+def test_doremi_domain_weights_matches_python_mirror(spark, docs_spec):
+    """Property: the DoReMi-style reweighting equals a pure-Python
+    replay on random corpora -- the SAME add-one-bigram bit-surprisal
+    replay as the lm_surprisal mirror (the two queries now share
+    _bigram_bits_scored, so the mirrors sharing the replay is the
+    point), then the domain fold: millibits-per-bigram integer
+    division, excess over the min scored domain, excess-proportional
+    basis points with the all-tied -> uniform and no-bigrams -> 0
+    degenerate arms.  The 3-symbol alphabet makes tied losses and
+    unscorable domains dense."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        q_doremi_domain_weights,
+    )
+
+    toks = {i: [t for t in text.split(" ") if t]
+            for i, (text, _s) in enumerate(docs_spec)}
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    per_doc = {}
+    for i, tk in toks.items():
+        bgs = list(zip(tk, tk[1:]))
+        if bgs:
+            per_doc[i] = bgs
+            c12.update(bgs)
+            c1.update(w1 for w1, _ in bgs)
+    vocab = len({t for tk in toks.values() for t in tk})
+    dom: dict = {}
+    for i, (_text, src) in enumerate(docs_spec):
+        e = dom.setdefault(src, [0, 0, 0, 0])  # n_docs, n_scored, bits, bigrams
+        e[0] += 1
+        if i in per_doc:
+            bgs = per_doc[i]
+            total = sum(
+                (((c1[w1] + vocab) // (c12[(w1, w2)] + 1)).bit_length() - 1)
+                for w1, w2 in bgs
+            )
+            e[1] += 1
+            e[2] += total
+            e[3] += len(bgs)
+    loss = {
+        s: (e[2] * 1000) // e[3] if e[3] > 0 else None for s, e in dom.items()
+    }
+    scored_losses = [v for v in loss.values() if v is not None]
+    mn = min(scored_losses) if scored_losses else None
+    k = len(scored_losses)
+    sum_excess = sum(v - mn for v in scored_losses) if scored_losses else 0
+    expected = set()
+    for s, e in dom.items():
+        lv = loss[s]
+        if lv is None:
+            w = 0
+            excess = None
+        else:
+            excess = lv - mn
+            w = (excess * 10000) // sum_excess if sum_excess > 0 else 10000 // k
+        expected.add((s, e[0], e[1], e[2], e[3], lv, excess, w))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t, lang="en", n_chars=len(t))
+         for i, (t, s) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_doremi_domain_weights(spark, "u").collect()}
+    finally:
+        curation.load_tables = orig
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "und", None]),
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    ["", "plain words here", "a  b", "num 42 x!",
+                     "ümläut straße", "中文 text",
+                     "a,b.c", "  "]
+                ),
+            ),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_tokenizer_fertility_matches_python_mirror(spark, docs_spec):
+    """Property: the per-language fertility audit equals a Python re
+    replay (third regex engine) over corpora dense in the hard cases:
+    NULL lang (merges into 'und'), NULL text (zero everywhere),
+    empty/whitespace-only text (the split-of-empty one-token
+    artifact), multi-byte UTF-8 (bytes != chars), and punctuation
+    (regex tokens != whitespace tokens)."""
+    import re
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.ext as extmod
+    from spark_streaming_postgres_lab2_spark.queries.ext import (
+        q_tokenizer_fertility_audit,
+    )
+
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    agg: dict = {}
+    for lang, text in docs_spec:
+        lg = lang if lang is not None else "und"
+        e = agg.setdefault(lg, [0, 0, 0, 0])
+        e[0] += 1
+        if text is not None:
+            e[1] += len(text.split(" "))  # split keeps empty fields
+            e[2] += len(pat.findall(text))
+            e[3] += len(text.encode("utf-8"))
+    expected = set()
+    for lg, (nd, w, r, b) in agg.items():
+        expected.add((
+            lg, nd, w, r, b,
+            round_half_up(r / w, 4) if w > 0 else None,
+            round_half_up(b / r, 4) if r > 0 else None,
+        ))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", lang=lg, text=t,
+             n_chars=len(t) if t else 0)
+         for i, (lg, t) in enumerate(docs_spec)],
+        "doc_id bigint, source string, lang string, text string, n_chars int",
+    )
+    orig = extmod.load_tables
+    try:
+        extmod.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_tokenizer_fertility_audit(spark, "u").collect()}
+    finally:
+        extmod.load_tables = orig
+    assert got == expected
