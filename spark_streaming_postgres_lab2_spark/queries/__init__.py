@@ -105,15 +105,18 @@ DRIVER_PRIORITY = [
     # doc_repetition 55, salted_nation_revenue 47, similarity_topk 41,
     # session_path_mining/overlap_pairs/concurrency 19,
     # multimodal_meta 18, embedding_near_dup/doc_token_stats 10,
-    # doc_fingerprints 7.  The last two slots go to the round's other
-    # two stamp-flipped queries instead of more r12 rows -- a changed
-    # implementation re-certifies in-window before anything merely
-    # stale does (the quality_classifier_filter rule):
-    # lm_surprisal_filter (its bigram-LM scoring core was extracted
-    # into the _bigram_bits_scored helper now shared with the new
-    # doremi_domain_weights) and hourly_event_summary_csv (its CSV
+    # The last three slots go to the round's other stamp-flipped
+    # queries instead of more r12 rows -- a changed implementation
+    # re-certifies in-window before anything merely stale does (the
+    # quality_classifier_filter rule): lm_surprisal_filter (its
+    # bigram-LM scoring core was extracted into the
+    # _bigram_bits_scored helper now shared with the new
+    # doremi_domain_weights), dsir_importance_select (its stamp
+    # covers the _md5_bucket helper the fold touched -- the stamp
+    # guard caught this one), and hourly_event_summary_csv (its CSV
     # scratch root became per-uid + ownership-checked, ADVICE r14).
-    # The other 27 r12 rows rotate in r16.
+    # The other 28 r12 rows (incl. doc_fingerprints, bumped by the
+    # guard's catch) rotate in r16.
     "doc_repetition",
     "salted_nation_revenue",
     "similarity_topk",
@@ -123,8 +126,8 @@ DRIVER_PRIORITY = [
     "multimodal_meta",
     "doc_token_stats",
     "embedding_near_dup",
-    "doc_fingerprints",
     "lm_surprisal_filter",
+    "dsir_importance_select",
     "hourly_event_summary_csv",
     # 50th slot: the historically NTZ-sensitive session-window oracle --
     # the cheapest canary for another fixture timestamp drift (VERDICT
@@ -134,10 +137,10 @@ DRIVER_PRIORITY = [
 # r16 window tier-0 candidates: doremi_domain_weights and
 # tokenizer_fertility_audit (born r15 -- locally oracle-green with
 # randomized mirrors, no driver row yet, same protocol as every
-# birth round).  Tier-1 candidates: the 27 r12-last-green oracles not
-# rotated this round (incl. fact_join_unbucketed and doc_hof_stats,
-# whose slots went to the lm_surprisal_filter and
-# hourly_event_summary_csv re-stamps).
+# birth round).  Tier-1 candidates: the 28 r12-last-green oracles not
+# rotated this round (incl. fact_join_unbucketed, doc_hof_stats, and
+# doc_fingerprints, whose slots went to the lm_surprisal_filter /
+# dsir_importance_select / hourly_event_summary_csv re-stamps).
 
 
 def all_specs() -> list[QuerySpec]:
