@@ -26,7 +26,20 @@ if [ -n "$(git status --porcelain -- spark_streaming_postgres_lab2_spark __spark
     exit 1
 fi
 
-echo "== [1/4] pytest -> PYTEST_r${N}.txt"
+echo "== [1/4] full-inventory parity -> PARITY_r${N}.json"
+# PARITY FIRST, pytest second (r15 lesson): on a round that BIRTHS
+# new queries, the every-query-has-a-parity-row guard is necessarily
+# red against the previous round's artifact, and merging rows
+# backwards into a certified round's artifact is (correctly) rejected
+# by the backdating guard -- only a fresh artifact can carry the
+# newborn rows, so it must exist before the suite can be green.
+# write to a temp name first: a FAIL row mid-run must not leave a
+# poisoned PARITY_r{N}.json that reddens every later pytest run
+rm -f "PARITY_r${N}.json.tmp"
+PARITY_JSON="PARITY_r${N}.json.tmp" python tools/parity_check.py /root/testdata/sf0.01 2>/dev/null | tail -3
+mv "PARITY_r${N}.json.tmp" "PARITY_r${N}.json"
+
+echo "== [2/4] pytest -> PYTEST_r${N}.txt"
 # capture pytest's own status (pipefail would otherwise kill the
 # pipeline before any diagnostic prints)
 set +e
@@ -38,13 +51,6 @@ if [ "$pytest_rc" -ne 0 ]; then
     echo "ABORT: suite is red (pytest rc=$pytest_rc) -- fix before stamping artifacts" >&2
     exit 1
 fi
-
-echo "== [2/4] full-inventory parity -> PARITY_r${N}.json"
-# write to a temp name first: a FAIL row mid-run must not leave a
-# poisoned PARITY_r{N}.json that reddens every later pytest run
-rm -f "PARITY_r${N}.json.tmp"
-PARITY_JSON="PARITY_r${N}.json.tmp" python tools/parity_check.py /root/testdata/sf0.01 2>/dev/null | tail -3
-mv "PARITY_r${N}.json.tmp" "PARITY_r${N}.json"
 
 echo "== [3/4] plan report -> PLANS_r${N}.txt"
 python tools/plan_report.py /root/testdata/sf0.01 2>/dev/null > "PLANS_r${N}.txt"
