@@ -65,7 +65,13 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_CANONICAL_DOCS = (
+# WITH-RECURSIVE prefix: portable-MinHash pairs -> undirected edges ->
+# reachability closure -> min-id components.  Shared verbatim by
+# ORACLE_CANONICAL_DOCS and ORACLE_DEDUP_CLUSTER_PROFILE so the two
+# cluster consumers replay ONE candidate/CC recipe (byte-identical to
+# the pre-r15 inline text -- the canonical_docs oracle hash, and
+# therefore its content stamp, is unchanged by this extraction).
+_SQL_MINHASH_COMPONENTS = (
     "WITH RECURSIVE "
     + _SQL_SHINGLES
     + ","
@@ -81,7 +87,12 @@ __reach AS (
   UNION
   SELECT r.src, e.b FROM __reach r JOIN __edges e ON e.a = r.node
 ),
-__comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM __reach GROUP BY src),
+__comp AS (SELECT src AS doc_id, min(node) AS cluster_id FROM __reach GROUP BY src)"""
+)
+
+ORACLE_CANONICAL_DOCS = (
+    _SQL_MINHASH_COMPONENTS
+    + """,
 __member AS (
   SELECT d.doc_id, d.source, d.n_chars, c.cluster_id
   FROM documents d JOIN __comp c ON d.doc_id = c.doc_id
@@ -100,6 +111,66 @@ SELECT source,
 FROM __flagged
 GROUP BY source
 ORDER BY source
+"""
+)
+
+
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile -- the dedup REPORT a curation pipeline
+    emits before committing to a cut: the near-dup cluster-size
+    histogram with document and byte accounting (how much of the
+    corpus sits in clusters of 2, of 3, ... -- the shape that decides
+    whether dedup is worth a full pass and where the bucket caps must
+    sit; singletons reported too, so the rows conserve the corpus).
+    Same pair/CC machinery as canonical_docs (portable MinHash pairs
+    at 0.5 -> connected components), then two tiny aggregates:
+    per-cluster (size, chars), then per-SIZE (clusters, docs, chars).
+
+    Scale shape: everything after the (already bucket-capped) pair
+    stage aggregates on cluster_id then on cluster_size -- map-side
+    combinable, output bounded by the largest clique size, never by
+    corpus rows.  All BIGINT."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = minhash_near_dupes_portable(docs, threshold=0.5)
+    comps = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    per_cluster = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__size"),
+            F.sum("n_chars").cast("long").alias("__chars"),
+        )
+    )
+    return (
+        per_cluster.groupBy(F.col("__size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("__size").cast("long").alias("n_docs"),
+            F.sum("__chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+ORACLE_DEDUP_CLUSTER_PROFILE = (
+    _SQL_MINHASH_COMPONENTS
+    + """,
+__per_cluster AS (
+  SELECT c.cluster_id,
+         CAST(count(*) AS BIGINT) AS sz,
+         CAST(sum(d.n_chars) AS BIGINT) AS chars
+  FROM documents d JOIN __comp c ON d.doc_id = c.doc_id
+  GROUP BY c.cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(chars) AS BIGINT) AS total_chars
+FROM __per_cluster
+GROUP BY sz
+ORDER BY sz
 """
 )
 
@@ -370,6 +441,10 @@ def specs() -> list[QuerySpec]:
     return [
         QuerySpec("canonical_docs", q_canonical_docs, ORACLE_CANONICAL_DOCS,
                   "cluster dedup with canonical keep + kept/dropped accounting"),
+        QuerySpec("dedup_cluster_profile", q_dedup_cluster_profile,
+                  ORACLE_DEDUP_CLUSTER_PROFILE,
+                  "near-dup cluster-size histogram with doc/byte "
+                  "accounting (the dedup report)"),
         QuerySpec("training_mix_sample", q_training_mix_sample, ORACLE_TRAINING_MIX,
                   "deterministic md5-prefix language-weighted sampling"),
         QuerySpec("unimax_mix_allocation", q_unimax_mix_allocation,

@@ -7505,3 +7505,52 @@ def test_tokenizer_fertility_matches_python_mirror(spark, docs_spec):
     finally:
         extmod.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),     # template (text)
+                  st.integers(min_value=0, max_value=9)),    # n_chars
+        min_size=1, max_size=12,
+    )
+)
+def test_dedup_cluster_profile_matches_python_mirror(spark, docs_spec):
+    """Property: the duplication-profile histogram equals a
+    pure-Python replay on the canonical_docs mirror's ground-truth
+    corpora (verbatim-dup templates with disjoint token sets, so
+    clusters == template groups): per-size cluster counts, doc
+    conservation, and byte accounting."""
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.corpus as corpus
+    from spark_streaming_postgres_lab2_spark.queries.corpus import (
+        q_dedup_cluster_profile,
+    )
+
+    texts = {t: " ".join(f"t{t}w{i}" for i in range(5)) for t in range(4)}
+    by_tpl: dict = {}
+    for i, (tpl, nch) in enumerate(docs_spec):
+        by_tpl.setdefault(tpl, []).append((i, nch))
+    hist: dict = {}
+    for members in by_tpl.values():
+        sz = len(members)
+        e = hist.setdefault(sz, [0, 0, 0])
+        e[0] += 1
+        e[1] += sz
+        e[2] += sum(nch for _i, nch in members)
+    expected = {(sz, e[0], e[1], e[2]) for sz, e in hist.items()}
+    assert sum(e[1] for e in hist.values()) == len(docs_spec)  # conservation
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", lang="en", text=texts[tpl], n_chars=nch)
+         for i, (tpl, nch) in enumerate(docs_spec)],
+        "doc_id bigint, source string, lang string, text string, n_chars int",
+    )
+    orig = corpus.load_tables
+    try:
+        corpus.load_tables = lambda _s, _d, _t: {"documents": df}
+        got = {tuple(r) for r in q_dedup_cluster_profile(spark, "u").collect()}
+    finally:
+        corpus.load_tables = orig
+    assert got == expected
