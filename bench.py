@@ -226,9 +226,10 @@ BENCH_QUERIES = [
     # round-13: CCNet-style LM quality gate + DSIR selection
     "lm_surprisal_filter",
     "dsir_importance_select",
-    # round-15: loss-driven domain mix + tokenizer efficiency
+    # round-15: loss-driven domain mix + tokenizer efficiency + dedup report
     "doremi_domain_weights",
     "tokenizer_fertility_audit",
+    "dedup_cluster_profile",
 ]
 
 

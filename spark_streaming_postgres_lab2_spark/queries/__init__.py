@@ -134,10 +134,11 @@ DRIVER_PRIORITY = [
     # r6 item 8 / r12 item 3: keep it pinned).
     "user_session_window",
 ]
-# r16 window tier-0 candidates: doremi_domain_weights and
-# tokenizer_fertility_audit (born r15 -- locally oracle-green with
-# randomized mirrors, no driver row yet, same protocol as every
-# birth round).  Tier-1 candidates: the 28 r12-last-green oracles not
+# r16 window tier-0 candidates: doremi_domain_weights,
+# tokenizer_fertility_audit, and dedup_cluster_profile (born r15 --
+# locally oracle-green with randomized mirrors, parity rows merged
+# in-round into PARITY_r15, no driver row yet, same protocol as
+# every birth round).  Tier-1 candidates: the 28 r12-last-green oracles not
 # rotated this round (incl. fact_join_unbucketed, doc_hof_stats, and
 # doc_fingerprints, whose slots went to the lm_surprisal_filter /
 # dsir_importance_select / hourly_event_summary_csv re-stamps).
