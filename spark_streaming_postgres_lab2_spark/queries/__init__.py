@@ -99,12 +99,12 @@ DRIVER_PRIORITY = [
     "value_percentiles",
     "value_stats",
     "zipf_top_terms",
-    # round 15, tier 2 (12, slots 38-49): the widest-blame-span 12 of
+    # round 15, tier 2 (12, slots 38-49): the widest-blame-span 9 of
     # the 37 remaining r12-last-green oracles (quality_classifier_
     # filter already holds slot 3), same ranking protocol:
     # doc_repetition 55, salted_nation_revenue 47, similarity_topk 41,
     # session_path_mining/overlap_pairs/concurrency 19,
-    # multimodal_meta 18, embedding_near_dup/doc_token_stats 10,
+    # multimodal_meta 18, embedding_near_dup/doc_token_stats 10.
     # The last three slots go to the round's other stamp-flipped
     # queries instead of more r12 rows -- a changed implementation
     # re-certifies in-window before anything merely stale does (the
