@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "doremi_domain_weights",
     "tokenizer_fertility_audit",
     "dedup_cluster_profile",
+    "rrf_hybrid_search",
 ]
 
 

@@ -487,10 +487,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_ctes() -> str:
+    """WITH-body prefix (qterms .. scored) for the BM25 retrieval
+    oracles -- ONE SQL builder shared by ORACLE_BM25 and
+    ORACLE_RRF_HYBRID, so the two retrieval consumers replay one
+    scoring recipe (byte-identical to the pre-r15 inline text: the
+    bm25_search oracle hash, and so its content stamp, is unchanged
+    by this extraction)."""
     values = ",\n    ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
-    return f"""
-WITH qterms(query_id, term) AS (VALUES
+    return f"""qterms(query_id, term) AS (VALUES
     {values}
 ),
 tok AS (
@@ -520,7 +525,12 @@ scored AS (
   JOIN df USING (term)
   JOIN dl USING (doc_id), n, ad
   GROUP BY qterms.query_id, tf.doc_id
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()}
 SELECT query_id, rank, doc_id, score, n_terms_hit
 FROM (
   SELECT *, CAST(row_number() OVER (
@@ -534,6 +544,177 @@ ORDER BY query_id, rank
 
 
 ORACLE_BM25 = _bm25_oracle()
+
+
+# --- reciprocal-rank-fusion hybrid retrieval ---------------------------------
+
+_RRF_K = 60      # the canonical RRF constant (Cormack et al. 2009)
+_RRF_POOL = 10   # per-system candidate depth fed into the fusion
+_RRF_TOPK = 5    # fused results emitted per query
+
+
+def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009):
+    fuse a BM25 ranking with a TF-IDF ranking of the same keyword
+    queries via rrf(d) = sum over systems of 1/(k + rank_s(d)) with
+    k=60, over the union of the two top-10 pools (a system that did
+    not retrieve the doc contributes 0) -- the standard way search /
+    RAG stacks combine lexical and second-opinion rankings without
+    score calibration, since RRF consumes only RANK POSITIONS.
+
+    Determinism: each per-system ranking orders on its ROUNDED score
+    with doc_id tie-break (the bm25_search recipe), so ranks are
+    integers both engines agree on; the fused score is then two IEEE
+    divisions and one addition on identical operands, rounded 6 for
+    display, and the fused ordering tie-breaks on doc_id.
+
+    Scale shape: tok/tf/df/dl are built ONCE and feed both scorers
+    (the corpus-sized frames are never computed twice -- the reason
+    this does not simply call q_bm25_search); query terms, df, and
+    the 1-row stats broadcast exactly as in bm25_search; the fusion
+    itself joins two |queries| x pool frames -- trivially broadcast,
+    bounded by the query set, never by the corpus."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    tok = t["documents"].select(
+        "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = t["documents"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl")
+    )
+    qterms = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, term string"
+    )
+    base = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(avgdl))
+    )
+    bm25_idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm25_tf = (F.col("tf") * (1 + _BM25_K1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("__avgdl"))
+    )
+    scored = base.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(bm25_idf * bm25_tf), 4).alias("__s_bm25"),
+        F.round(
+            F.sum(
+                F.col("tf").cast("double")
+                * F.log(F.lit(1.0) + F.col("__n") / F.col("df"))
+            ),
+            4,
+        ).alias("__s_tfidf"),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("__s_bm25"), F.asc("doc_id")
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc("__s_tfidf"), F.asc("doc_id")
+    )
+    pools = scored.select(
+        "query_id",
+        "doc_id",
+        F.row_number().over(wa).cast("int").alias("rank_bm25"),
+        F.row_number().over(wb).cast("int").alias("rank_tfidf"),
+    ).select(
+        "query_id",
+        "doc_id",
+        F.when(F.col("rank_bm25") <= _RRF_POOL, F.col("rank_bm25")).alias(
+            "rank_bm25"
+        ),
+        F.when(F.col("rank_tfidf") <= _RRF_POOL, F.col("rank_tfidf")).alias(
+            "rank_tfidf"
+        ),
+    ).filter(
+        F.col("rank_bm25").isNotNull() | F.col("rank_tfidf").isNotNull()
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_bm25")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("rank_tfidf")), F.lit(0.0)),
+        6,
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("__rrf"), F.asc("doc_id")
+    )
+    return (
+        pools.withColumn("__rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "fused_rank",
+            "doc_id",
+            F.col("__rrf").alias("rrf_score"),
+            "rank_bm25",
+            "rank_tfidf",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH {_bm25_scored_ctes()},
+both_scored AS (
+  SELECT qterms.query_id, tf.doc_id,
+         round(sum(
+           ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1 + {_BM25_K1}))
+             / (tf.tf + {_BM25_K1}
+                * (1 - {_BM25_B} + {_BM25_B} * dl.dl / ad.avgdl))
+         ), 4) AS s_bm25,
+         round(sum(
+           CAST(tf.tf AS DOUBLE) * ln(1 + CAST(n.n_docs AS DOUBLE) / df.df)
+         ), 4) AS s_tfidf
+  FROM tf
+  JOIN qterms USING (term)
+  JOIN df USING (term)
+  JOIN dl USING (doc_id), n, ad
+  GROUP BY qterms.query_id, tf.doc_id
+),
+pools AS (
+  SELECT query_id, doc_id,
+         CASE WHEN ra <= {_RRF_POOL} THEN ra END AS rank_bm25,
+         CASE WHEN rb <= {_RRF_POOL} THEN rb END AS rank_tfidf
+  FROM (
+    SELECT *,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY s_bm25 DESC, doc_id
+           ) AS INTEGER) AS ra,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY s_tfidf DESC, doc_id
+           ) AS INTEGER) AS rb
+    FROM both_scored
+  )
+  WHERE ra <= {_RRF_POOL} OR rb <= {_RRF_POOL}
+),
+fused AS (
+  SELECT query_id, doc_id, rank_bm25, rank_tfidf,
+         round(coalesce(1.0 / ({_RRF_K} + rank_bm25), 0)
+               + coalesce(1.0 / ({_RRF_K} + rank_tfidf), 0), 6) AS rrf_score
+  FROM pools
+)
+SELECT query_id,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+       ) AS INTEGER) AS fused_rank,
+       doc_id, rrf_score, rank_bm25, rank_tfidf
+FROM fused
+QUALIFY fused_rank <= {_RRF_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
+ORACLE_RRF_HYBRID = _rrf_oracle()
 
 
 # --- PMI term co-occurrence ---------------------------------------------------
@@ -1904,6 +2085,13 @@ def specs() -> list[QuerySpec]:
             ORACLE_DOREMI,
             "DoReMi-style loss-driven domain reweighting: excess "
             "millibits-per-bigram per source, integer basis-point mix",
+        ),
+        QuerySpec(
+            "rrf_hybrid_search",
+            q_rrf_hybrid_search,
+            ORACLE_RRF_HYBRID,
+            "reciprocal-rank-fusion hybrid retrieval: BM25 + TF-IDF "
+            "rankings fused on rank positions (k=60)",
         ),
         QuerySpec(
             "exact_ngram_decontaminate",

@@ -7554,3 +7554,104 @@ def test_dedup_cluster_profile_matches_python_mirror(spark, docs_spec):
     finally:
         corpus.load_tables = orig
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["hash", "join", "vector", "scan", "slow", "merge", "batch",
+                 "customer", "order", "filter", "column", "noise", "pad"]
+            ),
+            min_size=1, max_size=12,
+        ).map(" ".join),
+        min_size=2, max_size=10,
+    )
+)
+def test_rrf_hybrid_search_matches_python_mirror(spark, texts):
+    """Property: the RRF fusion equals a pure-Python replay over random
+    corpora drawn from the benchmark-query vocabulary (so pools
+    overlap, diverge, and truncate): BM25 and TF-IDF scores rounded 4,
+    per-system ranks on (score DESC, doc_id), top-10 pool cut,
+    1/(60+rank) fusion with absent-system 0, round 6, fused top-5 on
+    (rrf DESC, doc_id)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as cur
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERIES,
+        _RRF_K,
+        _RRF_POOL,
+        _RRF_TOPK,
+        q_rrf_hybrid_search,
+    )
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    tf = {i: Counter(tk) for i, tk in toks.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    dl = {i: len(tk) for i, tk in toks.items()}
+    n = len(texts)
+    avgdl = sum(dl.values()) / n
+    queries: dict = {}
+    for qid, term in _BM25_QUERIES:
+        queries.setdefault(qid, []).append(term)
+
+    fused_expected = set()
+    for qid, terms in queries.items():
+        scored = {}
+        for i in tf:
+            hit = [t for t in terms if tf[i][t] > 0]
+            if not hit:
+                continue
+            s_b = sum(
+                math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                * (tf[i][t] * (1 + _BM25_K1))
+                / (tf[i][t] + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl[i] / avgdl))
+                for t in hit
+            )
+            s_t = sum(tf[i][t] * math.log(1 + n / df[t]) for t in hit)
+            scored[i] = (round_half_up(s_b, 4), round_half_up(s_t, 4))
+        ra = {i: r + 1 for r, (i, _s) in enumerate(
+            sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0])))}
+        rb = {i: r + 1 for r, (i, _s) in enumerate(
+            sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0])))}
+        pool = {
+            i: (
+                ra[i] if ra[i] <= _RRF_POOL else None,
+                rb[i] if rb[i] <= _RRF_POOL else None,
+            )
+            for i in scored
+            if ra[i] <= _RRF_POOL or rb[i] <= _RRF_POOL
+        }
+        fused = {
+            i: round_half_up(
+                (1.0 / (_RRF_K + a) if a else 0.0)
+                + (1.0 / (_RRF_K + b) if b else 0.0),
+                6,
+            )
+            for i, (a, b) in pool.items()
+        }
+        ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))
+        for fr, (i, sc) in enumerate(ranked[:_RRF_TOPK], 1):
+            fused_expected.add((qid, fr, i, sc, pool[i][0], pool[i][1]))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", lang="en", text=t, n_chars=len(t))
+         for i, t in enumerate(texts)],
+        "doc_id bigint, source string, lang string, text string, n_chars int",
+    )
+    orig = cur.load_tables
+    try:
+        cur.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_rrf_hybrid_search(spark, "u").collect()}
+    finally:
+        cur.load_tables = orig
+    assert got == fused_expected
