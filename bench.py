@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility_audit",
     "dedup_cluster_profile",
     "rrf_hybrid_search",
+    "quality_consensus_report",
 ]
 
 

@@ -135,8 +135,8 @@ DRIVER_PRIORITY = [
     "user_session_window",
 ]
 # r16 window tier-0 candidates: doremi_domain_weights,
-# tokenizer_fertility_audit, dedup_cluster_profile, and
-# rrf_hybrid_search (born r15 --
+# tokenizer_fertility_audit, dedup_cluster_profile,
+# rrf_hybrid_search, and quality_consensus_report (born r15 --
 # locally oracle-green with randomized mirrors, parity rows merged
 # in-round into PARITY_r15, no driver row yet, same protocol as
 # every birth round).  Tier-1 candidates: the 28 r12-last-green oracles not

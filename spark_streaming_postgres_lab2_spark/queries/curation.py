@@ -1801,6 +1801,172 @@ ORDER BY source
 """
 
 
+# --- three-tier quality consensus --------------------------------------------
+
+
+def q_quality_consensus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier quality consensus -- the vote a production curation
+    stack actually gates on: the repo's three INDEPENDENT quality
+    tiers (C4-style rule chain / hashing-trick classifier / corpus-
+    trained bigram-LM gate) each cast a keep vote per document, and
+    the pipeline keeps on majority (votes >= 2).  Certifies tier
+    COMPOSITION under one hash: per source, the per-tier keep counts,
+    the full 0..3 vote histogram, and the consensus-kept count.
+
+    Tier semantics are the certified originals, reached through the
+    same shared code paths (filter_chain_classify; _md5_bucket weight
+    hash; _bigram_bits_scored + corpus-mean gate), so this query
+    cannot drift from the tiers it composes.  Unscorable documents
+    vote False in the tier that cannot score them (no tokens -> no
+    classifier features; < 2 tokens -> no LM bigrams), pinned with
+    explicit coalesce on BOTH engines so degenerate corpora (empty,
+    all-NULL) stay hash-identical.
+
+    Scale shape: one tokenization feeds the rule features; the
+    classifier and LM tiers are the originals' plans (map-side
+    combinable aggs + bigram-key equi-joins); the three vote frames
+    join back on doc_id (hash joins on the corpus key, no window, no
+    driver loop) and collapse to one per-source rollup."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "source", "text")
+    rules = filter_chain_classify(docs).select(
+        "doc_id", (F.col("reason") == "keep").alias("__v_rules")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_clean_tokens(F.col("text")))).alias("__tok"),
+    )
+    clf = (
+        toks.withColumn(
+            "__w", _md5_bucket(F.col("__tok"), _QC_MOD) - (_QC_MOD - 1) // 2
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__w").cast("long").alias("__score"))
+    )
+    scored = _bigram_bits_scored(
+        docs.select("doc_id", _clean_tokens(F.col("text")).alias("__tk"))
+    )
+    gate = scored.agg(
+        (F.sum("total_bits") / F.sum("n_bigrams")).alias("__mean")
+    )
+    votes = (
+        docs.select("doc_id", "source")
+        .join(rules, "doc_id")
+        .join(clf, "doc_id", "left")
+        .join(scored, "doc_id", "left")
+        .crossJoin(F.broadcast(gate))
+        .select(
+            "source",
+            F.col("__v_rules"),
+            F.coalesce(F.col("__score") > 0, F.lit(False)).alias("__v_clf"),
+            F.coalesce(
+                (F.col("total_bits") / F.col("n_bigrams")) <= F.col("__mean"),
+                F.lit(False),
+            ).alias("__v_lm"),
+        )
+        .withColumn(
+            "__votes",
+            F.col("__v_rules").cast("int")
+            + F.col("__v_clf").cast("int")
+            + F.col("__v_lm").cast("int"),
+        )
+    )
+    return (
+        votes.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("__v_rules"), 1)).cast("long").alias("keep_rules"),
+            F.count(F.when(F.col("__v_clf"), 1)).cast("long").alias(
+                "keep_classifier"
+            ),
+            F.count(F.when(F.col("__v_lm"), 1)).cast("long").alias("keep_lm"),
+            F.count(F.when(F.col("__votes") == 0, 1)).cast("long").alias("votes_0"),
+            F.count(F.when(F.col("__votes") == 1, 1)).cast("long").alias("votes_1"),
+            F.count(F.when(F.col("__votes") == 2, 1)).cast("long").alias("votes_2"),
+            F.count(F.when(F.col("__votes") == 3, 1)).cast("long").alias("votes_3"),
+            F.count(F.when(F.col("__votes") >= 2, 1)).cast("long").alias(
+                "consensus_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_CONSENSUS = f"""
+WITH {_SQL_BIGRAM_SCORED},
+gate AS (
+  SELECT CAST(sum(total_bits) AS DOUBLE) / CAST(sum(n_bigrams) AS DOUBLE)
+           AS mean_bits
+  FROM scored
+),
+rule_feats AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tok,
+         len(list_distinct(toks)) AS n_uniq,
+         len(list_filter(toks, x -> x IN ({_BAD_SQL}))) AS n_bad
+  FROM (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+  )
+),
+rules AS (
+  SELECT doc_id, source,
+         CASE WHEN n_tok < {_MIN_TOKENS} THEN FALSE
+              WHEN n_tok > {_MAX_TOKENS} THEN FALSE
+              WHEN CAST(n_uniq AS DOUBLE) / n_tok < {_MIN_DIVERSITY} THEN FALSE
+              WHEN n_bad >= {_BAD_TERM_LIMIT} THEN FALSE
+              ELSE TRUE
+         END AS v_rules
+  FROM rule_feats
+),
+clf AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score
+  FROM (
+    SELECT doc_id,
+           (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_QC_MOD}
+            - {(_QC_MOD - 1) // 2}) AS w
+    FROM (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS tok
+      FROM documents
+    )
+  )
+  GROUP BY doc_id
+),
+votes AS (
+  SELECT r.source,
+         r.v_rules,
+         coalesce(c.score > 0, FALSE) AS v_clf,
+         coalesce(CAST(s.total_bits AS DOUBLE) / s.n_bigrams <= g.mean_bits,
+                  FALSE) AS v_lm
+  FROM rules r
+  LEFT JOIN clf c ON c.doc_id = r.doc_id
+  LEFT JOIN scored s ON s.doc_id = r.doc_id, gate g
+),
+counted AS (
+  SELECT source, v_rules, v_clf, v_lm,
+         CAST(v_rules AS INTEGER) + CAST(v_clf AS INTEGER)
+           + CAST(v_lm AS INTEGER) AS votes
+  FROM votes
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN v_rules THEN 1 END) AS BIGINT) AS keep_rules,
+       CAST(count(CASE WHEN v_clf THEN 1 END) AS BIGINT) AS keep_classifier,
+       CAST(count(CASE WHEN v_lm THEN 1 END) AS BIGINT) AS keep_lm,
+       CAST(count(CASE WHEN votes = 0 THEN 1 END) AS BIGINT) AS votes_0,
+       CAST(count(CASE WHEN votes = 1 THEN 1 END) AS BIGINT) AS votes_1,
+       CAST(count(CASE WHEN votes = 2 THEN 1 END) AS BIGINT) AS votes_2,
+       CAST(count(CASE WHEN votes = 3 THEN 1 END) AS BIGINT) AS votes_3,
+       CAST(count(CASE WHEN votes >= 2 THEN 1 END) AS BIGINT) AS consensus_kept
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --- DoReMi-style domain reweighting -----------------------------------------
 
 
@@ -2092,6 +2258,13 @@ def specs() -> list[QuerySpec]:
             ORACLE_RRF_HYBRID,
             "reciprocal-rank-fusion hybrid retrieval: BM25 + TF-IDF "
             "rankings fused on rank positions (k=60)",
+        ),
+        QuerySpec(
+            "quality_consensus_report",
+            q_quality_consensus_report,
+            ORACLE_QUALITY_CONSENSUS,
+            "three-tier quality vote (rules/classifier/LM): per-source "
+            "histogram + majority-consensus keep counts",
         ),
         QuerySpec(
             "exact_ngram_decontaminate",

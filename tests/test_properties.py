@@ -7655,3 +7655,111 @@ def test_rrf_hybrid_search_matches_python_mirror(spark, texts):
     finally:
         cur.load_tables = orig
     assert got == fused_expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.lists(_mh_tok, min_size=0, max_size=30).map(" ".join),
+                          st.sampled_from(["A", "B"])),
+                min_size=1, max_size=12))
+def test_quality_consensus_matches_python_mirror(spark, docs_spec):
+    """Property: the three-tier consensus equals a pure-Python replay
+    composing the three tier mirrors -- the C4 rule chain (length /
+    diversity / blocklist, first-match-wins), the hashing-trick
+    classifier (md5-prefix weights over distinct tokens), and the
+    add-one-bigram LM gate (below-corpus-mean bits) -- including the
+    unscorable-votes-False pins and the 0..3 vote histogram."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    import spark_streaming_postgres_lab2_spark.queries.curation as curation
+    from spark_streaming_postgres_lab2_spark.queries.curation import (
+        _BAD_TERM_LIMIT,
+        _BAD_TERMS,
+        _MAX_TOKENS,
+        _MIN_DIVERSITY,
+        _MIN_TOKENS,
+        _QC_MOD,
+        q_quality_consensus_report,
+    )
+
+    toks = {i: [t for t in text.split(" ") if t]
+            for i, (text, _s) in enumerate(docs_spec)}
+    # tier 1: rules
+    v_rules = {}
+    for i, tk in toks.items():
+        n, uniq = len(tk), len(set(tk))
+        bad = sum(1 for t in tk if t in _BAD_TERMS)
+        if n < _MIN_TOKENS or n > _MAX_TOKENS:
+            v_rules[i] = False
+        elif uniq / n < _MIN_DIVERSITY:
+            v_rules[i] = False
+        elif bad >= _BAD_TERM_LIMIT:
+            v_rules[i] = False
+        else:
+            v_rules[i] = True
+    # tier 2: classifier over DISTINCT tokens
+    v_clf = {}
+    for i, tk in toks.items():
+        if not tk:
+            v_clf[i] = False
+            continue
+        score = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % _QC_MOD
+            - (_QC_MOD - 1) // 2
+            for t in set(tk)
+        )
+        v_clf[i] = score > 0
+    # tier 3: LM gate
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    per_doc = {}
+    for i, tk in toks.items():
+        bgs = list(zip(tk, tk[1:]))
+        if bgs:
+            per_doc[i] = bgs
+            c12.update(bgs)
+            c1.update(w1 for w1, _ in bgs)
+    vocab = len({t for tk in toks.values() for t in tk})
+    scored = {}
+    for i, bgs in per_doc.items():
+        total = sum(
+            (((c1[w1] + vocab) // (c12[(w1, w2)] + 1)).bit_length() - 1)
+            for w1, w2 in bgs
+        )
+        scored[i] = (len(bgs), total)
+    mean = (sum(t for _n, t in scored.values())
+            / sum(n for n, _t in scored.values())) if scored else None
+    v_lm = {
+        i: (i in scored and scored[i][1] / scored[i][0] <= mean)
+        for i in toks
+    }
+    agg: dict = {}
+    for i, (_text, src) in enumerate(docs_spec):
+        e = agg.setdefault(src, [0] * 9)
+        votes = int(v_rules[i]) + int(v_clf[i]) + int(v_lm[i])
+        e[0] += 1
+        e[1] += int(v_rules[i])
+        e[2] += int(v_clf[i])
+        e[3] += int(v_lm[i])
+        e[4 + votes] += 1
+        e[8] += 0  # placeholder; consensus appended below
+    expected = set()
+    for src, e in agg.items():
+        consensus = e[6] + e[7]  # votes_2 + votes_3
+        expected.add((src, e[0], e[1], e[2], e[3], e[4], e[5], e[6], e[7],
+                      consensus))
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=s, text=t, lang="en", n_chars=len(t))
+         for i, (t, s) in enumerate(docs_spec)]
+    )
+    orig = curation.load_tables
+    try:
+        curation.load_tables = lambda _s, _d, _t: {"documents": docs}
+        got = {tuple(r) for r in q_quality_consensus_report(spark, "u").collect()}
+    finally:
+        curation.load_tables = orig
+    assert got == expected
