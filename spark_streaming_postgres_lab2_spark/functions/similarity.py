@@ -620,6 +620,283 @@ def _hyperplane_buckets_arrow(
     return emb.select(id_col, vec_col).mapInPandas(_buckets, "vid long, bucket long")
 
 
+def _bucket_allpairs_float(with_vec: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact-cosine verify WITHIN each LSH bucket for the
+    float family -- the guide-§8 restructure of the per-pair verify:
+    the heavy payload (the vector) travels once per BUCKET ROW instead
+    of once per candidate PAIR.  On a non-discriminative corpus (the
+    measured sf0.1 worst case: ~64% of all pairs collide) the old
+    shape joined two 64-float arrays onto ~1.3M candidate rows
+    (~650 MB through two joins + Arrow); this shape ships the ~32k
+    (vid, bucket, vec) rows once and forms the pairs inside numpy.
+
+    Input: (bucket, vid, __vec).  Output: (vec_id_1 < vec_id_2,
+    cosine_sim) -- SAME per-pair math as the per-pair Arrow verify
+    (einsum + half-away-from-zero round + threshold keep), so each
+    pair's value is bit-identical; cross-table multiplicity is deduped
+    by the caller AFTER scoring (deterministic: duplicate rows carry
+    identical values).  Mixed dims follow the per-pair flavor: pairs
+    of unequal length are dropped.  Groups are bounded by the caller's
+    ``max_bucket_size`` cap, so per-group memory is O(cap^2) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id_1": pd.Series(dtype="int64"),
+            "vec_id_2": pd.Series(dtype="int64"),
+            "cosine_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vid")
+        vecs = pdf["__vec"].to_numpy()
+        vids = pdf["vid"].to_numpy()
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=n)
+        frames = []
+        for d_eff in np.unique(lens):
+            sel = np.nonzero(lens == d_eff)[0]
+            g = len(sel)
+            if g < 2:
+                continue
+            vmat = np.stack(vecs[sel].tolist()).astype("float64")
+            i1, i2 = np.triu_indices(g, 1)
+            v1, v2 = vmat[i1], vmat[i2]
+            cos = np.einsum("ij,ij->i", v1, v2) / (
+                np.sqrt(np.einsum("ij,ij->i", v1, v1))
+                * np.sqrt(np.einsum("ij,ij->i", v2, v2))
+            )
+            # HALF-AWAY-FROM-ZERO to match F.round (same trick as the
+            # per-pair verify; np.round is banker's rounding)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            keep = cos >= threshold  # NaN (zero norm) compares False
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_1": vids[sel][i1[keep]],
+                        "vec_id_2": vids[sel][i2[keep]],
+                        "cosine_sim": cos[keep],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    return with_vec.groupBy("bucket").applyInPandas(
+        score_bucket, "vec_id_1 long, vec_id_2 long, cosine_sim double"
+    )
+
+
+def _pair_verify_fold_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Per-PAIR fold-order verify for the portable family: join the
+    vector table back by id for each (vec_id_1, vec_id_2) pair and
+    accumulate dot/norms with one vectorized add per dimension --
+    bit-identical to the F.aggregate fold / DuckDB list_aggregate.
+    Emits (vec_id_1, vec_id_2, __raw_cos); zero-norm pairs dropped.
+    Used for the (tiny) spanning-chain pair set; bucket-bounded
+    candidates go through ``_bucket_allpairs_fold``."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = emb.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    joined = pairs.join(
+        vecs.select(F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")),
+        "vec_id_1",
+    ).join(
+        vecs.select(F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")),
+        "vec_id_2",
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v1 = np.stack(pdf["__v1"].to_numpy()).astype(np.float64)
+            v2 = np.stack(pdf["__v2"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            accd = np.zeros(n)
+            acc1 = np.zeros(n)
+            acc2 = np.zeros(n)
+            for d in range(v1.shape[1]):
+                x, y = v1[:, d], v2[:, d]
+                accd = accd + x * y
+                acc1 = acc1 + x * x
+                acc2 = acc2 + y * y
+            den = np.sqrt(acc1) * np.sqrt(acc2)
+            keep = den != 0.0
+            yield pd.DataFrame(
+                {
+                    "vec_id_1": pdf["vec_id_1"].to_numpy()[keep],
+                    "vec_id_2": pdf["vec_id_2"].to_numpy()[keep],
+                    "__raw_cos": accd[keep] / den[keep],
+                }
+            )
+
+    return joined.mapInPandas(
+        _verify, "vec_id_1 long, vec_id_2 long, __raw_cos double"
+    )
+
+
+def _bucket_allpairs_fold(with_vec: DataFrame) -> DataFrame:
+    """Portable-family twin of ``_bucket_allpairs_float``: all-pairs
+    scoring within each bucket with the SEQUENTIAL per-dimension
+    accumulation (one vectorized add per dimension) that is
+    bit-identical to the F.aggregate fold / DuckDB list_aggregate --
+    see the verify note in ``embedding_near_dupes_lsh_portable``.
+    Emits the UNROUNDED ratio; the engine-sensitive final steps
+    (round HALF_UP + threshold) stay in Spark, exactly like the
+    per-pair Arrow verify this replaces.  Zero-norm pairs are dropped
+    here (den == 0), matching the expr flavor's NULL-division drop."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id_1": pd.Series(dtype="int64"),
+            "vec_id_2": pd.Series(dtype="int64"),
+            "__raw_cos": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vid")
+        vmat = np.stack(pdf["__vec"].to_numpy().tolist()).astype("float64")
+        vids = pdf["vid"].to_numpy()
+        g, ndim = vmat.shape
+        # per-vector squared-norm fold in dimension order: the fold for
+        # a pair's norm only ever touches that one vector's elements,
+        # so accumulating it once per VECTOR is the identical float64
+        # op sequence as accumulating it per PAIR
+        nrm2 = np.zeros(g)
+        for d in range(ndim):
+            x = vmat[:, d]
+            nrm2 = nrm2 + x * x
+        i1, i2 = np.triu_indices(g, 1)
+        accd = np.zeros(len(i1))
+        for d in range(ndim):
+            col = vmat[:, d]
+            accd = accd + col[i1] * col[i2]
+        den = np.sqrt(nrm2[i1]) * np.sqrt(nrm2[i2])
+        keep = den != 0.0
+        return pd.DataFrame(
+            {
+                "vec_id_1": vids[i1[keep]],
+                "vec_id_2": vids[i2[keep]],
+                "__raw_cos": accd[keep] / den[keep],
+            }
+        )
+
+    return with_vec.groupBy("bucket").applyInPandas(
+        score_bucket, "vec_id_1 long, vec_id_2 long, __raw_cos double"
+    )
+
+
+def _pair_verify_arrow_float(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    candidates: DataFrame,
+    threshold: float,
+    dim: int | None,
+) -> DataFrame:
+    """Per-PAIR Arrow cosine verify for the float family: join the
+    vector table back by id for each candidate pair, score via one
+    numpy einsum per Arrow batch, round half-away-from-zero, keep at
+    or above ``threshold``.  Used for uncapped candidate sets and for
+    the (tiny) spanning-chain pairs; the bucket-bounded hot path goes
+    through ``_bucket_allpairs_float`` instead, which ships each
+    vector once per bucket row rather than once per pair."""
+    vecs = emb.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
+    )
+    joined = (
+        candidates.join(
+            vecs.select(
+                F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")
+            ),
+            "vec_id_1",
+        )
+        .join(
+            vecs.select(
+                F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")
+            ),
+            "vec_id_2",
+        )
+        .select("vec_id_1", "vec_id_2", "__v1", "__v2")
+    )
+
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a1, a2 = pdf["__v1"].to_numpy(), pdf["__v2"].to_numpy()
+            n = len(a1)
+
+            def score(idx):
+                v1 = np.stack(a1[idx].tolist()).astype("float64")
+                v2 = np.stack(a2[idx].tolist()).astype("float64")
+                cos = np.einsum("ij,ij->i", v1, v2) / (
+                    np.sqrt(np.einsum("ij,ij->i", v1, v1))
+                    * np.sqrt(np.einsum("ij,ij->i", v2, v2))
+                )
+                # HALF-AWAY-FROM-ZERO to match F.round / DuckDB
+                # (np.round is banker's half-to-even: 0.44995 would
+                # round differently across the two verify flavors)
+                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+                keep = cos >= threshold
+                return pd.DataFrame(
+                    {
+                        "vec_id_1": pdf["vec_id_1"].to_numpy()[idx][keep],
+                        "vec_id_2": pdf["vec_id_2"].to_numpy()[idx][keep],
+                        "cosine_sim": cos[keep],
+                    }
+                )
+
+            if dim is not None:
+                # static dim: the bucketer already raise-checked
+                # every row == dim, so stack directly -- no
+                # per-row length scan on the hot path
+                yield score(np.arange(n))
+                continue
+            # dim=None allows mixed dims (r5 review finding):
+            # np.stack over a batch mixing vector lengths raises,
+            # so group rows by length first (same trick as
+            # _hyperplane_buckets_arrow).  Cross-dim pairs are
+            # DROPPED, matching the expr flavor exactly (zip_with
+            # null-pads the shorter side and the null propagates
+            # through the fold, so those pairs never pass the
+            # threshold filter there either).
+            l1 = np.fromiter((len(x) for x in a1), dtype=np.int64, count=n)
+            l2 = np.fromiter((len(x) for x in a2), dtype=np.int64, count=n)
+            if l1.min() == l1.max() == l2.min() == l2.max():
+                # uniform-dim fast path: one stack
+                yield score(np.arange(n))
+                continue
+            same = l1 == l2
+            for d in np.unique(l1[same]):
+                idx = np.nonzero(same & (l1 == d))[0]
+                if len(idx):
+                    yield score(idx)
+
+    return joined.mapInPandas(
+        _verify, "vec_id_1 long, vec_id_2 long, cosine_sim double"
+    )
+
+
 def embedding_near_dupes_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -704,6 +981,38 @@ def embedding_near_dupes_lsh(
     chain = None
     if max_bucket_size is not None:
         slim, chain = _cap_buckets(slim, ["bucket"], "vid", max_bucket_size)
+    if verify_impl == "arrow" and max_bucket_size is not None:
+        # Per-BUCKET grouped verify (r15 guide-§8 restructure): the
+        # payload-free bucket self-join + per-pair vector joins shipped
+        # two 64-float arrays per CANDIDATE pair; on the measured
+        # non-discriminative worst case (~64% of all pairs collide at
+        # sf0.1) that is ~1.3M pair rows carrying vectors through two
+        # joins.  Here each (vid, bucket) row carries its vector ONCE
+        # through a single bucket exchange, and the C(g,2) pairs are
+        # formed inside numpy per bucket -- bytes shipped scale with
+        # bucket OCCUPANCY (<= cap, known bounded), never with pair
+        # count.  Per-pair values are bit-identical (same einsum +
+        # half-away round as the per-pair verify); cross-table
+        # multiplicity (~1.3x) is deduped after scoring, where rows are
+        # three slim columns instead of pairs-plus-vectors.  Gated on
+        # max_bucket_size: the cap both bounds per-group memory
+        # (O(cap^2) pairs) and guarantees the _cap_buckets window has
+        # already dropped singleton buckets from ``slim``.
+        vecs = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("__vec"))
+        scored = _bucket_allpairs_float(
+            slim.join(vecs, "vid").select("bucket", "vid", "__vec"), threshold
+        )
+        if chain is not None:
+            chain_pairs = chain.select(
+                F.col("vid_1").alias("vec_id_1"), F.col("vid_2").alias("vec_id_2")
+            )
+            scored = scored.unionByName(
+                _pair_verify_arrow_float(emb, id_col, vec_col, chain_pairs,
+                                         threshold, dim)
+            )
+        if n_tables > 1 or chain is not None:
+            scored = scored.dropDuplicates(["vec_id_1", "vec_id_2"])
+        return scored
     left = slim.select("bucket", F.col("vid").alias("vec_id_1"))
     right = slim.select("bucket", F.col("vid").alias("vec_id_2"))
     candidates = (
@@ -742,83 +1051,8 @@ def embedding_near_dupes_lsh(
     #    a transform lambda re-evaluates the referenced norm() subtree
     #    per ELEMENT (O(d^2), the r4 shingle trap).
     if verify_impl == "arrow":
-        vecs = emb.select(
-            F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vec")
-        )
-        joined = (
-            candidates.join(
-                vecs.select(
-                    F.col("__vid").alias("vec_id_1"), F.col("__vec").alias("__v1")
-                ),
-                "vec_id_1",
-            )
-            .join(
-                vecs.select(
-                    F.col("__vid").alias("vec_id_2"), F.col("__vec").alias("__v2")
-                ),
-                "vec_id_2",
-            )
-            .select("vec_id_1", "vec_id_2", "__v1", "__v2")
-        )
-
-        def _verify(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                a1, a2 = pdf["__v1"].to_numpy(), pdf["__v2"].to_numpy()
-                n = len(a1)
-
-                def score(idx):
-                    v1 = np.stack(a1[idx].tolist()).astype("float64")
-                    v2 = np.stack(a2[idx].tolist()).astype("float64")
-                    cos = np.einsum("ij,ij->i", v1, v2) / (
-                        np.sqrt(np.einsum("ij,ij->i", v1, v1))
-                        * np.sqrt(np.einsum("ij,ij->i", v2, v2))
-                    )
-                    # HALF-AWAY-FROM-ZERO to match F.round / DuckDB
-                    # (np.round is banker's half-to-even: 0.44995 would
-                    # round differently across the two verify flavors)
-                    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
-                    keep = cos >= threshold
-                    return pd.DataFrame(
-                        {
-                            "vec_id_1": pdf["vec_id_1"].to_numpy()[idx][keep],
-                            "vec_id_2": pdf["vec_id_2"].to_numpy()[idx][keep],
-                            "cosine_sim": cos[keep],
-                        }
-                    )
-
-                if dim is not None:
-                    # static dim: the bucketer already raise-checked
-                    # every row == dim, so stack directly -- no
-                    # per-row length scan on the hot path
-                    yield score(np.arange(n))
-                    continue
-                # dim=None allows mixed dims (r5 review finding):
-                # np.stack over a batch mixing vector lengths raises,
-                # so group rows by length first (same trick as
-                # _hyperplane_buckets_arrow).  Cross-dim pairs are
-                # DROPPED, matching the expr flavor exactly (zip_with
-                # null-pads the shorter side and the null propagates
-                # through the fold, so those pairs never pass the
-                # threshold filter there either).
-                l1 = np.fromiter((len(x) for x in a1), dtype=np.int64, count=n)
-                l2 = np.fromiter((len(x) for x in a2), dtype=np.int64, count=n)
-                if l1.min() == l1.max() == l2.min() == l2.max():
-                    # uniform-dim fast path: one stack
-                    yield score(np.arange(n))
-                    continue
-                same = l1 == l2
-                for d in np.unique(l1[same]):
-                    idx = np.nonzero(same & (l1 == d))[0]
-                    if len(idx):
-                        yield score(idx)
-
-        return joined.mapInPandas(
-            _verify, "vec_id_1 long, vec_id_2 long, cosine_sim double"
+        return _pair_verify_arrow_float(
+            emb, id_col, vec_col, candidates, threshold, dim
         )
     if verify_impl != "expr":
         raise ValueError(f"unknown verify_impl {verify_impl!r}; use 'arrow' or 'expr'")
@@ -1944,6 +2178,38 @@ def embedding_near_dupes_lsh_portable(
         # (sql_emb_lsh_adaptive_pair_ctes) -- capping does NOT cost
         # oracle-checkability, unlike the float family's cap.
         slim, chain = _cap_buckets(slim, ["bucket"], "vid", max_bucket_size)
+    if verify_impl == "arrow" and max_bucket_size is not None:
+        # Per-BUCKET grouped verify (r15 guide-§8 restructure, same as
+        # the float family): ship each vector once per (vid, bucket)
+        # row through ONE bucket exchange and form the C(g,2) pairs
+        # inside numpy, instead of joining two vectors onto every
+        # candidate pair (~64% of all pairs collide on the measured
+        # sf0.1 worst case).  Per-pair float64 op sequence is the SAME
+        # sequential per-dimension accumulation as the per-pair verify
+        # below -- bit-identical to the expr fold and the DuckDB
+        # oracle -- and round HALF_UP + threshold stay in Spark.
+        # Cross-table multiplicity is deduped AFTER scoring on slim
+        # (id, id, double) rows; duplicate rows are value-identical so
+        # the result set is unchanged.  Gated on max_bucket_size: the
+        # cap bounds per-group memory and _cap_buckets has already
+        # dropped singleton buckets from ``slim``.
+        vkey = emb.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("__vec"))
+        scored = _bucket_allpairs_fold(
+            slim.join(vkey, "vid").select("bucket", "vid", "__vec")
+        )
+        if chain is not None:
+            chain_pairs = chain.select(
+                F.col("vid_1").alias("vec_id_1"), F.col("vid_2").alias("vec_id_2")
+            )
+            scored = scored.unionByName(
+                _pair_verify_fold_portable(emb, id_col, vec_col, chain_pairs)
+            )
+        return (
+            scored.dropDuplicates(["vec_id_1", "vec_id_2"])
+            .withColumn("cosine_sim", F.round(F.col("__raw_cos"), 4))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("vec_id_1", "vec_id_2", "cosine_sim")
+        )
     left = slim.select("bucket", F.col("vid").alias("vec_id_1"))
     right = slim.select("bucket", F.col("vid").alias("vec_id_2"))
     candidates = (

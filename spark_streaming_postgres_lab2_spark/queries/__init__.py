@@ -54,6 +54,17 @@ DRIVER_PRIORITY = [
     "semantic_decontaminate",
     "unimax_mix_allocation",
     "quality_classifier_filter",
+    # round 15 OPTIMIZATION re-stamps (slots 4-5): the LSH verify was
+    # restructured per guide §8 (per-bucket grouped scoring instead of
+    # per-pair vector joins -- ship each vector once per bucket row,
+    # form C(g,2) pairs in numpy); the restructure flips the content
+    # stamps of the two certified queries whose plans route through it,
+    # so they re-certify in-window before anything merely stale does
+    # (the quality_classifier_filter rule).  They displace the two
+    # lowest-ranked (blame-span 0, alphabetical tail) r11-cohort rows,
+    # which rotate in r16 with the rest.
+    "embedding_lsh_near_dup_portable",
+    "semantic_dedup",
     # round 15, tier 1 (34, slots 4-37): the COMPLETE r11-last-green
     # cohort -- after the r14 window retired the r10 cohort, these 34
     # are the stalest driver evidence (last green 4 rounds ago).
@@ -97,8 +108,6 @@ DRIVER_PRIORITY = [
     "tpch_q6",
     "user_activity",
     "value_percentiles",
-    "value_stats",
-    "zipf_top_terms",
     # round 15, tier 2 (12, slots 38-49): the widest-blame-span 9 of
     # the 37 remaining r12-last-green oracles (quality_classifier_
     # filter already holds slot 3), same ranking protocol:
