@@ -387,7 +387,12 @@ def minhash_near_dupes(
     # two narrow projections, no recomputation of the string hashing.
     # localCheckpoint cuts the lineage so the banding branch and the
     # verification branch don't each re-tokenize/re-hash the corpus.
-    base = docs.select(
+    # spread_input (r15, guide §2.5): the fixture corpus is one small
+    # parquet file = one scan split, so the tokenize+hash pass -- the
+    # operator's dominant per-row compute -- otherwise runs single-task.
+    from ..sources.tables import spread_input
+
+    base = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("__toks"),
         shingle_hashes(text_col).alias("__sh"),
@@ -417,6 +422,11 @@ def minhash_near_dupes(
                 for i in range(num_hashes)
             ]
         )
+        # r15 (guide §2.4): the band self-join below plans its two
+        # sides as independent subtrees, so without this lineage cut
+        # the signature aggregation ran TWICE per query.  The
+        # checkpointed rows are slim (id + num_hashes longs).
+        .localCheckpoint(eager=False)
     )
     # Band WITHOUT payload columns: only (doc_id, band, band_hash) goes
     # through the bucket shuffle.  band_hash = xxhash64 over the band's
@@ -617,7 +627,13 @@ def _hyperplane_buckets_arrow(
                     }
                 )
 
-    return emb.select(id_col, vec_col).mapInPandas(_buckets, "vid long, bucket long")
+    # spread_input (r15, guide §2.5): single-file scan = one split =
+    # one Python worker for the whole bucketing matmul otherwise.
+    from ..sources.tables import spread_input
+
+    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
+        _buckets, "vid long, bucket long"
+    )
 
 
 def _bucket_allpairs_float(with_vec: DataFrame, threshold: float) -> DataFrame:
@@ -1186,7 +1202,13 @@ def connected_components(
     schema = _T.StructType(
         [_T.StructField("doc_id", id_type), _T.StructField("component", id_type)]
     )
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # Broadcast hint (r15 guide §3.1): this branch's output is bounded
+    # by construction (<= 2 * driver_threshold vertices, ~30 MB framed),
+    # but as a parallelized ExistingRDD it has no size statistics, so
+    # every corpus-side join against it planned as a full sort-merge
+    # (two exchanges + sorts of the corpus).  The distributed branch
+    # below is unbounded and deliberately carries no hint.
+    return F.broadcast(edges.sparkSession.createDataFrame(rows, schema))
 
 
 def _connected_components_distributed(
@@ -1334,7 +1356,11 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     round trip per node (~1.4 s of pure driver time per call for the
     64-bit reassembly alone -- measured r5), which dominated the
     query's wall clock at fixture scale."""
-    tok_hashes = docs.select(
+    # spread_input (r15, guide §2.5): single-file scan = one split;
+    # the tokenize + explode + hash pass otherwise runs single-task.
+    from ..sources.tables import spread_input
+
+    tok_hashes = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.slice(F.array_distinct(tokens(text_col)), 1, 60000)
@@ -1568,8 +1594,13 @@ def _portable_shingle_bands(
     if num_hashes % num_bands != 0:
         raise ValueError("num_hashes must divide evenly into num_bands")
     rows = num_hashes // num_bands
+    # spread_input (r15, guide §2.5): one small parquet file = one scan
+    # split, so shingling + the per-shingle md5 pass -- the family's
+    # dominant per-row compute -- otherwise runs single-task.
+    from ..sources.tables import spread_input
+
     base = (
-        docs.select(
+        spread_input(docs).select(
             F.col(id_col).alias("doc_id"),
             F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
         )
@@ -1822,6 +1853,10 @@ def minhash_near_dupes_portable(
     base, bands = _portable_shingle_bands(
         docs, id_col, text_col, num_hashes, num_bands, shingle_n
     )
+    # r15 (guide §2.4): the self-join's two sides plan as independent
+    # subtrees, so without this lineage cut the md5 signature+banding
+    # pipeline ran TWICE per query.  Banded rows are three slim columns.
+    bands = bands.localCheckpoint(eager=False)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])
@@ -1851,7 +1886,12 @@ def simhash_portable(
     explode + 64-partial-agg plan as simhash64; every step (locate on a
     hex alphabet, /2^k % 2 arithmetic, 2^j packing) is plain SQL, so an
     oracle can recompute it."""
-    toks = docs.select(
+    # spread_input (r15, guide §2.5): single-file scan = one split;
+    # the tokenize + explode + 16-nibble md5 pass otherwise runs
+    # single-task.
+    from ..sources.tables import spread_input
+
+    toks = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(F.filter(tokens(text_col), lambda t: t != ""))
@@ -2035,7 +2075,13 @@ def _int_hyperplane_buckets_arrow(
                 {"vid": np.repeat(ids, n_tables), "bucket": keys.ravel()}
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(_buckets, "vid long, bucket long")
+    # spread_input (r15, guide §2.5): single-file scan = one split =
+    # one Python worker for the whole bucketing matmul otherwise.
+    from ..sources.tables import spread_input
+
+    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
+        _buckets, "vid long, bucket long"
+    )
 
 
 def adaptive_portable_kl(n: int) -> tuple[int, int]:

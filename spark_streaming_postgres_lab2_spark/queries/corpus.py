@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.similarity import dedup_clusters, minhash_near_dupes_portable
+from ..functions.similarity import connected_components, minhash_near_dupes_portable
 from ..functions.text import clean_tokens, shingles
 from ..sources.tables import load_tables
 from . import QuerySpec
@@ -41,25 +41,54 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     pairs = minhash_near_dupes_portable(docs, threshold=0.5)
-    comps = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
-    member = docs.select("doc_id", "source", "n_chars").join(comps, "doc_id")
-    best = member.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__neg_id"))).alias(
-            "__best"
-        )
+    # r15 restructure (guide §2.4/§3.1).  The old shape built member =
+    # docs JOIN (docs LEFT JOIN components) -- the corpus joined twice,
+    # both sort-merge against the statistics-free components table --
+    # and then joined member AGAINST its own cluster-max a third time.
+    # Everything the query emits decomposes into corpus-wide per-source
+    # totals plus statistics over ONLY the docs that appear in a
+    # near-dup pair (singletons are always kept):
+    #   kept    = (n_docs - n_in_cc) + one-per-cluster argmax winners
+    #   dropped = n_in_cc - winners
+    # so the corpus is scanned twice with no corpus-wide shuffle (one
+    # map-side per-source count; one broadcast inner join against the
+    # bounded CC table), and the argmax + winner-per-source aggregates
+    # run on the small in-cluster subset.  The winner's source rides
+    # the SAME (n_chars, -doc_id) struct MAX as before as a trailing
+    # field -- (n_chars, doc_id) is unique per cluster, so the trailing
+    # field never participates in the comparison.  NULL doc_ids were
+    # dropped by the old inner member-join; the filter keeps that.
+    base = docs.select("doc_id", "source", "n_chars").filter(
+        F.col("doc_id").isNotNull()
     )
-    return (
-        member.join(best, "cluster_id")
-        .withColumn(
-            "__kept",
-            (F.col("n_chars") == F.col("__best.n_chars"))
-            & (F.col("doc_id") == -F.col("__best.__neg_id")),
-        )
-        .groupBy("source")
+    cc = connected_components(pairs)
+    in_cc = base.join(cc, "doc_id").select("doc_id", "source", "n_chars", "component")
+    winners = (
+        in_cc.groupBy("component")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.count(F.when(F.col("__kept"), 1)).alias("kept_docs"),
-            F.count(F.when(~F.col("__kept"), 1)).alias("dropped_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("__neg_id"),
+                    F.col("source"),
+                )
+            ).alias("__best")
+        )
+        .groupBy(F.col("__best.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("__kept_cc"))
+    )
+    cc_counts = in_cc.groupBy("source").agg(F.count(F.lit(1)).alias("__n_cc"))
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_cc = F.coalesce(F.col("__n_cc"), F.lit(0))
+    kept_cc = F.coalesce(F.col("__kept_cc"), F.lit(0))
+    return (
+        totals.join(cc_counts, "source", "left")
+        .join(winners, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("n_docs") - n_cc + kept_cc).alias("kept_docs"),
+            (n_cc - kept_cc).alias("dropped_docs"),
         )
         .orderBy("source")
     )
@@ -133,11 +162,19 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     pairs = minhash_near_dupes_portable(docs, threshold=0.5)
-    comps = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    # r15 restructure (guide §2.4/§3.1): the old shape joined the
+    # corpus against dedup_clusters' output -- itself corpus LEFT JOIN
+    # components -- i.e. two corpus-wide sort-merge joins before the
+    # first aggregate.  The cluster id is just coalesce(component,
+    # doc_id), so ONE left join against the bounded (broadcast-hinted)
+    # CC table replaces both.  NULL doc_ids were dropped by the old
+    # inner join; the filter keeps that behavior.
+    cc = connected_components(pairs)
     per_cluster = (
         docs.select("doc_id", "n_chars")
-        .join(comps, "doc_id")
-        .groupBy("cluster_id")
+        .filter(F.col("doc_id").isNotNull())
+        .join(cc, "doc_id", "left")
+        .groupBy(F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("__size"),
             F.sum("n_chars").cast("long").alias("__chars"),
@@ -974,12 +1011,29 @@ def semantic_dedup_accounting(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     pair generator: connected components -> keep-one (minimum vec_id)
     -> per-label kept/dropped counts + md5 over the kept id set.
     q_semantic_dedup feeds it the oracle-checkable portable LSH;
-    q_semantic_dedup_fast feeds it the adaptive production LSH."""
-    clustered = dedup_clusters(
-        emb, pairs, id_col="vec_id", pair_src="vec_id_1", pair_dst="vec_id_2"
-    )
-    member = emb.select("vec_id", "label").join(
-        clustered.select("vec_id", "is_canonical"), "vec_id"
+    q_semantic_dedup_fast feeds it the adaptive production LSH.
+
+    r15 restructure (guide §2.4): previously this went through
+    dedup_clusters (corpus LEFT JOIN components) and then joined the
+    corpus AGAIN onto that output to recover ``label`` -- two
+    corpus-wide joins, both planned sort-merge against the
+    statistics-free components table.  The component labels attach in
+    ONE left join now (broadcast on the size-bounded driver CC path),
+    and ``is_canonical`` is the same coalesce comparison dedup_clusters
+    derives.  Join semantics vs the oracle are unchanged: the old
+    inner member-join dropped NULL vec_ids, so the explicit filter
+    keeps that behavior."""
+    comps = connected_components(
+        pairs, src="vec_id_1", dst="vec_id_2"
+    ).withColumnRenamed("doc_id", "vec_id")
+    member = (
+        emb.select("vec_id", "label")
+        .filter(F.col("vec_id").isNotNull())
+        .join(comps, "vec_id", "left")
+        .withColumn(
+            "is_canonical",
+            F.coalesce(F.col("component"), F.col("vec_id")) == F.col("vec_id"),
+        )
     )
     kept_ids = F.array_sort(
         F.collect_list(F.when(F.col("is_canonical"), F.col("vec_id")))

@@ -135,6 +135,31 @@ def _normalize_dtypes(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input spread for compute-heavy operators
+    (guide §2.5 "input skew": one small unsplittable file).
+
+    The bench fixtures are one parquet file per table, small enough
+    that the scan planner packs each whole table into ONE split -- so
+    every per-row-expensive stage downstream (shingling, md5
+    signatures, HOF folds, Arrow/numpy batch workers) runs single-task
+    regardless of cluster size.  Round-robin repartition to the
+    session's default parallelism when (and only when) the scan
+    produced fewer partitions; at real scale the scan already has far
+    more splits than cores and this is a planning-time no-op.  The
+    explicit numPartitions marks the exchange user-specified, so AQE
+    does not re-coalesce the tiny bytes back into one partition.
+    Round-robin keeps `spark.sql.execution.sortBeforeRepartition` on
+    (default), so the row-to-partition assignment is deterministic
+    under retries.  Row-order-sensitive consumers must not use this
+    (none of the callers aggregate order-dependently; each caller's
+    oracle parity is re-proven after adoption)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table.  The events table carries TIMESTAMP(NANOS)
     parquet timestamps, which Spark 4 refuses by default
