@@ -81,9 +81,12 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     n_cc = F.coalesce(F.col("__n_cc"), F.lit(0))
     kept_cc = F.coalesce(F.col("__kept_cc"), F.lit(0))
+    # r15 (guide §3.1): cc_counts and winners are per-source aggregates
+    # (rows bounded by the source count, ~20) but statistics-free, so
+    # both left joins planned sort-merge; the hints make them broadcast.
     return (
-        totals.join(cc_counts, "source", "left")
-        .join(winners, "source", "left")
+        totals.join(F.broadcast(cc_counts), "source", "left")
+        .join(F.broadcast(winners), "source", "left")
         .select(
             "source",
             "n_docs",
@@ -1303,8 +1306,13 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication, and the top-K order/limit caps the result at K rows
     regardless of corpus size.  Nothing is ever joined -- a 100x
     corpus only widens the gram exchanges."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
-    grams = t["documents"].select(
+    # spread_input (r15, guide §2.5): the shingle + explode pass and
+    # the first partial aggregate otherwise run single-task on the
+    # one-split fixture scan.
+    grams = spread_input(t["documents"]).select(
         "doc_id",
         F.explode(shingles(F.col("text"), _DUP_NGRAM_N)).alias("gram"),
     )
@@ -1372,9 +1380,13 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges total ((source, gram) distinct, gram group, pair rollup;
     PLANS_r09 xchg=3), all map-side combinable, all shrinking; output
     is bounded by sources^2/2."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
+    # spread_input (r15, guide §2.5): shingle + explode + the partial
+    # distinct otherwise run single-task on the one-split fixture scan.
     gs = (
-        t["documents"]
+        spread_input(t["documents"])
         .select(
             "source",
             F.explode(
@@ -1585,12 +1597,17 @@ def _cut_gram_occurrences(spark: SparkSession, sf_dir: str):
     token accounting plus the 1-based (pos, endpos) gram occurrence
     stream.  Extracted so the exact and capped flavors can never
     desynchronize on the token/position contract."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
     # n_toks and __grams MUST share one token definition (clean_tokens,
     # the same expression shingles uses internally) or the
     # endpos = i + least(n_toks, n) arithmetic desynchronizes from the
     # gram array
-    base = t["documents"].select(
+    # spread_input (r15, guide §2.5): the tokenize + shingle + explode
+    # pass -- both cut flavors' dominant per-row compute -- otherwise
+    # runs single-task on the one-split fixture scan.
+    base = spread_input(t["documents"]).select(
         "doc_id",
         "source",
         F.size(clean_tokens(F.col("text"))).alias("n_toks"),

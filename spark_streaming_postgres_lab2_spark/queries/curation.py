@@ -84,7 +84,13 @@ def q_exact_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    train = grams(docs.filter(~is_eval), "train_doc_id")
+    # spread_input (r15, guide §2.5): the TRAIN side's shingle +
+    # explode pass -- the dominant per-row compute -- otherwise runs
+    # single-task on the one-split fixture scan.  The eval side stays
+    # unspread: it is tiny by construction and feeds a broadcast.
+    from ..sources.tables import spread_input
+
+    train = grams(spread_input(docs.filter(~is_eval)), "train_doc_id")
     ev = grams(docs.filter(is_eval), "eval_doc_id")
     return (
         train.join(F.broadcast(ev), "gram")
@@ -348,13 +354,20 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  Ranking uses the ROUNDED score on both engines so a
     sub-ulp ln() difference cannot reorder ties; residual ties break
     on term ASC."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
-    tok = t["documents"].select(
+    # r15 (guide §2.4/§2.5): ``tf`` feeds df_ AND scored as independent
+    # subtrees, so the tokenize + explode + tf aggregation ran twice,
+    # single-task each on the one-split fixture scan.  spread_input
+    # parallelizes the pass; the lineage cut makes it run once (the
+    # checkpointed rows are three slim columns).
+    tok = spread_input(t["documents"]).select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = t["documents"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     scored = (
@@ -440,15 +453,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the ROUNDED score on both engines (tfidf_top_terms
     precedent) so sub-ulp ln()/summation differences cannot reorder
     ties; residual ties break on doc_id ASC."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
-    tok = t["documents"].select(
+    # r15 (guide §2.4/§2.5): ``tok`` feeds tf AND dl, and ``tf`` feeds
+    # df_ AND the scoring join -- four independent subtrees re-running
+    # the tokenize + explode pass, single-task each on the one-split
+    # fixture scan.  spread_input parallelizes the pass; the two
+    # lineage cuts (slim (doc_id, term, tf) and (doc_id, dl) rows)
+    # make it run once.
+    tok = spread_input(t["documents"]).select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = t["documents"].agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
@@ -574,15 +597,23 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row stats broadcast exactly as in bm25_search; the fusion
     itself joins two |queries| x pool frames -- trivially broadcast,
     bounded by the query set, never by the corpus."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
-    tok = t["documents"].select(
+    # r15 (guide §2.4/§2.5): same restructure as bm25_search -- tok
+    # feeds tf AND dl, tf feeds df_ AND the scoring join; spread the
+    # one-split scan and cut the two slim frames so the tokenize +
+    # explode pass runs once instead of four times.
+    tok = spread_input(t["documents"]).select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = t["documents"].agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     avgdl = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl")
@@ -2131,6 +2162,8 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over the bigram stream plus a per-doc partial agg, and the
     top-k is TakeOrdered (no global sort shuffle).  Nothing
     corpus-sized is ever joined against itself or broadcast."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"].select(
         "doc_id",
@@ -2138,8 +2171,16 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         _clean_tokens(F.col("text")).alias("__tk"),
     )
+    # r15 (guide §2.4/§2.5): ``bg`` feeds THREE consumers (raw, tgt,
+    # scored) that plan as independent subtrees, so the tokenize +
+    # bigram-explode + md5-bucket pipeline -- the query's dominant
+    # per-row compute -- ran three times, each time single-task on the
+    # one-split fixture scan.  spread_input parallelizes the pass and
+    # the lineage cut makes it run ONCE; the checkpointed rows are
+    # three slim columns (doc_id, lang, bucket).
     bg = (
-        docs.filter(F.size("__tk") >= 2)
+        spread_input(docs)
+        .filter(F.size("__tk") >= 2)
         .select(
             "doc_id",
             "lang",
@@ -2155,6 +2196,7 @@ def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             _md5_bucket(F.col("__bgram"), _DSIR_BUCKETS).alias("__bucket"),
         )
+        .localCheckpoint(eager=False)
     )
     raw = bg.groupBy("__bucket").agg(F.count(F.lit(1)).cast("long").alias("__c_r"))
     tgt = (

@@ -594,9 +594,14 @@ def q_doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined over 3-token windows with wrapping 64-bit multiply-add,
     min over windows (VERDICT r3 item 3 -- the oracle emulates Spark's
     non-ANSI wrapping long multiply with DuckDB HUGEINT % 2^64)."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["documents"])
+    # spread_input (r15, guide §2.5): the per-token md5 + rolling
+    # multiply-add HOF fold is the whole query and otherwise runs
+    # single-task on the one-split fixture scan.
     return (
-        t["documents"]
+        spread_input(t["documents"])
         .select("doc_id", TX.rolling_fingerprint_portable("text").alias("fingerprint"))
         .orderBy("doc_id")
     )
@@ -1024,8 +1029,13 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all columns in the same partial agg); the two string modes add two
     slim value-frequency groupBys.  Output is 6 rows regardless of
     data volume."""
+    from ..sources.tables import spread_input
+
     t = load_tables(spark, sf_dir, ["events"])
-    ev = t["events"]
+    # spread_input (r15, guide §2.5): the 6 count_distincts in one agg
+    # plan as an Expand (row count x6) feeding the partial aggregate,
+    # all inside the ONE scan task of the single-split fixture file.
+    ev = spread_input(t["events"])
     n = F.count(F.lit(1)).cast("bigint")
 
     def mode_of(col):

@@ -665,7 +665,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded 4); the top-k orders on (pair_count DESC, part_a,
     part_b) -- fully discrete."""
     t = load_tables(spark, sf_dir, ["lineitem", "orders"])
-    op = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    # r15 (guide §2.4): ``op`` feeds three consumers (item_cnt and both
+    # self-join sides), each planned as an independent subtree -- the
+    # scan + distinct ran three times.  The lineage cut makes it run
+    # once; the checkpointed rows are two slim longs.
+    op = (
+        t["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     item_cnt = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
