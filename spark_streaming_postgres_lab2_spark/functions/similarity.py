@@ -104,22 +104,46 @@ def ivf_centroids(
     )
 
 
-def kmeans_assign(
+def _kmeans_assign_literal(
     corpus: DataFrame,
-    centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    cents_rows: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (broadcast the k
-    centroids, one pass over the corpus, per-vector argmax window)."""
-    w = Window.partitionBy(id_col).orderBy(F.col("__ccos").desc(), F.col("cluster").asc())
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__ccos", cosine(F.col(vec_col), F.col("centroid")))
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r", "__ccos", "centroid")
+    """Max-cosine centroid assignment with the k centroids embedded as
+    LITERALS: the per-vector argmax becomes array_max over a row-local
+    transform -- no cross join, no window, no exchange (r15, guide
+    §2.4).  The previous crossJoin(broadcast(cents))+row_number-window
+    form shuffled corpus x k rows (each carrying the full embedding
+    AND the matched centroid) once per Lloyd iteration, and under AQE
+    each lazy localCheckpoint in the iteration loop executed those
+    stages inside the builder.  The centroid set is k rows by
+    construction -- the same driver-bounded class as the seeding
+    collect.  Tie semantics match that window (DESC cosine, ASC
+    cluster) exactly: max(struct(ccos, -cluster)) picks highest
+    cosine, then smallest cluster; NaN (zero-norm vector) compares
+    greater than any value in both struct ordering and a DESC sort,
+    and an all-NULL cosine row (NULL vector) falls to the smallest
+    cluster either way."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("centroid"),
+            )
+            for c, v in cents_rows
+        ]
     )
+    best = F.array_max(
+        F.transform(
+            arr,
+            lambda s: F.struct(
+                cosine(F.col(vec_col), s["centroid"]).alias("__ccos"),
+                (-s["cluster"]).alias("__negc"),
+            ),
+        )
+    )
+    return corpus.withColumn("cluster", (-best["__negc"]).cast("int"))
 
 
 def kmeans_lite(
@@ -170,17 +194,24 @@ def kmeans_lite(
         sims = unit @ unit[chosen].T
         nearest = sims.max(axis=1)
         chosen.append(int(np.argmin(nearest)))
-    cents = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in vecs[c]]) for i, c in enumerate(chosen)],
-        "cluster int, centroid array<double>",
-    )
-    assigned = kmeans_assign(corpus, cents, id_col, vec_col)
+    # r15 (guide §2.4): assignments use the LITERAL-centroid argmax --
+    # per iteration the old shape paid a corpus x k crossJoin+window
+    # exchange (plus an in-loop localCheckpoint whose lazy toRdd, under
+    # AQE, executed those stages inside this builder).  Centroids are
+    # k rows by construction, so each iteration collects them (one
+    # bounded job, like the seeding collect) and re-assigns from the
+    # raw corpus as a pure projection: the Lloyd loop now plans with
+    # ZERO exchanges on the corpus side.
+    cents_rows = [(i, [float(x) for x in vecs[c]]) for i, c in enumerate(chosen)]
+    assigned = _kmeans_assign_literal(corpus, cents_rows, id_col, vec_col)
     for _ in range(iters - 1):
-        # iterative lineage must be cut per round, or every downstream
-        # reference re-executes the whole Lloyd chain
-        assigned = assigned.localCheckpoint(eager=False)
-        cents = ivf_centroids(assigned, "cluster", vec_col)
-        assigned = kmeans_assign(assigned.drop("cluster"), cents, id_col, vec_col)
+        cents_rows = [
+            (r["cluster"], list(r["centroid"]))
+            for r in ivf_centroids(assigned, "cluster", vec_col).collect()
+        ]
+        if not cents_rows:
+            break
+        assigned = _kmeans_assign_literal(corpus, cents_rows, id_col, vec_col)
     return assigned.localCheckpoint(eager=False)
 
 
