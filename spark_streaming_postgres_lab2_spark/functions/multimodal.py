@@ -715,7 +715,19 @@ def synthesize_video_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["payload"].append(encode_video(frames))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(_encode, schema="media_id long, payload binary")
+    # spread_input (r15, guide §2.5): the video container is the one
+    # multimodal synthesis heavy enough to win from spreading the
+    # one-split fixture scan (multi-frame per-pixel Python encode; the
+    # downstream sampled decode inherits the parallelism).  Measured
+    # interleaved A/B at sf0.1: video 1.97s -> 1.63s with spread, while
+    # the single-image/audio codecs LOSE 1.3-3.4x to the exchange +
+    # 32-way tiny-batch Python overhead -- so they deliberately stay
+    # unspread.
+    from ..sources.tables import spread_input
+
+    return spread_input(ids).mapInPandas(
+        _encode, schema="media_id long, payload binary"
+    )
 
 
 VIDEO_STATS_SCHEMA = (
