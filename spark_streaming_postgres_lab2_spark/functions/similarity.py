@@ -1802,12 +1802,8 @@ def embedding_decontaminate_portable(
     ev = eval_emb.select(
         F.col(id_col).alias("eval_vec_id"), F.col(vec_col).alias("__v2")
     )
-    # the CANDIDATE set broadcasts back against train (the
-    # minhash_decontaminate pattern): without the hint, a stats-less
-    # candidate lineage can plan a shuffle join that exchanges every
-    # train vector -- exactly the corpus-wide exchange this function's
-    # contract rules out (r14 review finding).  CARDINALITY BOUND
-    # (r15 review): broadcasting cand collects it to the driver, and
+    # CARDINALITY BOUND (r15 review): materializing cand driver-side
+    # (collect below / broadcast in the fallback-shaped join) means
     # |cand| <= sum over hot buckets of |train in bucket| x |eval in
     # bucket| -- when a single LSH bucket is shared by a large slice
     # of the train corpus, cand scales with TRAIN, so driver memory
@@ -1820,13 +1816,93 @@ def embedding_decontaminate_portable(
     # size) instead of driver-memory-bounded, which is the correct
     # trade once cand itself is corpus-scaled.
     if broadcast_candidates:
-        joined = tv.join(F.broadcast(cand), "train_vec_id").join(
-            F.broadcast(ev), "eval_vec_id"
+        # r15 optimization (guide §2.3/§8 "shuffle keys, not
+        # payloads"): the former verify join
+        # tv x broadcast(cand) x broadcast(ev) replicated BOTH 64-dim
+        # vectors onto EVERY candidate pair before the Python
+        # boundary -- at sf0.1 that is 416k pairs x 128 float64
+        # ~ 425 MB through Arrow to score 1.6k distinct train vectors
+        # against 410 eval vectors.  Grouped scoring instead (the
+        # same shape the self-join family's per-bucket verify took):
+        # candidates aggregate to ONE eval-id list per train vector
+        # in-plan, that slim list joins back against train (broadcast
+        # -- the documented driver bound above), and each train
+        # vector crosses the Arrow boundary ONCE with its candidate
+        # ids (~4 MB at sf0.1).  The eval matrix rides in the task
+        # closure (one tiny collect -- a benchmark suite is tiny by
+        # this function's contract).  Scoring stays the same
+        # sequential per-dimension float64 accumulation on the
+        # expanded pair index -- identical values, identical op
+        # order, so bit-parity with the expr fold / DuckDB oracle is
+        # unchanged (pinned by test_embedding_decontaminate_shuffle
+        # _fallback_matches_broadcast, which cross-checks this path
+        # against the untouched shuffle join below).
+        ev_rows = ev.collect()
+        eval_ids = np.array([r[0] for r in ev_rows], dtype=np.int64)
+        eval_mat = (
+            np.stack([np.asarray(r[1], dtype=np.float64) for r in ev_rows])
+            if ev_rows
+            else np.zeros((0, dim))
         )
-    else:
-        joined = tv.join(cand, "train_vec_id").join(
-            F.broadcast(ev), "eval_vec_id"
+        eval_row = {int(i): j for j, i in enumerate(eval_ids)}
+        candg = cand.groupBy("train_vec_id").agg(
+            F.collect_list("eval_vec_id").alias("__evids")
         )
+        from ..sources.tables import spread_input
+
+        joined = spread_input(tv).join(F.broadcast(candg), "train_vec_id")
+
+        def _verify_grouped(batches):
+            # zero-norm pairs dropped, matching the expr flavor's
+            # 0.0/0.0 -> NULL -> filtered semantics
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["train_vec_id"].to_numpy()
+                evl = [
+                    np.array([eval_row[int(e)] for e in es], dtype=np.int64)
+                    for es in pdf["__evids"].to_numpy()
+                ]
+                v1k = np.stack(pdf["__v1"].to_numpy()).astype(np.float64)
+                t_idx = np.repeat(
+                    np.arange(len(ids)), [len(e) for e in evl]
+                )
+                e_idx = (
+                    np.concatenate(evl)
+                    if evl
+                    else np.zeros(0, dtype=np.int64)
+                )
+                n = len(t_idx)
+                accd = np.zeros(n)
+                acc1 = np.zeros(n)
+                acc2 = np.zeros(n)
+                for d in range(v1k.shape[1]):
+                    x = v1k[t_idx, d]
+                    y = eval_mat[e_idx, d]
+                    accd = accd + x * y
+                    acc1 = acc1 + x * x
+                    acc2 = acc2 + y * y
+                den = np.sqrt(acc1) * np.sqrt(acc2)
+                keep = den != 0.0
+                yield pd.DataFrame(
+                    {
+                        "train_vec_id": ids[t_idx][keep],
+                        "eval_vec_id": eval_ids[e_idx][keep],
+                        "__raw_cos": accd[keep] / den[keep],
+                    }
+                )
+
+        scored = joined.mapInPandas(
+            _verify_grouped,
+            "train_vec_id long, eval_vec_id long, __raw_cos double",
+        )
+        return (
+            scored.withColumn("cosine_sim", F.round(F.col("__raw_cos"), 4))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("train_vec_id", "eval_vec_id", "cosine_sim")
+        )
+
+    joined = tv.join(cand, "train_vec_id").join(F.broadcast(ev), "eval_vec_id")
 
     def _verify(batches):
         # sequential per-dimension accumulation: bit-identical to the
