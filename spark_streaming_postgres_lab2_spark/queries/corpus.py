@@ -1180,9 +1180,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_ids = near_pairs.select(
         F.col("eval_doc_id").alias("doc_id")
     ).distinct()
+    # r15 (guide §3.1): both flag sides are bounded by the NEW batch
+    # (exact_ids/near_ids are subsets of its doc_ids), but their
+    # stats-free lineage planned SortMergeJoin LeftOuter twice --
+    # shuffling the new batch and sorting both sides.  A small ingest
+    # batch is this operator's contract, so broadcast is the correct
+    # strategy at any corpus scale: new never shuffles.
     flagged = (
-        new.join(exact_ids.withColumn("__exact", F.lit(1)), "doc_id", "left")
-        .join(near_ids.withColumn("__near", F.lit(1)), "doc_id", "left")
+        new.join(
+            F.broadcast(exact_ids.withColumn("__exact", F.lit(1))),
+            "doc_id", "left",
+        )
+        .join(
+            F.broadcast(near_ids.withColumn("__near", F.lit(1))),
+            "doc_id", "left",
+        )
         .select(
             "doc_id",
             "source",

@@ -354,15 +354,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  Ranking uses the ROUNDED score on both engines so a
     sub-ulp ln() difference cannot reorder ties; residual ties break
     on term ASC."""
-    from ..sources.tables import spread_input
-
     t = load_tables(spark, sf_dir, ["documents"])
-    # r15 (guide §2.4/§2.5): ``tf`` feeds df_ AND scored as independent
-    # subtrees, so the tokenize + explode + tf aggregation ran twice,
-    # single-task each on the one-split fixture scan.  spread_input
-    # parallelizes the pass; the lineage cut makes it run once (the
-    # checkpointed rows are three slim columns).
-    tok = spread_input(t["documents"]).select(
+    # r15 (guide §2.4): ``tf`` feeds df_ AND scored as independent
+    # subtrees, so the tokenize + explode + tf aggregation ran twice;
+    # the lineage cut makes it run once (the checkpointed rows are
+    # three slim columns).  Deliberately NOT spread: interleaved A/B
+    # measured the repartition costing ~1.6x on this family -- the
+    # tokenize pass is cheap vectorized JVM work, unlike the
+    # md5/shingle-heavy census passes where spreading wins.
+    tok = t["documents"].select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
@@ -453,16 +453,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the ROUNDED score on both engines (tfidf_top_terms
     precedent) so sub-ulp ln()/summation differences cannot reorder
     ties; residual ties break on doc_id ASC."""
-    from ..sources.tables import spread_input
-
     t = load_tables(spark, sf_dir, ["documents"])
-    # r15 (guide §2.4/§2.5): ``tok`` feeds tf AND dl, and ``tf`` feeds
-    # df_ AND the scoring join -- four independent subtrees re-running
-    # the tokenize + explode pass, single-task each on the one-split
-    # fixture scan.  spread_input parallelizes the pass; the two
-    # lineage cuts (slim (doc_id, term, tf) and (doc_id, dl) rows)
-    # make it run once.
-    tok = spread_input(t["documents"]).select(
+    # r15 (guide §2.4): ``tok`` feeds tf AND dl, and ``tf`` feeds
+    # df_ AND the scoring join -- independent subtrees re-running the
+    # tokenize + explode pass.  The two lineage cuts (slim
+    # (doc_id, term, tf) and (doc_id, dl) rows) make it run once.
+    # Deliberately NOT spread: interleaved A/B at sf0.1 measured
+    # orig 1.40s / ckpt-only 1.42s / spread+ckpt 2.09s / spread 2.31s
+    # -- the exchange costs more than the cheap JVM tokenize saves.
+    tok = t["documents"].select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(
@@ -597,14 +596,12 @@ def q_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row stats broadcast exactly as in bm25_search; the fusion
     itself joins two |queries| x pool frames -- trivially broadcast,
     bounded by the query set, never by the corpus."""
-    from ..sources.tables import spread_input
-
     t = load_tables(spark, sf_dir, ["documents"])
-    # r15 (guide §2.4/§2.5): same restructure as bm25_search -- tok
-    # feeds tf AND dl, tf feeds df_ AND the scoring join; spread the
-    # one-split scan and cut the two slim frames so the tokenize +
-    # explode pass runs once instead of four times.
-    tok = spread_input(t["documents"]).select(
+    # r15 (guide §2.4): same restructure as bm25_search -- tok feeds
+    # tf AND dl, tf feeds df_ AND the scoring join; the two lineage
+    # cuts make the tokenize + explode pass run once.  NOT spread,
+    # per the same interleaved A/B verdict as bm25_search.
+    tok = t["documents"].select(
         "doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(

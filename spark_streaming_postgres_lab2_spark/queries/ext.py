@@ -1039,16 +1039,24 @@ def q_table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).cast("bigint")
 
     def mode_of(col):
+        # r15 (guide §2.4): the former freq -> max -> join-back shape
+        # planned freq's groupBy (a full scan + shuffle) TWICE -- once
+        # under the max subtree, once under the join -- plus a
+        # broadcast exchange.  struct-min is one reduce over one freq
+        # pass with identical semantics: smallest (-count, value) =
+        # highest count, ties to the lexicographically smallest value.
         freq = ev.filter(F.col(col).isNotNull()).groupBy(col).agg(
             F.count(F.lit(1)).cast("bigint").alias("__c")
         )
-        best = freq.agg(F.max("__c").alias("__mc"))
-        return (
-            freq.join(F.broadcast(best), freq["__c"] == best["__mc"])
-            .agg(
-                F.min(col).alias("__mode"),
-                F.min("__mc").cast("bigint").alias("__mode_n"),
-            )
+        return freq.agg(
+            F.min(
+                F.struct(
+                    (-F.col("__c")).alias("__nc"), F.col(col).alias("__v")
+                )
+            ).alias("__m")
+        ).select(
+            F.col("__m.__v").alias("__mode"),
+            (-F.col("__m.__nc")).cast("bigint").alias("__mode_n"),
         )
 
     scalars = ev.agg(
