@@ -658,11 +658,12 @@ def _hyperplane_buckets_arrow(
                     }
                 )
 
-    # spread_input (r15, guide §2.5): single-file scan = one split =
-    # one Python worker for the whole bucketing matmul otherwise.
-    from ..sources.tables import spread_input
-
-    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
+    # Deliberately NOT spread (r15): the bucketing matmul is one cheap
+    # vectorized numpy op per batch, and interleaved A/B measured the
+    # round-robin exchange costing 1.1-1.2x end-to-end on every
+    # embedding-LSH query (the md5/shingle signature passes, where
+    # per-row work dominates, keep their spread).
+    return emb.select(id_col, vec_col).mapInPandas(
         _buckets, "vid long, bucket long"
     )
 
@@ -2182,11 +2183,12 @@ def _int_hyperplane_buckets_arrow(
                 {"vid": np.repeat(ids, n_tables), "bucket": keys.ravel()}
             )
 
-    # spread_input (r15, guide §2.5): single-file scan = one split =
-    # one Python worker for the whole bucketing matmul otherwise.
-    from ..sources.tables import spread_input
-
-    return spread_input(emb.select(id_col, vec_col)).mapInPandas(
+    # Deliberately NOT spread (r15): the bucketing matmul is one cheap
+    # vectorized numpy op per batch, and interleaved A/B measured the
+    # round-robin exchange costing 1.1-1.2x end-to-end on every
+    # embedding-LSH query (the md5/shingle signature passes, where
+    # per-row work dominates, keep their spread).
+    return emb.select(id_col, vec_col).mapInPandas(
         _buckets, "vid long, bucket long"
     )
 
