@@ -2359,10 +2359,17 @@ def embedding_near_dupes_lsh_portable(
             scored = scored.unionByName(
                 _pair_verify_fold_portable(emb, id_col, vec_col, chain_pairs)
             )
+        # r15 (guide §2.3): threshold BEFORE the cross-table dedup --
+        # every duplicate copy of a pair carries the identical
+        # bit-exact __raw_cos (both scorers run the same sequential
+        # per-dimension fold on the same two vectors), so round +
+        # filter commute with dropDuplicates, and the dedup exchange
+        # shrinks from the full scored candidate stream (~2M rows at
+        # sf0.1) to only the pairs that survive the threshold.
         return (
-            scored.dropDuplicates(["vec_id_1", "vec_id_2"])
-            .withColumn("cosine_sim", F.round(F.col("__raw_cos"), 4))
+            scored.withColumn("cosine_sim", F.round(F.col("__raw_cos"), 4))
             .filter(F.col("cosine_sim") >= threshold)
+            .dropDuplicates(["vec_id_1", "vec_id_2"])
             .select("vec_id_1", "vec_id_2", "cosine_sim")
         )
     left = slim.select("bucket", F.col("vid").alias("vec_id_1"))
