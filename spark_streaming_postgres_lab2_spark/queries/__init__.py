@@ -89,25 +89,40 @@ DRIVER_PRIORITY = [
     "small_quantity_revenue",
     "above_avg_orders",
     "boilerplate_dedup",
-    "bpe_merge_candidates",
-    "corpus_filter_chain",
-    "customers_without_orders",
     "kmeans_cluster_profile",
-    "nation_pairs",
-    "order_count_distribution",
-    "order_priority",
-    "pii_redaction",
-    "quality_percentile_filter",
-    "regional_revenue",
-    "snapshot_diff",
-    "source_quota_sample",
+    # round 15 OPTIMIZATION re-stamps, second batch (17): queries whose
+    # implementation changed during the optimization phase (single-split
+    # spread + repeated-subtree cuts + broadcast-hinted bounded joins +
+    # the kmeans builder / grouped-verify restructures -- see
+    # OPTIMIZATION_r15.md per-operator log) and which therefore must
+    # re-certify in-window before anything merely stale does (the
+    # quality_classifier_filter rule, same as slots 4-5).  They displace
+    # the 17 lowest-ranked r11-cohort rows (blame-span 0, alphabetical
+    # tail: bpe_merge_candidates, corpus_filter_chain,
+    # customers_without_orders, nation_pairs, order_count_distribution,
+    # order_priority, pii_redaction, quality_percentile_filter,
+    # regional_revenue, snapshot_diff, source_quota_sample,
+    # top_customers, top_parts_per_brand, tpch_q1, tpch_q6,
+    # user_activity, value_percentiles), which rotate in r16 with the
+    # rest of that cohort.
+    "ann_ivf_lossless_audit",
+    "ann_recall_audit",
+    "bm25_search",
+    "canonical_docs",
+    "decontaminate",
+    "duplicate_ngrams",
+    "exact_ngram_decontaminate",
+    "incremental_dedup",
+    "market_basket",
+    "minhash_near_dup",
+    "near_dup_clusters",
+    "simhash_near_dup",
+    "source_overlap_matrix",
+    "substring_dedup_cut",
+    "substring_dedup_cut_fast",
+    "table_profile_events",
     "tfidf_top_terms",
-    "top_customers",
-    "top_parts_per_brand",
-    "tpch_q1",
-    "tpch_q6",
-    "user_activity",
-    "value_percentiles",
+    "video_frame_stats",
     # round 15, tier 2 (12, slots 38-49): the widest-blame-span 9 of
     # the 37 remaining r12-last-green oracles (quality_classifier_
     # filter already holds slot 3), same ranking protocol:

@@ -2055,6 +2055,13 @@ def q_doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(sum_bits * 1000) div sum_bigrams"),
             ).cast("long"),
         )
+        # r15 (guide §2.4): ``dom`` feeds the stats agg AND the final
+        # select as independent subtrees, so the whole corpus-sized
+        # bigram-LM pipeline underneath ran twice per action.  dom is
+        # DOMAIN-sized (tens of rows at any corpus scale), so the cut
+        # is free -- unlike checkpointing the corpus-sized LM frames,
+        # which measured as a local regression and stays rejected.
+        .localCheckpoint(eager=False)
     )
     # min/sum/count over the scored domains collapse to ONE row
     # (sum of excess == sum_loss - k*min_loss, so no second pass)

@@ -2821,8 +2821,12 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("cluster_id", "pos")
                 .agg(F.expr("sum(q) div count(*)").alias("__c_new"))
             )
+            # r15 (guide §3.1): both sides are K*64 rows by
+            # construction -- without the hint the stats-free lineage
+            # planned SortMergeJoin (two exchanges + sorts on 512-row
+            # frames) inside every round's checkpoint materialization
             cent = (
-                cent.join(upd, ["cluster_id", "pos"], "left")
+                cent.join(F.broadcast(upd), ["cluster_id", "pos"], "left")
                 .select(
                     "cluster_id",
                     "pos",
@@ -2839,8 +2843,9 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vec_id").cast("long").alias("member_id_sum"),
         F.sum("d2").cast("long").alias("inertia"),
     )
+    # r15 (guide §3.1): K-row join; broadcast instead of sort-merge
     return (
-        cent_sums.join(profile, "cluster_id", "left")
+        cent_sums.join(F.broadcast(profile), "cluster_id", "left")
         .select(
             "cluster_id",
             F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
