@@ -155,6 +155,16 @@ class SparkConfig:
         default_factory=lambda: _env_int("SPARK_MAX_PARTITION_BYTES", 128 * 1024 * 1024)
     )
     adaptive_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_AQE", True))
+    # r15 (guide §3.1/§9): let the planner pick shuffled-hash over
+    # sort-merge when one side fits a per-partition hash map (skips
+    # both sort passes; measured 0.74-0.94x on every SMJ-site query).
+    # Scale-safe by construction: the planner's size conditions
+    # (canBuildLocalHashMap vs autoBroadcastJoinThreshold x shuffle
+    # partitions) fall back to sort-merge when neither side can build,
+    # so corpus x corpus joins at 100 TB still plan SMJ.
+    prefer_sort_merge_join: bool = field(
+        default_factory=lambda: _env_bool("SPARK_PREFER_SMJ", False)
+    )
     session_timezone: str = field(default_factory=lambda: _env("SPARK_SESSION_TZ", "UTC"))
     arrow_enabled: bool = field(default_factory=lambda: _env_bool("SPARK_ARROW", True))
     # in local[*] mode the executors run INSIDE the driver JVM, so this

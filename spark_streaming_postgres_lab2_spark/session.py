@@ -33,6 +33,10 @@ def build_session(cfg: SparkConfig | None = None) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", str(cfg.arrow_enabled).lower())
         .config("spark.ui.enabled", str(cfg.ui_enabled).lower())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            str(cfg.prefer_sort_merge_join).lower(),
+        )
         .config("spark.sql.files.maxPartitionBytes", str(cfg.max_partition_bytes))
     )
     if cfg.driver_memory:
