@@ -125,25 +125,68 @@ def _kmeans_assign_literal(
     greater than any value in both struct ordering and a DESC sort,
     and an all-NULL cosine row (NULL vector) falls to the smallest
     cluster either way."""
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).alias("cluster"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("centroid"),
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    # r15 second pass (guide §4.2): the literal-array formulation above
+    # (kept in the docstring for the algebra) evaluated k interpreted
+    # aggregate-HOF cosine folds PER ROW -- measured as the dominant
+    # cost of the kmeans builder (~1.5 s of every ANN query at sf0.1).
+    # This Arrow pass computes the identical float64 op sequence with
+    # one vectorized add per dimension (the same bit-parity argument as
+    # _bucket_allpairs_fold / the decontaminate verify): dot and both
+    # squared norms accumulate left-to-right in dimension order, the
+    # centroid norms with the same scalar fold the expr ran per row.
+    # Argmax semantics replicated exactly: NaN cosine (zero-norm side)
+    # compares GREATER than any value -> mapped to +inf; ties and
+    # all-NaN rows resolve to the SMALLEST cluster id (centroids sorted
+    # ascending, np.argmax takes the first maximum); a NULL or
+    # dim-mismatched vector yields all-NULL cosines -> smallest cluster
+    # (zip_with padding makes the expr fold NULL there too).
+    cents_sorted = sorted(cents_rows, key=lambda cv: int(cv[0]))
+    cluster_ids = np.array([int(c) for c, _ in cents_sorted], dtype=np.int64)
+    cmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in cents_sorted]
+    )  # (k, dim)
+    kk, dim = cmat.shape
+    cnorm2 = np.zeros(kk)
+    for d in range(dim):
+        y = cmat[:, d]
+        cnorm2 = cnorm2 + y * y
+    cnorm = np.sqrt(cnorm2)
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = pdf[vec_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
             )
-            for c, v in cents_rows
-        ]
-    )
-    best = F.array_max(
-        F.transform(
-            arr,
-            lambda s: F.struct(
-                cosine(F.col(vec_col), s["centroid"]).alias("__ccos"),
-                (-s["cluster"]).alias("__negc"),
-            ),
-        )
-    )
-    return corpus.withColumn("cluster", (-best["__negc"]).cast("int"))
+            cl = np.full(len(pdf), int(cluster_ids[0]), dtype=np.int64)
+            if ok.any():
+                v1 = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )  # (g, dim)
+                g = v1.shape[0]
+                accd = np.zeros((g, kk))
+                acc1 = np.zeros(g)
+                for d in range(dim):
+                    x = v1[:, d]
+                    accd = accd + x[:, None] * cmat[None, :, d]
+                    acc1 = acc1 + x * x
+                scores = accd / (np.sqrt(acc1)[:, None] * cnorm[None, :])
+                scores = np.where(np.isnan(scores), np.inf, scores)
+                cl[ok] = cluster_ids[np.argmax(scores, axis=1)]
+            pdf = pdf.copy()
+            pdf["cluster"] = cl.astype("int32")
+            yield pdf
+
+    return corpus.mapInPandas(_assign, out_schema)
 
 
 def kmeans_lite(
