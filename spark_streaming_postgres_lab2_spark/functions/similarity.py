@@ -52,14 +52,87 @@ def cosine_topk(
     """Brute-force cosine top-k: broadcast the query set, score every
     corpus vector once, keep k per query with a deterministic
     tiebreak.  Returns (query_id, vec_id, cosine_sim, rank)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    import numpy as np
+    import pandas as pd
+
+    # r15 (guide §4.2): the crossJoin(broadcast(q)) + cosine-expr form
+    # evaluated |queries| interpreted aggregate-HOF folds per corpus
+    # row.  The query set is tiny and broadcast by this function's
+    # contract, so it rides in the task closure (one bounded collect,
+    # the decontaminate-verify pattern) and scoring runs as one Arrow
+    # pass with the family's bit-parity recipe: dot and both squared
+    # norms accumulate left-to-right in dimension order, one vectorized
+    # add per dimension.  Engine-sensitive semantics preserved exactly:
+    # a zero denominator yields NULL (Spark's x/0.0, ranked LAST by the
+    # DESC window) while a NaN numerator with nonzero denominator stays
+    # NaN (ranked FIRST); NULL or dim-mismatched vectors yield NULL
+    # cosines (the zip_with padding behavior).  Round + window stay in
+    # Spark, unchanged.
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = (
+        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        if q_rows
+        else np.zeros((0, 0))
     )
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("__cos", cosine(F.col(vec_col), F.col("__qvec")))
-    )
+    m, qdim = qmat.shape
+    qnorm2 = np.zeros(m)
+    for d in range(qdim):
+        y = qmat[:, d]
+        qnorm2 = qnorm2 + y * y
+    qnorm = np.sqrt(qnorm2)
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or m == 0:
+                continue
+            vecs = pdf[vec_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == qdim for v in vecs], dtype=bool
+            )
+            n = len(pdf)
+            cos = np.full((n, m), np.nan)
+            den_ok = np.zeros((n, m), dtype=bool)
+            if ok.any():
+                v1 = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                g = v1.shape[0]
+                accd = np.zeros((g, m))
+                acc1 = np.zeros(g)
+                for d in range(qdim):
+                    x = v1[:, d]
+                    accd = accd + x[:, None] * qmat[None, :, d]
+                    acc1 = acc1 + x * x
+                den = np.sqrt(acc1)[:, None] * qnorm[None, :]
+                dok = den != 0.0
+                sc = np.full((g, m), np.nan)
+                sc[dok] = accd[dok] / den[dok]
+                cos[ok] = sc
+                den_ok[ok] = dok
+            # NULL iff invalid vector or zero denominator; NaN from a
+            # NaN element with nonzero denominator stays NaN
+            vals = cos.ravel()
+            nullmask = ~den_ok.ravel()
+            # nullable Float64: the mask carries NULL (zero-den /
+            # invalid vector) distinctly from a genuine NaN value --
+            # a plain float64 column would coerce None to NaN and
+            # flip the DESC ranking (NaN first, NULL last)
+            col = pd.arrays.FloatingArray(
+                vals, mask=nullmask.copy()
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(np.asarray(qids, dtype=np.int64), n),
+                    id_col: np.repeat(ids, m),
+                    "__cos": col,
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score, f"query_id long, {id_col} long, __cos double"
+    ).filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()
     )

@@ -281,3 +281,74 @@ def test_ann_ivf_topk_query_recall_floor_on_fixture(spark, sf_dir):
     recalls = [len(truth[q] & got[q]) / K for q in truth]
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.9, f"ann_ivf_topk query recall@{K} = {recall:.3f}"
+
+
+def test_cosine_topk_arrow_matches_expr_on_degenerate_vectors(spark):
+    """r15: cosine_topk's scoring moved from the crossJoin + cosine-expr
+    form to an Arrow pass with the queries in the task closure.  The
+    engine-sensitive edges must survive the move: a zero-norm corpus
+    vector scores NULL (Spark's x/0.0) and ranks LAST under the DESC
+    window; a NaN element propagates to a NaN cosine and ranks FIRST;
+    a NULL or dim-mismatched vector scores NULL.  This pins the Arrow
+    path against the original expression formulation on a corpus that
+    exercises every edge."""
+    from pyspark.sql import Window
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        cosine,
+        cosine_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),      # zero norm -> NULL cosine
+        (4, None),                       # NULL vector -> NULL cosine
+        (5, [1.0, 0.0]),                 # dim mismatch -> NULL cosine
+        (6, [float("nan"), 1.0, 0.0, 0.0]),  # NaN element -> NaN cosine
+        (7, [-1.0, 0.0, 0.0, 0.0]),
+        (10, [1.0, 0.1, 0.0, 0.0]),      # the query vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 10)
+
+    got = {
+        (r.query_id, r.vec_id, r.rank): r.cosine_sim
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+
+    # reference: the original crossJoin + expression formulation
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("embedding"), F.col("__qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rank): r.cosine_sim
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("__cos"), 4).alias("cosine_sim"),
+            "rank",
+        )
+        .collect()
+    }
+
+    def norm(d):
+        # NaN != NaN: compare on a printable token
+        return {k: ("nan" if v != v else v) for k, v in d.items() if v is None or True}
+
+    assert norm(got) == norm(want)
+    # the NaN row ranks first, the NULL rows last
+    nan_rank = [k[2] for k in got if k[1] == 6][0]
+    assert nan_rank == 1
+    null_ranks = sorted(k[2] for k in got if k[1] in (3, 4, 5))
+    assert null_ranks == [5, 6, 7]
