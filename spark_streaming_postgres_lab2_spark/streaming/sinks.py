@@ -93,10 +93,17 @@ class BatchRouter:
             df.write.mode("append").parquet(path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # r15 (guide §2.4): checkpoint BEFORE the empty-guard -- the
+        # old order ran the full batch pipeline once for isEmpty()'s
+        # head(1) and then AGAIN to materialize the checkpoint; on the
+        # checkpointed frame the emptiness probe reads one cached
+        # block.  An empty epoch pays one cheap empty materialization
+        # instead of a scan, so the guard's purpose (skip the three
+        # writes + metrics on empty batches) is unchanged.
+        batch_df = batch_df.localCheckpoint(eager=True)  # one lineage for N consumers
         if batch_df.isEmpty():
             return
         with BatchTracker(batch_id) as tracker:
-            batch_df = batch_df.localCheckpoint(eager=True)  # one lineage for N consumers
             q = calculate_quality_metrics(batch_df, batch_id)
 
             valid = batch_df.filter(F.col("is_valid")).select(
