@@ -190,6 +190,10 @@ def triangle_count(
     list, then count each triangle at each of its three corners.
     Returns (id, triangles) for vertices in >=1 triangle.
     """
+    # und feeds THREE subtrees of the oriented build (the direct join
+    # side plus both degree aliases): without the cut the edge
+    # synthesis + canonicalize + distinct pipeline plans and runs three
+    # times per orientation (r16, guide §2.4).  Slim (a, b) rows only.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -197,6 +201,7 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))

@@ -41,6 +41,96 @@ class QuerySpec:
 # Everything past slot 50 is still verified every round by the local
 # replica (tools/parity_check.py; committed as PARITY_r{N}.json).
 DRIVER_PRIORITY = [
+    # ================= round 16 window =================
+    # Tier 0 (slots 1-5): the five r15-born operators -- the ONLY
+    # oracles with no driver CORRECTNESS row at all (locally green in
+    # PARITY_r15, listed as r16 tier-0 candidates in the r15 window
+    # note below).  quality_consensus_report ALSO re-stamps this round
+    # (scale-gated lineage cut), so its slot does double duty.
+    "doremi_domain_weights",
+    "tokenizer_fertility_audit",
+    "dedup_cluster_profile",
+    "rrf_hybrid_search",
+    "quality_consensus_report",
+    # Round 16 OPTIMIZATION re-stamps (slots 6-11): every query whose
+    # content stamp flipped this round (verified against PARITY_r15's
+    # src_stamps) -- the IVF-PQ Arrow restructure, the first-grain
+    # overlap count + point-session grain tune, the repeated-subtree
+    # cuts, the scale-gated LM cut, and the asof bounds collect.  A
+    # changed implementation re-certifies in-window before anything
+    # merely stale does (the quality_classifier_filter rule).
+    "ann_ivfpq_adc_audit",
+    "asof_quotes",
+    "boilerplate_dedup",
+    "lm_surprisal_filter",
+    "session_overlap_pairs",
+    "term_pmi_cooccurrence",
+    # Tier 1 (19, slots 12-30): the COMPLETE r11-last-green cohort --
+    # after the r15 window re-certified the optimization re-stamps,
+    # these are the stalest driver evidence (last green 5 rounds ago).
+    # Greening all of them advances the minimum last-green round to
+    # r12.  All have blame-span 0 at the r16 head; alphabetical.
+    "bpe_merge_candidates",
+    "corpus_filter_chain",
+    "customers_without_orders",
+    "nation_pairs",
+    "order_count_distribution",
+    "order_priority",
+    "pii_redaction",
+    "quality_percentile_filter",
+    "regional_revenue",
+    "snapshot_diff",
+    "source_quota_sample",
+    "top_customers",
+    "top_parts_per_brand",
+    "tpch_q1",
+    "tpch_q6",
+    "user_activity",
+    "value_percentiles",
+    "value_stats",
+    "zipf_top_terms",
+    # Round 16 cross-module re-certifications (6, slots 31-36): the
+    # blame guard's list -- queries whose certified plans route through
+    # functions/graph.py (pagerank / bfs / triangle restructures) or
+    # functions/similarity.py (cosine_topk guard + degenerate-query
+    # handling, kmeans zero-norm-centroid ranking) edited this round.
+    # Cross-module helpers are outside the content stamp, but the
+    # line-span blame tier still (correctly) demands an in-window
+    # re-certification for post-certification edits.
+    "pagerank_links",
+    "bfs_reachability",
+    "triangle_counts",
+    "similarity_topk",
+    "ann_recall_audit",
+    "ann_ivf_lossless_audit",
+    # Tier 2 (14, slots 37-50): the r12-last-green cohort (27 rows;
+    # ann_ivfpq_adc_audit and term_pmi_cooccurrence already hold
+    # re-stamp slots above), ranked by MEASURED cross-module blame-span
+    # width at the r16 head (tools/parity_check.fn_blame_spans, sum of
+    # span lines outside the fn's own module): doc_fingerprints 7,
+    # doc_hof_stats / fact_join_unbucketed / nation_profit /
+    # sorted_neighborhood_dedup 4, remainder 0 (alphabetical).  The
+    # 11 lowest-ranked (order_first_last_nth, order_window_suite,
+    # revenue_concentration, rolling_7d_revenue, shard_manifest,
+    # top_spenders_lateral, train_eval_split, training_mix_upsample,
+    # url_canonical_dedup, user_event_paths, value_histogram) rotate
+    # in r17 with the r13 cohort.
+    "doc_fingerprints",
+    "doc_hof_stats",
+    "fact_join_unbucketed",
+    "nation_profit",
+    "sorted_neighborhood_dedup",
+    "cumulative_unique_users",
+    "embedding_pq_audit",
+    "freq_items_audit",
+    "gapfill_interpolate",
+    "hourly_gapfill",
+    "html_text_extract",
+    "intra_doc_dedup",
+    "latest_event_per_user",
+    "mad_anomaly_hours",
+]
+_DRIVER_PRIORITY_R15 = [
     # round 15, tier 0 (slots 1-3), exactly the r14 order sheet:
     # slots 1-2 are the two r14-born operators -- the ONLY 2 of 173
     # oracles with no driver CORRECTNESS row (VERDICT r14 item 1);

@@ -996,7 +996,17 @@ def _tuned_grain_us(iv: DataFrame) -> int:
         F.percentile_approx(F.col("e") - F.col("s"), 0.5).alias("med")
     ).first()
     med = int(row["med"] or 0)
-    return max(900_000_000, min(86_400_000_000, 2 * med or _GRAIN_US))
+    # med == 0 means the corpus is dominated by POINT sessions (single
+    # event): the explode factor is already ~1 grain per session at ANY
+    # grain, so the only cost that moves is per-bucket candidate
+    # density, which scales linearly with the grain.  The old `or
+    # _GRAIN_US` fallback jumped to the 1-hour ceiling here -- the
+    # densest legal choice -- packing ~4x more unrelated sessions per
+    # bucket than the 15-min clamp floor the tune already trusts (r16,
+    # guide §2.5: candidate density IS the skew knob of this join).
+    # Output is grain-invariant either way (exact verify + first-grain
+    # emission); oracle parity re-proven at sf0.001/0.01/0.1.
+    return max(900_000_000, min(86_400_000_000, 2 * med))
 
 
 def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1602,23 +1602,115 @@ QUALIFY rank <= 10
 """
 
 
+_NEAR_DUP_WINDOW = 25  # candidate offsets 1.._NEAR_DUP_WINDOW
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup over a bounded candidate window
-    (vec_id offsets 1..25 -- equi-join on vec_id+offset, linear pair
-    count; the LSH variant below is the unbounded scale path)."""
+    (vec_id offsets 1..25; the LSH variant below is the unbounded
+    scale path).
+
+    r16 restructure (guide §8): the old shape exploded 25 offset
+    copies of every FULL 64-float embedding through the equi-join
+    exchange -- 25x payload replication to decide pairs the vec_id
+    alone determines.  Now each vector rides into exactly TWO id-range
+    buckets (its own vec_id DIV W bucket plus the previous one, so
+    every (v1, v2 <= v1+W) pair is complete in v1's bucket), and the
+    C(bucket) candidate pairs are formed in numpy inside a grouped
+    applyInPandas -- the embedding-LSH family's proven per-bucket
+    grouped-scoring pattern.  Per-pair math is the family's bit-parity
+    fold: dot and both squared norms accumulate left-to-right in
+    dimension order (one vectorized add per dimension -- identical to
+    the F.aggregate fold / DuckDB list_aggregate), HALF-AWAY-FROM-ZERO
+    round to 4, threshold on the rounded value.  Engine edges
+    preserved: zero-denominator pairs score NULL in the expr form and
+    are dropped by the threshold (numpy: den == 0 dropped); a NaN
+    element propagates NaN, which Spark's >= ranks ABOVE the threshold
+    (numpy: NaN with nonzero den kept); NULL / dim-mismatched vectors
+    pair to NULL and drop (numpy: per-length grouping).  Oracle parity
+    re-proven at sf0.001/0.01/0.1."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    left = emb.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("__v1")
-    ).withColumn("__off", F.explode(F.sequence(F.lit(1), F.lit(25))))
-    right = emb.select(
-        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("__v2")
+    w = _NEAR_DUP_WINDOW
+    core = emb.select(
+        "vec_id", "embedding", F.expr(f"vec_id DIV {w}").alias("g")
     )
-    return (
-        left.join(right, F.col("vec_id_2") == F.col("vec_id_1") + F.col("__off"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("__v1"), F.col("__v2")), 4))
-        .filter(F.col("cosine_sim") >= 0.25)
-        .select("vec_id_1", "vec_id_2", "cosine_sim")
+    look = emb.select(
+        "vec_id", "embedding", (F.expr(f"vec_id DIV {w}") - 1).alias("g")
+    )
+    both = core.unionByName(look)
+
+    empty = pd.DataFrame(
+        {
+            "vec_id_1": pd.Series(dtype="int64"),
+            "vec_id_2": pd.Series(dtype="int64"),
+            "cosine_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def score_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        n = len(pdf)
+        if n < 2:
+            return empty
+        vecs = pdf["embedding"].to_numpy()
+        vids = pdf["vec_id"].to_numpy()
+        ok = np.array([v is not None for v in vecs], dtype=bool)
+        if ok.sum() < 2:
+            return empty
+        vecs, vids = vecs[ok], vids[ok]
+        lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=len(vecs))
+        frames = []
+        for d_eff in np.unique(lens):
+            sel = np.nonzero(lens == d_eff)[0]
+            if len(sel) < 2 or d_eff == 0:
+                continue
+            svid = vids[sel]
+            order = np.argsort(svid)
+            svid = svid[order]
+            vmat = np.stack(vecs[sel][order].tolist()).astype("float64")
+            # candidate index pairs: v1 a CORE row of this bucket
+            # (vid DIV w == g -- lookahead rows anchor in their own
+            # bucket), 1 <= v2 - v1 <= w
+            diff = svid[None, :] - svid[:, None]
+            i1, i2 = np.nonzero(
+                (diff >= 1) & (diff <= w) & ((svid // w) == g)[:, None]
+            )
+            if len(i1) == 0:
+                continue
+            v1, v2 = vmat[i1], vmat[i2]
+            npair = len(i1)
+            accd = np.zeros(npair)
+            acc1 = np.zeros(npair)
+            acc2 = np.zeros(npair)
+            for d in range(int(d_eff)):
+                x, y = v1[:, d], v2[:, d]
+                accd = accd + x * y
+                acc1 = acc1 + x * x
+                acc2 = acc2 + y * y
+            den = np.sqrt(acc1) * np.sqrt(acc2)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = accd / den
+            rounded = np.sign(cos) * np.floor(np.abs(cos) * 1e4 + 0.5) / 1e4
+            # den == 0 -> NULL in the expr form, dropped; NaN with
+            # nonzero den -> Spark >= treats NaN as greater, kept
+            keep = (den != 0.0) & (np.isnan(cos) | (rounded >= 0.25))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id_1": svid[i1[keep]],
+                        "vec_id_2": svid[i2[keep]],
+                        "cosine_sim": rounded[keep],
+                    }
+                )
+            )
+        return pd.concat(frames) if frames else empty
+
+    return both.groupBy("g").applyInPandas(
+        score_bucket, "vec_id_1 long, vec_id_2 long, cosine_sim double"
     )
 
 
@@ -2597,30 +2689,49 @@ def q_asof_quotes(spark: SparkSession, sf_dir: str, n_seg: int = 50) -> DataFram
         (F.col("user_id") % n_seg).cast("long").alias("segment"),
         F.expr("unix_micros(ts)").alias("event_us"),
     )
-    bounds = ev.agg(
+    # the clock bounds are TWO scalars, but as a 1-row frame they fed
+    # two independent tick subtrees -- the whole events scan + agg ran
+    # three times per action (once per tick arm + the join side).
+    # Collect them once (bounded driver collect, the _tuned_grain_us
+    # class) and build the clock spine from literals (r16, guide §2.4).
+    brow = ev.agg(
         F.expr("min(event_us div 3600000000)").alias("__mn"),
         F.expr("max(event_us div 3600000000)").alias("__mx"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("__mn", "__mx")).alias("__h")
-    )
+    ).first()
+    mn, mx = brow["__mn"], brow["__mx"]
     segs = spark.range(n_seg).select(F.col("id").alias("segment"))
-    hourly_ticks = hours.crossJoin(segs).select(
-        "segment",
-        F.expr(f"__h * 3600000000 + ((segment * 97) % 3600) * 1000000")
-        .alias("tick_us"),
-        F.expr("(__h * 31 + segment * 7) % 1000 + 100").alias("quote_fp"),
-    )
-    opening_ticks = bounds.crossJoin(segs).select(
-        "segment",
-        F.expr("__mn * 3600000000").alias("tick_us"),
-        F.expr("(__mn * 31 + segment * 7) % 1000 + 100").alias("quote_fp"),
-    )
-    ticks = (
-        hourly_ticks.unionByName(opening_ticks)
-        .distinct()
-        .withColumn("quote_us", F.col("tick_us"))
-    )
+    if mn is None:
+        # no events: no ticks either (the old 1-row agg produced NULL
+        # bounds and sequence(NULL, NULL) yielded no hours)
+        ticks = (
+            segs.select(
+                "segment",
+                F.lit(None).cast("bigint").alias("tick_us"),
+                F.lit(None).cast("bigint").alias("quote_fp"),
+            )
+            .filter(F.lit(False))
+            .withColumn("quote_us", F.col("tick_us"))
+        )
+    else:
+        hours = spark.range(int(mn), int(mx) + 1).select(F.col("id").alias("__h"))
+        hourly_ticks = hours.crossJoin(segs).select(
+            "segment",
+            F.expr(f"__h * 3600000000 + ((segment * 97) % 3600) * 1000000")
+            .alias("tick_us"),
+            F.expr("(__h * 31 + segment * 7) % 1000 + 100").alias("quote_fp"),
+        )
+        opening_ticks = segs.select(
+            "segment",
+            F.lit(int(mn) * 3600000000).cast("bigint").alias("tick_us"),
+            F.expr(f"({int(mn)} * 31 + segment * 7) % 1000 + 100").alias(
+                "quote_fp"
+            ),
+        )
+        ticks = (
+            hourly_ticks.unionByName(opening_ticks)
+            .distinct()
+            .withColumn("quote_us", F.col("tick_us"))
+        )
     from ..operators.asof import asof_join_pandas
 
     joined = asof_join_pandas(
