@@ -52,20 +52,22 @@ DRIVER_PRIORITY = [
     "dedup_cluster_profile",
     "rrf_hybrid_search",
     "quality_consensus_report",
-    # Round 16 OPTIMIZATION re-stamps (slots 6-11): every query whose
+    # Round 16 OPTIMIZATION re-stamps (slots 6-12): every query whose
     # content stamp flipped this round (verified against PARITY_r15's
     # src_stamps) -- the IVF-PQ Arrow restructure, the first-grain
     # overlap count + point-session grain tune, the repeated-subtree
-    # cuts, the scale-gated LM cut, and the asof bounds collect.  A
+    # cuts, the scale-gated LM cut, the asof bounds collect, and the
+    # bucketed offset-window near-dup (25x -> 2x payload).  A
     # changed implementation re-certifies in-window before anything
     # merely stale does (the quality_classifier_filter rule).
     "ann_ivfpq_adc_audit",
     "asof_quotes",
     "boilerplate_dedup",
+    "embedding_near_dup",
     "lm_surprisal_filter",
     "session_overlap_pairs",
     "term_pmi_cooccurrence",
-    # Tier 1 (19, slots 12-30): the COMPLETE r11-last-green cohort --
+    # Tier 1 (19, slots 13-31): the COMPLETE r11-last-green cohort --
     # after the r15 window re-certified the optimization re-stamps,
     # these are the stalest driver evidence (last green 5 rounds ago).
     # Greening all of them advances the minimum last-green round to
@@ -89,7 +91,7 @@ DRIVER_PRIORITY = [
     "value_percentiles",
     "value_stats",
     "zipf_top_terms",
-    # Round 16 cross-module re-certifications (6, slots 31-36): the
+    # Round 16 cross-module re-certifications (6, slots 32-37): the
     # blame guard's list -- queries whose certified plans route through
     # functions/graph.py (pagerank / bfs / triangle restructures) or
     # functions/similarity.py (cosine_topk guard + degenerate-query
@@ -103,18 +105,18 @@ DRIVER_PRIORITY = [
     "similarity_topk",
     "ann_recall_audit",
     "ann_ivf_lossless_audit",
-    # Tier 2 (14, slots 37-50): the r12-last-green cohort (27 rows;
+    # Tier 2 (13, slots 38-50): the r12-last-green cohort (27 rows;
     # ann_ivfpq_adc_audit and term_pmi_cooccurrence already hold
     # re-stamp slots above), ranked by MEASURED cross-module blame-span
     # width at the r16 head (tools/parity_check.fn_blame_spans, sum of
     # span lines outside the fn's own module): doc_fingerprints 7,
     # doc_hof_stats / fact_join_unbucketed / nation_profit /
     # sorted_neighborhood_dedup 4, remainder 0 (alphabetical).  The
-    # 11 lowest-ranked (order_first_last_nth, order_window_suite,
-    # revenue_concentration, rolling_7d_revenue, shard_manifest,
-    # top_spenders_lateral, train_eval_split, training_mix_upsample,
-    # url_canonical_dedup, user_event_paths, value_histogram) rotate
-    # in r17 with the r13 cohort.
+    # 12 lowest-ranked (mad_anomaly_hours, order_first_last_nth,
+    # order_window_suite, revenue_concentration, rolling_7d_revenue,
+    # shard_manifest, top_spenders_lateral, train_eval_split,
+    # training_mix_upsample, url_canonical_dedup, user_event_paths,
+    # value_histogram) rotate in r17 with the r13 cohort.
     "doc_fingerprints",
     "doc_hof_stats",
     "fact_join_unbucketed",
@@ -128,7 +130,6 @@ DRIVER_PRIORITY = [
     "html_text_extract",
     "intra_doc_dedup",
     "latest_event_per_user",
-    "mad_anomaly_hours",
 ]
 _DRIVER_PRIORITY_R15 = [
     # round 15, tier 0 (slots 1-3), exactly the r14 order sheet:

@@ -152,16 +152,29 @@ def test_embedding_pq_audit_broadcasts_codebook(spark, sf_dir):
     assert set(checks.read_schema_columns(df)) <= {"vec_id", "embedding"}
 
 
-def test_ann_ivfpq_adc_all_small_sides_broadcast(spark, sf_dir):
-    """Every constant-sized side of the IVF-PQ pipeline (centroids,
-    codebook, probe list, LUT) must broadcast, and no corpus x corpus
-    pair may form: zero sort-merge joins, no BroadcastNestedLoop."""
+def test_ann_ivfpq_adc_single_corpus_pass_no_joins(spark, sf_dir):
+    """r16 restructure: the constant-sized sides (centroids, codebook,
+    probe lists, ADC LUT) ride in the task closure as driver-collected
+    literals, so the plan must contain NO joins at all -- the corpus
+    crosses Arrow exactly once (one MapInPandas) and the only
+    corpus-sized exchange left is the final per-query top-k window.
+    (The pre-r16 relational replay asserted >= 5 broadcasts and five
+    corpus-sized partial aggregates; this certifies the replacement
+    shape.)"""
     from spark_streaming_postgres_lab2_spark.queries.ext import (
         q_ann_ivfpq_adc_audit,
     )
 
     df = q_ann_ivfpq_adc_audit(spark, sf_dir)
-    assert checks.broadcast_join_count(df) >= 5
+    plan = checks.physical_plan(df)
     assert checks.sort_merge_join_count(df) == 0
-    assert "BroadcastNestedLoopJoin" not in checks.physical_plan(df)
-    assert checks.has_partial_aggregation(df)
+    assert checks.broadcast_join_count(df) == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one numbered MapInPandas operator in the formatted tree
+    # (each operator also repeats once in the details section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    # one exchange for the top-k window (+ AQE bookkeeping), not the
+    # old replay's five corpus-sized aggregate shuffles
+    assert checks.shuffle_count(df) <= 2
